@@ -1,0 +1,98 @@
+"""Iceberg-style snapshot catalog over partitioned parquet.
+
+No Iceberg/Delta jars ship in this sandbox, so the catalog implements the
+same discipline — immutable per-tick snapshot dirs + an atomically-replaced
+manifest — on plain parquet. Swapping in real Iceberg later means replacing
+``commit_tick``/``load_*`` bodies with MERGE/snapshot reads; the engine code
+above this layer does not change.
+
+Layout under ``root/``::
+
+    manifest.json              {"committed_tick": N, "metrics": {tick: {...}}}
+    frontier/tick=K/*.parquet  frontier state entering tick K
+    seen/tick=K/*.parquet      url_seen delta added at tick K (cumulative = union)
+    results/tick=K/*.parquet   fetch+extract output of tick K
+
+Crash-consistency: a tick's dirs are fully written before the manifest is
+replaced (os.replace is atomic), so a killed run resumes at the last
+committed tick without refetching or double-emitting (the north rule's
+resume requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CrawlCatalog:
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> Path:
+        return self.root / "manifest.json"
+
+    def manifest(self) -> dict:
+        if self._manifest_path.exists():
+            return json.loads(self._manifest_path.read_text())
+        return {"committed_tick": -1, "metrics": {}}
+
+    def committed_tick(self) -> int:
+        return self.manifest()["committed_tick"]
+
+    def _dir(self, kind: str, tick: int) -> str:
+        return str(self.root / kind / f"tick={tick}")
+
+    def write_bootstrap(self, frontier: DataFrame, seen_delta: DataFrame) -> None:
+        """Tick-0 state: seed frontier + its seen delta (not yet committed)."""
+        frontier.write.mode("overwrite").parquet(self._dir("frontier", 0))
+        seen_delta.write.mode("overwrite").parquet(self._dir("seen", 0))
+
+    def commit_tick(
+        self,
+        tick: int,
+        results: DataFrame,
+        next_frontier: DataFrame,
+        seen_delta: DataFrame,
+        metrics: dict,
+    ) -> None:
+        """Persist tick outputs, then atomically advance the manifest."""
+        results.write.mode("overwrite").parquet(self._dir("results", tick))
+        next_frontier.write.mode("overwrite").parquet(self._dir("frontier", tick + 1))
+        seen_delta.write.mode("overwrite").parquet(self._dir("seen", tick + 1))
+        m = self.manifest()
+        m["committed_tick"] = tick
+        m["metrics"][str(tick)] = metrics
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)
+
+    def load_frontier(self, spark: SparkSession, tick: int) -> DataFrame:
+        return spark.read.parquet(self._dir("frontier", tick))
+
+    def load_seen(self, spark: SparkSession, up_to_tick: int) -> DataFrame:
+        """Cumulative url_seen = union of committed deltas ≤ up_to_tick.
+        The tick=K dirs form a partitioned layout, so this is one scan with
+        partition pruning, not K scans."""
+        base = self.root / "seen"
+        df = spark.read.option("basePath", str(base)).parquet(
+            *[str(base / f"tick={k}") for k in range(up_to_tick + 1) if (base / f"tick={k}").exists()]
+        )
+        return df
+
+    def load_results(self, spark: SparkSession, ticks: list[int] | None = None) -> DataFrame:
+        base = self.root / "results"
+        if ticks is None:
+            ticks = sorted(int(p.name.split("=")[1]) for p in base.glob("tick=*"))
+        # no basePath: result files carry their own `tick` column, so
+        # partition-column discovery would clash with it
+        return spark.read.parquet(*[str(base / f"tick={k}") for k in ticks])
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

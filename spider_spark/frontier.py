@@ -1,0 +1,247 @@
+"""One crawl tick as a declarative DataFrame plan.
+
+The distributed generalization of the reference's iterative scrape loop
+(src/scrapers/tree.ts:141-267: frontier ≙ unclicked elements, seen-set ≙
+clickedSelectors, links accumulate keep-first) — each tick is:
+
+    frontier → robots gate → per-host politeness top-k → fetch
+             → parse (byte-identical UDFs) → explode links → canonicalize
+             → keep-first dedupe → anti-join url_seen → next frontier
+
+Scale decisions (see SURVEY.md §4):
+- politeness top-k is computed in TWO phases — rank within (host, salt)
+  then within host — so a hot mega-host never serializes one partition,
+- the fetch is an equi-join against the pages table on the canonical URL
+  (unique key ⇒ no join skew; the politeness cap bounds per-tick size),
+- keep-first "encounter order" is the data-derived key (priority,
+  discovered_tick, seq) where seq is the fixed-width hex link-path — stable
+  under any repartitioning, which is what makes crawl-order replay exact,
+- the seen filter is an exact left_anti against the cumulative url_seen
+  (ground truth); a sharded bloom prefilter (bloom.py) can cut the shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from . import udfs
+
+SEQ_WIDTH = 12  # hex digits per link-path component; supports 2^48 links/page
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), False),
+        StructField("priority", IntegerType(), False),
+        StructField("discovered_tick", IntegerType(), False),
+        StructField("seq", StringType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    per_host_budget: int = 8  # max fetches per host per tick (politeness)
+    tick_ms: int = 10_000  # nominal tick wall budget — modulates crawl_delay
+    max_ticks: int = 10
+    politeness_salt: int = 16  # phase-1 salt buckets for the top-k window
+    store_text: bool = True
+    respect_robots: bool = True
+    # priority bands, mirroring the reference's adapter priority ordering
+    # (src/platform/registry.ts:71-76; bands src/platform/types.ts:61-66)
+    priority_expr: str = (
+        "CASE WHEN url_canon LIKE '%/filepro/documents/?preview=%' THEN 100 "
+        "WHEN url_canon LIKE '%/docushare/dsweb/%' THEN 110 "
+        "WHEN url_canon LIKE '%/download/%' THEN 150 ELSE 200 END"
+    )
+
+
+def seeds_to_frontier(spark, seed_urls: list[str], cfg: CrawlConfig) -> DataFrame:
+    """Seed list → tick-0 frontier with deterministic seq by list order."""
+    rows = [(u, i) for i, u in enumerate(seed_urls)]
+    df = spark.createDataFrame(rows, "url string, seed_idx long")
+    df = df.withColumn("url_canon", udfs.canonicalize_url("url")).filter(
+        F.col("url_canon").isNotNull()
+    )
+    return (
+        df.withColumn("url_hash", udfs.col_url_hash(F.col("url_canon")))
+        .withColumn("host", udfs.url_host("url_canon"))
+        .withColumn("priority", F.expr(cfg.priority_expr).cast("int"))
+        .withColumn("discovered_tick", F.lit(0))
+        .withColumn("seq", F.lpad(F.conv(F.col("seed_idx").cast("string"), 10, 16), SEQ_WIDTH, "0"))
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+        # keep-first on duplicate seeds
+        .withColumn("rn", F.row_number().over(Window.partitionBy("url_hash").orderBy("seq")))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+def politeness_select(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | None):
+    """Split the frontier into (selected, deferred, blocked) for this tick.
+
+    Per-host budget ≙ the reference's rate limiting (tree.ts:296-303) made
+    explicit; robots gating is first-class here (reference defers it to the
+    caller — SPEC.md:254-255). Two-phase ranking kills hot-host skew: the
+    phase-1 window partitions on (host, salt) so no single task ever ranks a
+    mega-host alone."""
+    f = frontier
+    blocked = None
+    if robots is not None and cfg.respect_robots:
+        f = f.join(F.broadcast(robots), "host", "left")
+        path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
+        disallowed = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        blocked = f.filter(disallowed).select(*frontier.columns)
+        f = f.filter(~disallowed)
+        # crawl_delay shrinks the per-host budget: at most tick_ms/delay
+        # fetches fit in a politeness-compliant tick
+        budget = F.when(
+            F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0),
+            F.greatest(
+                F.lit(1),
+                F.least(F.lit(cfg.per_host_budget), (F.lit(cfg.tick_ms) / F.col("crawl_delay_ms")).cast("int")),
+            ),
+        ).otherwise(F.lit(cfg.per_host_budget))
+        f = f.withColumn("host_budget", budget).select(*frontier.columns, "host_budget")
+    else:
+        f = f.withColumn("host_budget", F.lit(cfg.per_host_budget))
+
+    order = [F.col("priority"), F.col("discovered_tick"), F.col("seq")]
+    salt = F.pmod(F.col("url_hash"), F.lit(cfg.politeness_salt))
+    w1 = Window.partitionBy("host", salt).orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = (
+        f.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= F.col("host_budget"))  # phase 1: ≤ budget per salt bucket
+        .withColumn("rk", F.row_number().over(w2))  # phase 2: exact top-budget per host
+    )
+    selected = ranked.filter(F.col("rk") <= F.col("host_budget")).select(*frontier.columns)
+    # deferred = frontier minus selected minus blocked (stays queued)
+    deferred = f.select(*frontier.columns).join(
+        selected.select("url_hash"), "url_hash", "left_anti"
+    )
+    return selected, deferred, blocked
+
+
+def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """The sandbox "network": equi-join the selected frontier against the
+    pages table on canonical URL, preserving the fetch-adapter contract
+    (url → content, status, final_url) of src/adapters/simple.ts:34-154.
+    On a live cluster this stage is the same plan with the join replaced by
+    a fetch pandas-UDF over mapInPandas."""
+    pages_side = pages.select(
+        F.col("url").alias("url_canon"),
+        F.col("html"),
+        F.col("lang").alias("page_lang"),
+        F.col("warc_ts"),
+    )
+    fetched = selected.join(pages_side, "url_canon", "left")
+    fetched = fetched.withColumn(
+        "status", F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200))
+    )
+    parsed = fetched.withColumn(
+        "parsed", udfs.parse_page(F.col("url_canon"), F.col("html"))
+    )
+    return parsed
+
+
+def extract_new_links(parsed: DataFrame, seen: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
+    """Explode links, canonicalize, keep-first dedupe, drop already-seen.
+
+    Keep-first = min over the data-derived encounter key (parent seq ‖ pos),
+    the distributed form of links.ts:31-35's first-writer-wins Set."""
+    links = (
+        parsed.filter(F.col("status") == 200)
+        .select(
+            F.col("seq").alias("parent_seq"),
+            F.posexplode_outer(F.col("parsed.links")).alias("pos", "link"),
+        )
+        .filter(F.col("link").isNotNull())
+        .select(
+            "parent_seq",
+            "pos",
+            F.col("link.href").alias("href"),
+        )
+    )
+    cand = (
+        links.withColumn("url_canon", udfs.canonicalize_url("href"))
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn(
+            "seq",
+            F.concat(
+                F.col("parent_seq"),
+                F.lpad(F.conv(F.col("pos").cast("string"), 10, 16), SEQ_WIDTH, "0"),
+            ),
+        )
+    )
+    # keep-first per canonical URL: min encounter key, all in one partial-agg
+    firsts = cand.groupBy("url_canon").agg(F.min("seq").alias("seq"))
+    firsts = (
+        firsts.withColumn("url_hash", udfs.col_url_hash(F.col("url_canon")))
+        .withColumn("host", udfs.url_host("url_canon"))
+        .filter(F.col("host").isNotNull())
+        .withColumn("discovered_tick", F.lit(tick + 1))
+    )
+    new = firsts.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return new
+
+
+def finalize_frontier(new: DataFrame, deferred: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    new = new.withColumn("priority", F.expr(cfg.priority_expr).cast("int")).select(
+        [f.name for f in FRONTIER_SCHEMA.fields]
+    )
+    return deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(new)
+
+
+def blocked_projection(blocked: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
+    """Robots-blocked rows recorded in results with status 451 (crawl
+    ledger completeness; the reference has no robots handling to mirror)."""
+    cols = [
+        F.lit(tick).alias("tick"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        "seq",
+        F.lit(451).alias("status"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast(udfs.DETECTED_STRUCT).alias("detected"),
+        F.lit(None).cast("boolean").alias("is_pdf"),
+        F.lit(0).alias("link_count"),
+        F.lit(None).cast("string").alias("lang"),
+        F.spark_partition_id().alias("partition_id"),
+    ]
+    if cfg.store_text:
+        cols.append(F.lit(None).cast("string").alias("text"))
+    return blocked.select(*cols)
+
+
+def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
+    cols = [
+        F.lit(tick).alias("tick"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        "seq",
+        "status",
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.description").alias("description"),
+        F.col("parsed.detected").alias("detected"),
+        F.col("parsed.is_pdf").alias("is_pdf"),
+        F.size(F.coalesce(F.col("parsed.links"), F.array())).alias("link_count"),
+        F.col("page_lang").alias("lang"),
+        F.spark_partition_id().alias("partition_id"),  # per-partition lineage
+    ]
+    if cfg.store_text:
+        cols.append(F.col("parsed.text").alias("text"))
+    return parsed.select(*cols)

@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes:
+- exact dedupe is a single hash groupBy (map-side partial agg; no window),
+- MinHash/LSH follows the shingle → signature → band → bucket-join pattern:
+  candidate pairs only ever meet inside a band bucket, so the shuffle is
+  O(docs × bands), never O(docs²),
+- SimHash pairs via 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ at
+  least one identical chunk), then exact hamming verify,
+- signatures are computed in Arrow-vectorized pandas UDFs (crc32-based
+  hashing — deterministic across workers, no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < n:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(
+        np.fromiter((zlib.crc32(s.encode("utf-8")) for s in shingles), dtype=np.uint64)
+    )
+
+
+def minhash_signature_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf("array<long>")
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                h = _shingle_hashes(t or "", shingle_n)
+                # (a*x + b) mod p, min over shingles, per permutation
+                vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                out.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.Series(out)
+
+    return sig
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, dup_count, keep_id,
+    member_ids). One shuffle on the 256-bit content hash."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter("dup_count > 1")
+    )
+
+
+def dedupe_exact_keep_first(df: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
+    """Keep the first (by order_col) row of each identical-content group —
+    the corpus-level generalization of the reference's keep-first Set
+    semantics (src/shared/links.ts:31-35)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (id_a < id_b, est_jaccard ≥ thresh).
+
+    signature → band hashes → explode → bucket self-join → estimate jaccard
+    from full signatures (fraction of equal components)."""
+    rows = num_perm // bands
+    sig_udf = minhash_signature_udf(num_perm, shingle_n, seed)
+    sigs = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+
+    band_cols = [
+        F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows), F.lit(i)).alias("band_hash")
+        for i in range(bands)
+    ]
+    banded = sigs.select("id", "sig", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(num_perm)
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_udf(seed: int = 42):
+    @pandas_udf("long")
+    def sim(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = (t or "").lower().split()
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (zlib.crc32(w.encode("utf-8")) + (zlib.crc32(w[::-1].encode("utf-8")) << 32) for w in toks),
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+                v = (2 * bits - 1).sum(axis=0)
+                out[i] = np.int64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64))
+            yield pd.Series(out)
+
+    return sim
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming via 4×16-bit chunk
+    banding (pigeonhole guarantee for max_hamming ≤ 3) + exact verify."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    chunks = [
+        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    banded = sh.select("id", "simhash", F.posexplode(F.array(*chunks)).alias("band", "ch"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.ch") == F.col("r.ch"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for given candidate pairs —
+    pure Catalyst (split → transform → array_intersect/union), used as the
+    verify stage after LSH candidate generation."""
+
+    def grams(col):
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    ga, gb = grams(text_a), grams(text_b)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(F.array_union(ga, gb))
+    return df_pairs.withColumn(
+        "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    )

@@ -1,0 +1,211 @@
+"""Arrow-vectorized pandas UDFs wrapping the byte-identical scalar core.
+
+Design: one combined ``parse_page`` UDF does text + metadata + links +
+detector extraction in a single pass per HTML payload (one Arrow transfer,
+one regex pass over each document) instead of N separate UDF columns. All
+UDFs are ``Iterator[pd.Series]`` style so per-batch setup is amortized and
+Spark can pipeline batches.
+
+The scalar semantics live in ``textops``/``urlops`` (cited there against
+/root/reference); this module only vectorizes them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.functions import pandas_udf
+
+from . import textops, urlops
+
+LINK_STRUCT = StructType(
+    [
+        StructField("pos", IntegerType()),
+        StructField("href", StringType()),
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("aria_label", StringType()),
+        StructField("rel", StringType()),
+        StructField("target", StringType()),
+        StructField("classes", ArrayType(StringType())),
+    ]
+)
+
+DETECTED_STRUCT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("type", StringType()),
+        StructField("is_pdf", BooleanType()),
+        StructField("strategy", StringType()),
+    ]
+)
+
+PARSED_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("links", ArrayType(LINK_STRUCT)),
+        StructField("detected", DETECTED_STRUCT),
+        StructField("is_pdf", BooleanType()),
+    ]
+)
+
+
+def _to_str(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", errors="replace")
+    return v
+
+
+def _parse_one(url: str, html) -> dict:
+    html = _to_str(html)
+    url = _to_str(url)
+    meta = textops.extract_html_metadata(html)
+    links = [
+        {
+            "pos": i,
+            "href": l.href,
+            "text": l.text,
+            "title": l.title,
+            "aria_label": l.aria_label,
+            "rel": l.rel,
+            "target": l.target,
+            "classes": l.classes,
+        }
+        for i, l in enumerate(textops.extract_html_links(html, url))
+    ]
+    detected = textops.detect_document_url(url, html)
+    is_pdf = textops.is_pdf_page(url, html)
+    return {
+        "text": textops.strip_html_to_text(html),
+        "title": meta["title"],
+        "description": meta["description"],
+        "links": links,
+        "detected": detected,
+        "is_pdf": is_pdf,
+    }
+
+
+@pandas_udf(PARSED_STRUCT)
+def parse_page(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    """(url, html) → struct(text, title, description, links, detected, is_pdf).
+
+    The single-pass extraction stage of the crawl tick; byte-identical text
+    per the reference's stripHtmlToText (scrapeDocument.ts:207-214)."""
+    for urls, htmls in it:
+        rows = [_parse_one(u, h) for u, h in zip(urls, htmls)]
+        yield pd.DataFrame(rows)
+
+
+@pandas_udf(StringType())
+def strip_html_text(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """html → extracted text (byte-identical stripHtmlToText)."""
+    for htmls in it:
+        yield htmls.map(lambda h: textops.strip_html_to_text(_to_str(h)))
+
+
+@pandas_udf(StringType())
+def canonicalize_url(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """url → canonical crawl URL (WHATWG normalize + fragment drop +
+    download-page trailing slash) or null if not crawlable http(s)."""
+    for urls in it:
+        yield urls.map(lambda u: urlops.canonicalize_url(_to_str(u)))
+
+
+@pandas_udf(StringType())
+def url_host(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for urls in it:
+        yield urls.map(lambda u: urlops.url_host(_to_str(u)))
+
+
+@pandas_udf(StringType())
+def resolve_href(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """(href, base) → absolute URL with reference passthrough semantics."""
+    for hrefs, bases in it:
+        yield pd.Series(
+            [textops.resolve_href(_to_str(h), _to_str(b)) for h, b in zip(hrefs, bases)]
+        )
+
+
+@pandas_udf(StringType())
+def normalize_download_page_url(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for urls in it:
+        yield urls.map(lambda u: textops.normalize_download_page_url(_to_str(u)))
+
+
+@pandas_udf(StringType())
+def infer_content_type(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for names in it:
+        yield names.map(lambda n: textops.infer_content_type(None if n is None else str(n)))
+
+
+# --- pure-Catalyst column helpers (no Python; JVM-side, codegen-friendly) ---
+
+
+def col_is_pdf_file(col):
+    """isPdfFile as a Catalyst expression (download-utils.ts:71-73)."""
+    return F.endswith(F.lower(col), F.lit(".pdf"))
+
+
+def col_is_pdf_page(url_col, content_col):
+    """PDF-page heuristic as a Catalyst expression (scrapeDocument.ts:300-303)."""
+    return (
+        F.endswith(F.lower(url_col), F.lit(".pdf"))
+        | F.contains(content_col, F.lit("application/pdf"))
+        | F.contains(content_col, F.lit("%PDF-"))
+    )
+
+
+def col_url_hash(url_col):
+    """Stable 64-bit identity hash of the canonical URL (xxhash64 built-in) —
+    the sharded seen-filter key; sha2 is available for collision-free audit."""
+    return F.xxhash64(url_col)
+
+
+def col_host_shard(host_col, num_shards: int):
+    """Deterministic shard id from host — the politeness/skew partitioner."""
+    return F.pmod(F.xxhash64(host_col), F.lit(num_shards))
+
+
+def col_filter_links_predicate(href_col, text_col, config: dict):
+    """filterLinks (link-filter.ts:24-66) as a pure Catalyst predicate:
+    include-union over urlContains/textContains, then excludes. Case folded
+    with lower(); dedupe is handled separately (window keep-first)."""
+    href_l, text_l = F.lower(href_col), F.lower(text_col)
+    url_needles = [s.lower() for s in config.get("urlContains") or []]
+    text_needles = [s.lower() for s in config.get("textContains") or []]
+    excludes = [s.lower() for s in config.get("excludes") or []]
+    pred = href_col.isNotNull() & (href_col != F.lit(""))
+    if url_needles or text_needles:
+        inc = F.lit(False)
+        for n in url_needles:
+            inc = inc | F.contains(href_l, F.lit(n))
+        for n in text_needles:
+            inc = inc | F.contains(text_l, F.lit(n))
+        pred = pred & inc
+    for n in excludes:
+        pred = pred & ~(F.contains(href_l, F.lit(n)) | F.contains(text_l, F.lit(n)))
+    return pred
+
+
+def col_doc_extension_predicate(href_col, extensions: list[str] | None = None):
+    """findDocumentLinks suffix filter (scrapeDocument.ts:337-356)."""
+    exts = extensions or textops.DEFAULT_DOC_EXTENSIONS
+    href_l = F.lower(href_col)
+    pred = F.lit(False)
+    for e in exts:
+        pred = pred | F.endswith(href_l, F.lit(e.lower()))
+    return pred

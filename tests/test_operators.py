@@ -1,0 +1,203 @@
+"""Training-data pipeline operators: dedup, similarity, QC, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators import dedup, multimodal, similarity, textqc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # append exact dups and near-dups with known ids
+    extra = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near = base.limit(3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny tail change")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    df = base.unionByName(extra).unionByName(near).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_duplicate_groups(docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g.dup_count == 2 and g.keep_id == min(g.member_ids)
+        assert g.member_ids[1] == g.member_ids[0] + 100000
+
+
+def test_dedupe_exact_keep_first(docs):
+    out = dedup.dedupe_exact_keep_first(docs)
+    assert out.count() == docs.count() - 5
+    # the kept row of each dup group is the lowest doc_id
+    assert out.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = dedup.minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact dups (jaccard 1.0) and near dups (one appended token) all found
+    for base_id in range(5):
+        assert (base_id, base_id + 100000) in got
+    for base_id in range(3):
+        assert (base_id, base_id + 200000) in got
+    # estimated jaccard of exact dup pairs is 1.0
+    exact = pairs.filter((F.col("id_a") < 5) & (F.col("id_b") - F.col("id_a") == 100000))
+    assert all(r.est_jaccard == 1.0 for r in exact.collect())
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for base_id in range(5):
+        assert (base_id, base_id + 100000) in got  # identical text → hamming 0
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert all(ham[(i, i + 100000)] == 0 for i in range(5))
+
+
+def test_ngram_jaccard(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("a b c d e", "a b c d e"),
+            ("a b c d e", "a b c d x"),
+            ("a b c", "x y z"),
+        ],
+        "text_a string, text_b string",
+    )
+    rows = dedup.ngram_jaccard(pairs, n=2).collect()
+    assert rows[0].jaccard == 1.0
+    assert 0 < rows[1].jaccard < 1.0
+    assert rows[2].jaccard == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_brute_force_topk_self_nearest(vectors):
+    probes = vectors.limit(3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.brute_force_topk(vectors, probes, k=5)
+    rows = out.filter("rank = 1").collect()
+    # every probe's nearest neighbor is itself with cosine ≈ 1
+    for r in rows:
+        assert r.probe_id == r.vec_id and r.cosine > 0.999999
+    assert out.groupBy("probe_id").count().filter("count != 5").count() == 0
+
+
+def test_lsh_topk_recall_vs_exact(vectors):
+    dim = len(vectors.first().embedding)
+    probes = vectors.limit(5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = similarity.brute_force_topk(vectors, probes, k=5)
+    # random 64-dim vectors are near-orthogonal (neighbor cosine ~0.3), so
+    # honest recall needs wide buckets: few planes, many tables
+    approx = similarity.lsh_topk(vectors, probes, dim=dim, k=5, num_planes=4, num_tables=16)
+    e = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    a = {(r.probe_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6
+    assert all((p, p) in a for p in [r.probe_id for r in probes.collect()])
+
+
+def test_embedding_near_duplicates_finds_planted(spark, vectors):
+    # plant two exact-duplicate vectors
+    dup = vectors.limit(2).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = vectors.unionByName(dup)
+    dim = len(vectors.first().embedding)
+    pairs = similarity.embedding_near_duplicates(corpus, dim=dim, cosine_threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 5000) in got and (1, 5001) in got
+
+
+def test_quality_report_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and that is good for the cat", "en"),
+            (2, "der hund ist nicht mit der katze und das ist gut", "de"),
+            (3, "el perro y la casa de los amigos en la calle", "es"),
+            (4, "zz zz zz", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rep = textqc.quality_report(df).collect()
+    by_id = {r.doc_id: r for r in rep}
+    assert by_id[1].lang_pred == "en"
+    assert by_id[2].lang_pred == "de"
+    assert by_id[3].lang_pred == "es"
+    assert by_id[4].lang_pred == "und"
+    assert by_id[1].n_tokens == 12
+    assert by_id[1].quality_score > by_id[4].quality_score
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([(" a  b\tc ",), ("",), ("Hello, world! 42",)], "text string")
+    rows = df.select(
+        textqc.col_token_count("text").alias("n"),
+        textqc.col_bpe_ish_token_count("text").alias("bpe"),
+        textqc.col_fingerprint("text").alias("fp"),
+    ).collect()
+    assert [r.n for r in rows] == [3, 0, 3]
+    assert rows[2].bpe == 6  # Hello , world ! 4 2
+    # fingerprint is whitespace/case-normalized
+    fp2 = df.select(textqc.col_fingerprint(F.lit("A  B\nC")).alias("fp")).first().fp
+    assert rows[0].fp == fp2
+
+
+def test_winnowing_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p"), (2, "a b c d e f g h i j k l m n o p"), (3, "z y x w v u t s r q p o n m l k")],
+        "doc_id long, text string",
+    )
+    fp = textqc.winnowing_fingerprints_udf(k=3, window=4)
+    rows = df.select("doc_id", fp(F.col("text")).alias("fps")).collect()
+    by_id = {r.doc_id: r.fps for r in rows}
+    assert by_id[1] == by_id[2] and by_id[1] != by_id[3] and len(by_id[1]) > 0
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.generate_media(spark, 20, kind="image")
+    feats = multimodal.extract_image_features(media, out_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 20 and all(len(r.embedding) == 16 for r in rows)
+    # determinism: same payload → same embedding
+    feats2 = {r.media_id: r.embedding for r in multimodal.extract_image_features(media, out_dim=16).collect()}
+    assert all(feats2[r.media_id] == r.embedding for r in rows)
+
+    videos = multimodal.generate_media(spark, 6, kind="video")
+    frames = multimodal.sample_video_frames(videos, frames_per_video=3)
+    assert frames.count() == 18
+    assert frames.groupBy("media_id").count().filter("count != 3").count() == 0
+
+    resized = multimodal.resize_images(media, max_px=128).collect()
+    assert all(max(r.width, r.height) <= 128 for r in resized)
+
+
+def test_multimodal_real_decode_is_gated(spark):
+    media = multimodal.generate_media(spark, 2, kind="image")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.extract_image_features(media, deterministic=False).collect()
