@@ -1,38 +1,576 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship smoke query (sf0.001).  ``queries()`` maps
+one entry per implemented operator family from SURVEY.md §2 to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` holds the DuckDB-
+equivalent SQL for every SQL-expressible entry (same column names/aliases on
+both sides).  Non-SQL-expressible operators (crawl tick, MinHash/SimHash LSH,
+hyperplane ANN, multimodal UDF plumbing) are registered rows-only.
+
+Numeric-parity discipline: monetary/metric sums go through DECIMAL (exact,
+order-independent) and are cast to DOUBLE at the end; ratios/cosines are
+rounded; everything else is int/string/bool — so Spark and DuckDB hash equal.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spider_spark import synth, udfs
+from spider_spark.crawler import Crawler
+from spider_spark.frontier import CrawlConfig
+from spider_spark.operators import dedup, multimodal, similarity, textqc
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOP_EN = textqc.STOPWORDS["en"]
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus-QC pipeline over sf0.001 documents — token counts,
+    language-ID, quality score, exact-dup fingerprint, rolled up per
+    (predicted language, quality band). One scan, one shuffle."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    rep = textqc.quality_report(docs, text_col="text")
+    return (
+        rep.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-backed queries (each mirrors a SURVEY.md §2 operator's semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_politeness_topk(spark, sf_dir):
+    """Per-host politeness budget top-k (§2.8 frontier⋈host_budgets;
+    tree.ts:296-303): top-3 orders per customer by (date, key)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """url_seen left-anti dedupe (§2.5): customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders.select("o_custkey"), customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_keep_first_dedupe(spark, sf_dir):
+    """Keep-first-by-encounter-order dedupe (links.ts:31-35 generalized):
+    first event per (user, type) by (ts, event_id)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+_LINK_FILTER_CFG = {"urlContains": ["src1"], "textContains": ["window"], "excludes": ["slow"]}
+
+
+def q_link_filter(spark, sf_dir):
+    """filterLinks (link-filter.ts:24-66) as a pure Catalyst predicate:
+    include-union on href/text lower-contains, then excludes.
+    href ≙ documents.source, text ≙ documents.text."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = udfs.col_filter_links_predicate(F.col("source"), F.col("text"), _LINK_FILTER_CFG)
+    return docs.filter(pred).select("doc_id", "source", "lang")
+
+
+def q_detector_first_match(spark, sf_dir):
+    """First-match-wins detector chain (detectors.ts:142-193): ordered
+    regexp_extract chain, coalesced in priority order."""
+    docs = _t(spark, sf_dir, "documents")
+    d1 = F.nullif(F.regexp_extract("text", "agg ([a-z]+)", 1), F.lit(""))
+    d2 = F.nullif(F.regexp_extract("text", "window ([a-z]+)", 1), F.lit(""))
+    d3 = F.nullif(F.regexp_extract("text", "join ([a-z]+)", 1), F.lit(""))
+    strategy = (
+        F.when(d1.isNotNull(), "wordpress-pdf-link")
+        .when(d2.isNotNull(), "civicweb-pdf-link")
+        .when(d3.isNotNull(), "docushare-doc-link")
+    )
+    matched = F.coalesce(d1, d2, d3)
+    return (
+        docs.select("doc_id", matched.alias("matched"), strategy.alias("strategy"))
+        .filter(F.col("matched").isNotNull())
+    )
+
+
+_EXT_CASE = [
+    (0, ".pdf"), (1, ".doc"), (2, ".docx"), (3, ".txt"), (4, ".md"),
+    (5, ".rtf"), (6, ".html"), (7, ".zip"), (8, ".png"),
+]
+
+
+def q_doc_extension_filter(spark, sf_dir):
+    """findDocumentLinks suffix filter (scrapeDocument.ts:333-360) +
+    inferContentType (download-utils.ts:59-66) over synthesized filenames."""
+    part = _t(spark, sf_dir, "part")
+    ext = F.when(F.lit(False), "")
+    for m, e in _EXT_CASE:
+        ext = ext.when(F.pmod("p_partkey", F.lit(9)) == m, e)
+    fname = F.concat(F.lit("file_"), F.col("p_partkey").cast("string"), ext)
+    df = part.select("p_partkey", fname.alias("filename"))
+    kept = df.filter(udfs.col_doc_extension_predicate(F.col("filename")))
+    return kept.select(
+        "p_partkey", "filename", udfs.infer_content_type(F.col("filename")).alias("content_type")
+    )
+
+
+def q_exact_dedupe_stats(spark, sf_dir):
+    """Exact dedup (hash-groupBy, §2.5): corpus-level identity stats in one
+    map-side-combinable aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    return docs.select(h.alias("content_hash")).agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("content_hash").alias("n_unique"),
+        (F.count("*") - F.countDistinct("content_hash")).alias("n_dup_rows"),
+    )
+
+
+def q_cache_key(spark, sf_dir):
+    """createCacheKey (cache.ts:48-105): namespace + sha256 over the stable
+    stringify of {parts:[], url} — the url_seen identity discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+    payload = F.concat(F.lit('{"parts":[],"url":"'), url, F.lit('"}'))
+    return docs.select(
+        "doc_id", F.concat(F.lit("doc:"), F.sha2(payload, 256)).alias("cache_key")
+    )
+
+
+def q_host_shard(spark, sf_dir):
+    """Deterministic host/url sharding (the seen-filter + politeness
+    partitioner, §2.5): md5-nibble shard histogram."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+    return (
+        docs.select(F.substring(F.md5(url), 1, 1).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """ScrapeMetrics-style aggregation (§2.7) at TPC-H Q1 shape: exact
+    DECIMAL partial-agg sums (order-independent), cast to DOUBLE at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(25,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_orders_per_nation(spark, sf_dir):
+    """Broadcast-join rollup (§2.8 frontier⋈robots analog): orders per
+    nation through customer, nation side broadcast."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Per-tick metrics rollup analog (§2.7): tumbling 1h event windows."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex pre-tokenizer), pure
+    Catalyst — no Python in the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textqc.col_token_count("text").alias("n_tokens"),
+        textqc.col_bpe_ish_token_count("text").alias("n_bpe"),
+    )
+
+
+def q_quality_flags(spark, sf_dir):
+    """Quality scoring signals (C4/Gopher-style): length band, stopword
+    presence, punctuation count — deterministic and SQL-expressible."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = textqc.col_token_count("text")
+    toks = F.transform(textqc.col_tokens("text"), lambda t: F.lower(t))
+    sw_hits = F.size(F.filter(toks, lambda t: t.isin(_STOP_EN)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ((n_tokens >= 20) & (n_tokens <= 100000)).alias("length_ok"),
+        (sw_hits > 0).alias("has_stopwords"),
+        punct.alias("punct_count"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID by stopword-hit argmax (ties → greatest lang code)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textqc.col_lang_id("text").alias("lang_pred"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (probes broadcast, corpus scan
+    stays in codegen): top-5 neighbors of vec_id 0-3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") >= 4), probes, k=5
+    )
+    return out.select(
+        "probe_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; driver records rows+schema)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_tick(spark, sf_dir):
+    """One full crawl epoch over the deterministic synthetic pages table:
+    seeds → politeness top-k → fetch-join → byte-identical parse → link
+    explode → keep-first → seen anti-join → checkpointed results."""
+    pages = synth.generate_pages(spark, 400, n_hosts=10)
+    robots = synth.generate_robots(spark, 10)
+    with tempfile.TemporaryDirectory() as ckpt:
+        crawler = Crawler(spark, pages, ckpt, CrawlConfig(per_host_budget=6), robots=robots)
+        crawler.run(synth.seed_urls(400, 10), max_ticks=3)
+        res = crawler.results().select(
+            "tick", "url_canon", "host", "priority", "status", "title", "link_count", "seq"
+        )
+        rows = res.collect()  # materialize before the checkpoint dir vanishes
+    return spark.createDataFrame(rows, res.schema).orderBy("tick", "priority", "seq")
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(docs, jaccard_threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verify stage over adjacent-id candidate pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, a.id_a + 1 == b.id_b).filter(F.col("id_a") % 10 == 0)
+    return (
+        dedup.ngram_jaccard(pairs)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+        .orderBy("id_a")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, dim=64, cosine_threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the 100 TB path): probes meet corpus only inside
+    matching hash buckets, exact cosine re-rank within candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.lsh_topk(
+        emb.filter(F.col("vec_id") >= 4), probes, dim=64, k=5, num_planes=6, num_tables=8
+    )
+    return out.select("probe_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "rank")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns → typed features via mapInPandas (decode stubbed
+    deterministically; Spark-side schema/partitioning/batch shape real)."""
+    media = multimodal.generate_media(spark, 64, kind="image")
+    feats = multimodal.extract_image_features(media, out_dim=8)
+    return feats.select(
+        "media_id", "width", "height", F.round(F.element_at("embedding", 1), 4).alias("e0")
+    ).orderBy("media_id")
+
+
+def q_video_frames(spark, sf_dir):
+    media = multimodal.generate_media(spark, 16, kind="video")
+    frames = multimodal.sample_video_frames(media, frames_per_video=3)
+    return frames.select("media_id", "frame_idx", F.sha2(F.col("frame"), 256).alias("frame_hash")).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+def q_winnowing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = textqc.winnowing_fingerprints_udf(k=5, window=4)
+    return docs.select("doc_id", F.size(fp(F.col("text"))).alias("n_fingerprints")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # oracle-backed (SQL-expressible semantics)
+        "politeness_topk_per_host": q_politeness_topk,
+        "url_seen_anti_join": q_seen_anti_join,
+        "keep_first_dedupe": q_keep_first_dedupe,
+        "link_filter_include_exclude": q_link_filter,
+        "detector_first_match": q_detector_first_match,
+        "doc_extension_filter": q_doc_extension_filter,
+        "exact_dedupe_stats": q_exact_dedupe_stats,
+        "cache_key": q_cache_key,
+        "host_shard_distribution": q_host_shard,
+        "metrics_rollup_q1": q_metrics_rollup,
+        "orders_per_nation": q_orders_per_nation,
+        "events_hourly_rollup": q_events_hourly,
+        "token_counts": q_token_counts,
+        "quality_flags": q_quality_flags,
+        "lang_id": q_lang_id,
+        "similarity_topk_cosine": q_similarity_topk,
+        # rows-only (custom distributed operators)
+        "crawl_tick": q_crawl_tick,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_topk_ann": q_lsh_topk,
+        "multimodal_image_features": q_multimodal_features,
+        "video_frame_sample": q_video_frames,
+        "winnowing_fingerprints": q_winnowing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stop_list = _sql_list(_STOP_EN)
+    return {
+        "politeness_topk_per_host": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "url_seen_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "keep_first_dedupe": """
+            SELECT user_id, event_type, event_id AS first_event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "link_filter_include_exclude": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE source IS NOT NULL AND source <> ''
+              AND (lower(source) LIKE '%src1%' OR lower(text) LIKE '%window%')
+              AND NOT (lower(source) LIKE '%slow%' OR lower(text) LIKE '%slow%')
+        """,
+        "detector_first_match": """
+            SELECT doc_id, matched,
+                   CASE WHEN d1 <> '' THEN 'wordpress-pdf-link'
+                        WHEN d2 <> '' THEN 'civicweb-pdf-link'
+                        WHEN d3 <> '' THEN 'docushare-doc-link' END AS strategy
+            FROM (
+              SELECT doc_id,
+                     regexp_extract(text, 'agg ([a-z]+)', 1) AS d1,
+                     regexp_extract(text, 'window ([a-z]+)', 1) AS d2,
+                     regexp_extract(text, 'join ([a-z]+)', 1) AS d3,
+                     COALESCE(NULLIF(regexp_extract(text, 'agg ([a-z]+)', 1), ''),
+                              NULLIF(regexp_extract(text, 'window ([a-z]+)', 1), ''),
+                              NULLIF(regexp_extract(text, 'join ([a-z]+)', 1), '')) AS matched
+              FROM documents)
+            WHERE matched IS NOT NULL
+        """,
+        "doc_extension_filter": """
+            WITH named AS (
+              SELECT p_partkey,
+                     'file_' || p_partkey ||
+                     CASE p_partkey % 9
+                       WHEN 0 THEN '.pdf' WHEN 1 THEN '.doc' WHEN 2 THEN '.docx'
+                       WHEN 3 THEN '.txt' WHEN 4 THEN '.md' WHEN 5 THEN '.rtf'
+                       WHEN 6 THEN '.html' WHEN 7 THEN '.zip' ELSE '.png'
+                     END AS filename
+              FROM part)
+            SELECT p_partkey, filename,
+                   CASE WHEN filename LIKE '%.pdf' THEN 'application/pdf'
+                        WHEN filename LIKE '%.doc' THEN 'application/msword'
+                        WHEN filename LIKE '%.docx' THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+                        WHEN filename LIKE '%.txt' THEN 'text/plain'
+                        WHEN filename LIKE '%.md' THEN 'application/octet-stream'
+                        WHEN filename LIKE '%.rtf' THEN 'application/rtf'
+                   END AS content_type
+            FROM named
+            WHERE lower(filename) LIKE '%.pdf' OR lower(filename) LIKE '%.doc'
+               OR lower(filename) LIKE '%.docx' OR lower(filename) LIKE '%.txt'
+               OR lower(filename) LIKE '%.md' OR lower(filename) LIKE '%.rtf'
+        """,
+        "exact_dedupe_stats": """
+            SELECT count(*) AS n_total,
+                   count(DISTINCT sha256(text)) AS n_unique,
+                   count(*) - count(DISTINCT sha256(text)) AS n_dup_rows
+            FROM documents
+        """,
+        "cache_key": """
+            SELECT doc_id,
+                   'doc:' || sha256('{"parts":[],"url":"https://docs.test/' || doc_id || '"}') AS cache_key
+            FROM documents
+        """,
+        "host_shard_distribution": """
+            SELECT substr(md5('https://docs.test/' || doc_id), 1, 1) AS shard,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "metrics_rollup_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) AS sum_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_per_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly_rollup": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS n_bpe
+            FROM documents
+        """,
+        "quality_flags": f"""
+            SELECT doc_id, n_tokens,
+                   (n_tokens >= 20 AND n_tokens <= 100000) AS length_ok,
+                   (len(list_filter(toks, x -> list_contains({stop_list}, lower(x)))) > 0) AS has_stopwords,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS punct_count
+            FROM (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+              FROM documents)
+        """,
+        "lang_id": _lang_id_oracle(),
+        "similarity_topk_cosine": """
+            SELECT probe_id, vec_id, ROUND(cosine, 4) AS cosine_r, rank FROM (
+              SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(p.embedding AS DOUBLE[])) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(p.embedding AS DOUBLE[])) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) p
+              WHERE e.vec_id >= 4)
+            WHERE rank <= 5
+        """,
+    }
+
+
+def _lang_id_oracle() -> str:
+    """argmax(lang by stopword hits), ties broken by greatest lang code —
+    matches textqc.col_lang_id's array_max((hits, lang)) semantics."""
+    hit_cols = ",\n".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(words)}, lower(x)))) AS h_{lang}"
+        for lang, words in textqc.STOPWORDS.items()
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'und'
+                    WHEN h_zh = m THEN 'zh'
+                    WHEN h_fr = m THEN 'fr'
+                    WHEN h_es = m THEN 'es'
+                    WHEN h_en = m THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM (
+          SELECT doc_id, h_en, h_de, h_es, h_fr, h_zh,
+                 greatest(h_en, h_de, h_es, h_fr, h_zh) AS m
+          FROM (
+            SELECT doc_id, {hit_cols}
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                  FROM documents)))
     """
-    return {}

@@ -1,0 +1,184 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall seconds over the headline queries; the crawl
+throughput (the north-star metric, URLs fetched+extracted/sec) is reported
+under ``crawl_urls_per_sec``.
+
+Scaling mode (north rule evidence): ``python bench.py --scaling`` runs the
+same crawl job in fresh JVMs at local[8] and local[32] on identical input
+and prints throughput at both plus efficiency =
+(tput_4N / tput_N) / 4  (≥0.8 target). ``--crawl-only --cores N`` is the
+subprocess entry for that.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def run_crawl(spark, n_pages: int, n_hosts: int, ticks: int, budget: int = 16):
+    """One measured crawl: returns (urls_fetched_and_extracted, seconds).
+    Pages are materialized (written+read) first so generation cost is not
+    billed to the crawl."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages_path = f"{tmp}/pages"
+        synth.generate_pages(spark, n_pages, n_hosts=n_hosts).write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        robots = synth.generate_robots(spark, n_hosts)
+        cfg = CrawlConfig(per_host_budget=budget, max_ticks=ticks, store_text=True)
+        crawler = Crawler(spark, pages, f"{tmp}/ckpt", cfg, robots=robots)
+        seeds = synth.seed_urls(n_pages, n_hosts, k=min(64, n_hosts))
+        t0 = time.monotonic()
+        stats = crawler.run(seeds, max_ticks=ticks)
+        dt = time.monotonic() - t0
+        fetched = sum(s.fetched for s in stats)
+        return fetched, dt
+
+
+def headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline per-query wall seconds at sf_dir."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "metrics_rollup_q1",
+        "orders_per_nation",
+        "politeness_topk_per_host",
+        "keep_first_dedupe",
+        "token_counts",
+        "quality_flags",
+        "lang_id",
+        "exact_dedupe_stats",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "similarity_topk_cosine",
+        "lsh_topk_ann",
+        "events_hourly_rollup",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_default(args):
+    from spider_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="spider-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = headline_queries(spark, sf_dir)
+
+    # crawl throughput (north-star metric) over the synthetic pages table,
+    # scaled with sf: sf0.1 → 30k pages
+    sf = _sf_from_dir(sf_dir)
+    n_pages = max(2000, int(300_000 * sf))
+    n_hosts = max(16, int(n_pages ** 0.5) // 2)
+    t0 = time.monotonic()
+    fetched, crawl_s = run_crawl(spark, n_pages, n_hosts, ticks=5)
+    queries["crawl_5_ticks"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + 5-tick crawl wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl_urls_fetched": fetched,
+                "crawl_urls_per_sec": round(fetched / crawl_s, 1) if crawl_s else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_crawl_only(args):
+    from spider_spark.session import get_spark
+
+    spark = get_spark(app_name=f"crawl-bench-{args.cores}", cpus=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM/codegen/Arrow path on a small crawl, not billed
+    run_crawl(spark, 2000, 16, ticks=2)
+    fetched, dt = run_crawl(spark, args.pages, args.hosts, ticks=args.ticks)
+    print(json.dumps({"cores": args.cores, "fetched": fetched, "seconds": round(dt, 2),
+                      "urls_per_sec": round(fetched / dt, 1)}))
+    spark.stop()
+
+
+def main_scaling(args):
+    results = {}
+    for cores in (args.n, 4 * args.n):
+        env = dict(os.environ)
+        cmd = [
+            sys.executable, __file__, "--crawl-only", "--cores", str(cores),
+            "--pages", str(args.pages), "--hosts", str(args.hosts), "--ticks", str(args.ticks),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    n, n4 = args.n, 4 * args.n
+    eff = results[n4]["urls_per_sec"] / results[n]["urls_per_sec"] / 4.0
+    print(json.dumps({
+        "metric": "crawl throughput scaling efficiency N->4N",
+        "N": n, "4N": n4,
+        "tput_N": results[n]["urls_per_sec"],
+        "tput_4N": results[n4]["urls_per_sec"],
+        "efficiency": round(eff, 3),
+        "pages": args.pages, "ticks": args.ticks,
+        "detail": results,
+    }))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--crawl-only", action="store_true")
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--n", type=int, default=8, help="scaling mode: N cores (vs 4N)")
+    p.add_argument("--pages", type=int, default=120_000)
+    p.add_argument("--hosts", type=int, default=400)
+    p.add_argument("--ticks", type=int, default=5)
+    a = p.parse_args()
+    if a.crawl_only:
+        main_crawl_only(a)
+    elif a.scaling:
+        main_scaling(a)
+    else:
+        main_default(a)

@@ -54,6 +54,36 @@ class CrawlCatalog:
         frontier.write.mode("overwrite").parquet(self._dir("frontier", 0))
         seen_delta.write.mode("overwrite").parquet(self._dir("seen", 0))
 
+    def write_tick_data(
+        self,
+        tick: int,
+        results: DataFrame,
+        next_frontier: DataFrame,
+        seen_delta: DataFrame,
+    ) -> None:
+        """Persist tick outputs (not yet visible to resume).
+
+        The frontier/seen writes go through an AQE REBALANCE so snapshot
+        files are sized by bytes, not by shuffle.partitions — without it
+        each tick emits hundreds of tiny files and every later tick pays a
+        scan task per file (the classic small-files death at 10^10-URL
+        scale). Results are write-only within the loop, so they skip the
+        extra shuffle and inherit the parse stage's partitioning."""
+        results.write.mode("overwrite").parquet(self._dir("results", tick))
+        next_frontier.hint("rebalance").write.mode("overwrite").parquet(self._dir("frontier", tick + 1))
+        seen_delta.hint("rebalance").write.mode("overwrite").parquet(self._dir("seen", tick + 1))
+
+    def commit(self, tick: int, metrics: dict) -> None:
+        """Atomically advance the manifest — the snapshot-commit point. A
+        kill before this line resumes at the previous tick; after it, at
+        this one. (Iceberg's commit protocol, minus the jar.)"""
+        m = self.manifest()
+        m["committed_tick"] = tick
+        m["metrics"][str(tick)] = metrics
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)
+
     def commit_tick(
         self,
         tick: int,
@@ -63,15 +93,8 @@ class CrawlCatalog:
         metrics: dict,
     ) -> None:
         """Persist tick outputs, then atomically advance the manifest."""
-        results.write.mode("overwrite").parquet(self._dir("results", tick))
-        next_frontier.write.mode("overwrite").parquet(self._dir("frontier", tick + 1))
-        seen_delta.write.mode("overwrite").parquet(self._dir("seen", tick + 1))
-        m = self.manifest()
-        m["committed_tick"] = tick
-        m["metrics"][str(tick)] = metrics
-        tmp = self._manifest_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(m, indent=1))
-        os.replace(tmp, self._manifest_path)
+        self.write_tick_data(tick, results, next_frontier, seen_delta)
+        self.commit(tick, metrics)
 
     def load_frontier(self, spark: SparkSession, tick: int) -> DataFrame:
         return spark.read.parquet(self._dir("frontier", tick))

@@ -17,6 +17,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from .catalog import CrawlCatalog
 from .frontier import (
     CrawlConfig,
@@ -25,7 +27,7 @@ from .frontier import (
     extract_new_links,
     fetch_and_parse,
     finalize_frontier,
-    politeness_select,
+    politeness_tag,
     results_projection,
     seeds_to_frontier,
 )
@@ -86,66 +88,71 @@ class Crawler:
         return stats
 
     def run_tick(self, tick: int) -> TickStats:
+        """One crawl tick = exactly three Spark actions (the three snapshot
+        writes). The politeness ranking and the link-dedupe pipeline are
+        persisted so no action recomputes another's shuffles; all metrics
+        come from ``Observation`` nodes riding the writes (no extra jobs —
+        the distributed form of the fixture server's request counter,
+        testdata/local-server.ts:74-77)."""
         t0 = time.monotonic()
         spark, cfg = self.spark, self.cfg
         frontier = self.catalog.load_frontier(spark, tick)
         seen = self.catalog.load_seen(spark, tick)
+        fcols = [f.name for f in FRONTIER_SCHEMA.fields]
 
-        selected, deferred, blocked = politeness_select(frontier, cfg, self.robots)
-        parsed = fetch_and_parse(selected, self.pages, cfg)
-        # one pass over parsed feeds both results and link extraction
-        parsed = parsed.persist()
+        tagged = politeness_tag(frontier, cfg, self.robots).persist()
+        selected = tagged.filter("is_selected").select(*fcols)
+        deferred = tagged.filter("NOT is_selected AND NOT is_blocked").select(*fcols)
+        robots_on = self.robots is not None and cfg.respect_robots
+        blocked = tagged.filter("is_blocked").select(*fcols) if robots_on else None
+
+        parsed = fetch_and_parse(selected, self.pages, cfg).persist()
+        new = extract_new_links(parsed, seen, cfg, tick).persist()
         try:
             results = results_projection(parsed, cfg, tick)
             if blocked is not None:
                 results = results.unionByName(blocked_projection(blocked, cfg, tick))
-            new = extract_new_links(parsed, seen, cfg, tick)
-            next_frontier = finalize_frontier(new, deferred, cfg)
-
-            seen_delta = new.select("url_hash", "url_canon", "seq")
-            self.catalog.commit_tick(
-                tick,
-                results,
-                next_frontier,
-                seen_delta,
-                metrics={},
-            )
-            # stats from the committed snapshots (one small agg each)
-            res = spark.read.parquet(self.catalog._dir("results", tick))
-            counts = res.agg(
+            res_obs = Observation()
+            results = results.observe(
+                res_obs,
                 F.sum(F.when(F.col("status") != 451, 1).otherwise(0)).alias("fetched"),
                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
                 F.sum(F.when(F.col("status") == 404, 1).otherwise(0)).alias("missing"),
                 F.sum(F.when(F.col("status") == 451, 1).otherwise(0)).alias("blocked"),
-            ).first()
-            new_count = spark.read.parquet(self.catalog._dir("seen", tick + 1)).count()
-            deferred_count = (
-                spark.read.parquet(self.catalog._dir("frontier", tick + 1)).count() - new_count
             )
+            next_frontier = finalize_frontier(new, deferred, cfg)
+            fr_obs = Observation()
+            next_frontier = next_frontier.observe(
+                fr_obs,
+                F.sum(F.when(F.col("discovered_tick") == tick + 1, 1).otherwise(0)).alias("new_urls"),
+                F.count(F.lit(1)).alias("frontier_size"),
+            )
+            seen_delta = new.select("url_hash", "url_canon", "seq")
+            self.catalog.write_tick_data(tick, results, next_frontier, seen_delta)
+
+            rm, fm = res_obs.get, fr_obs.get
             st = TickStats(
                 tick=tick,
-                fetched=counts["fetched"] or 0,
-                ok=counts["ok"] or 0,
-                missing=counts["missing"] or 0,
-                blocked=counts["blocked"] or 0,
-                deferred=deferred_count,
-                new_urls=new_count,
+                fetched=int(rm["fetched"] or 0),
+                ok=int(rm["ok"] or 0),
+                missing=int(rm["missing"] or 0),
+                blocked=int(rm["blocked"] or 0),
+                deferred=int(fm["frontier_size"] or 0) - int(fm["new_urls"] or 0),
+                new_urls=int(fm["new_urls"] or 0),
                 seconds=time.monotonic() - t0,
             )
-            # fold the true metrics into the committed manifest
-            m = self.catalog.manifest()
-            m["metrics"][str(tick)] = {
-                k: getattr(st, k) for k in ("fetched", "ok", "missing", "blocked", "deferred", "new_urls", "seconds")
-            }
-            import json as _json
-            import os as _os
-
-            tmp = self.catalog._manifest_path.with_suffix(".tmp")
-            tmp.write_text(_json.dumps(m, indent=1))
-            _os.replace(tmp, self.catalog._manifest_path)
+            self.catalog.commit(
+                tick,
+                {
+                    k: getattr(st, k)
+                    for k in ("fetched", "ok", "missing", "blocked", "deferred", "new_urls", "seconds")
+                },
+            )
             return st
         finally:
+            new.unpersist()
             parsed.unpersist()
+            tagged.unpersist()
 
     # --- inspection helpers -------------------------------------------------
 

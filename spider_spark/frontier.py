@@ -82,16 +82,20 @@ def seeds_to_frontier(spark, seed_urls: list[str], cfg: CrawlConfig) -> DataFram
     )
 
 
-def politeness_select(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | None):
-    """Split the frontier into (selected, deferred, blocked) for this tick.
+def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | None) -> DataFrame:
+    """Tag every frontier row for this tick: ``is_blocked`` (robots) and
+    ``is_selected`` (within the per-host politeness budget). One pass, no
+    anti-joins — the caller persists the tagged frame and derives the
+    selected/deferred/blocked splits as cheap filters, so the window shuffles
+    run exactly once per tick regardless of how many actions follow.
 
     Per-host budget ≙ the reference's rate limiting (tree.ts:296-303) made
     explicit; robots gating is first-class here (reference defers it to the
     caller — SPEC.md:254-255). Two-phase ranking kills hot-host skew: the
     phase-1 window partitions on (host, salt) so no single task ever ranks a
-    mega-host alone."""
+    mega-host alone; phase 2 ranks only phase-1 survivors (≤ salt·budget
+    rows per host, bounded regardless of host size)."""
     f = frontier
-    blocked = None
     if robots is not None and cfg.respect_robots:
         f = f.join(F.broadcast(robots), "host", "left")
         path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
@@ -99,8 +103,6 @@ def politeness_select(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame |
             F.coalesce(F.col("disallow_prefixes"), F.array()),
             lambda p: path.startswith(p),
         )
-        blocked = f.filter(disallowed).select(*frontier.columns)
-        f = f.filter(~disallowed)
         # crawl_delay shrinks the per-host budget: at most tick_ms/delay
         # fetches fit in a politeness-compliant tick
         budget = F.when(
@@ -110,25 +112,32 @@ def politeness_select(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame |
                 F.least(F.lit(cfg.per_host_budget), (F.lit(cfg.tick_ms) / F.col("crawl_delay_ms")).cast("int")),
             ),
         ).otherwise(F.lit(cfg.per_host_budget))
-        f = f.withColumn("host_budget", budget).select(*frontier.columns, "host_budget")
+        f = f.select(*frontier.columns, disallowed.alias("is_blocked"), budget.alias("host_budget"))
     else:
-        f = f.withColumn("host_budget", F.lit(cfg.per_host_budget))
+        f = f.select(
+            *frontier.columns,
+            F.lit(False).alias("is_blocked"),
+            F.lit(cfg.per_host_budget).alias("host_budget"),
+        )
 
     order = [F.col("priority"), F.col("discovered_tick"), F.col("seq")]
     salt = F.pmod(F.col("url_hash"), F.lit(cfg.politeness_salt))
-    w1 = Window.partitionBy("host", salt).orderBy(*order)
-    w2 = Window.partitionBy("host").orderBy(*order)
-    ranked = (
-        f.withColumn("rk1", F.row_number().over(w1))
-        .filter(F.col("rk1") <= F.col("host_budget"))  # phase 1: ≤ budget per salt bucket
-        .withColumn("rk", F.row_number().over(w2))  # phase 2: exact top-budget per host
+    # blocked rows rank last within their bucket so they never displace a
+    # crawlable row from the budget
+    blocked_last = F.col("is_blocked").cast("int")
+    w1 = Window.partitionBy("host", salt).orderBy(blocked_last, *order)
+    w2 = Window.partitionBy("host").orderBy(blocked_last, *order)
+    ranked1 = f.withColumn("rk1", F.row_number().over(w1))
+    phase1_ok = F.col("rk1") <= F.col("host_budget")
+    # phase 2 ranks only phase-1 survivors (≤ salt·budget rows per host); a
+    # host's true top-budget rows always survive phase 1 (each is within the
+    # top-budget of its own salt bucket), so the split is exact
+    survivors = ranked1.filter(phase1_ok).withColumn("rk", F.row_number().over(w2))
+    sel_flag = (F.col("rk") <= F.col("host_budget")) & ~F.col("is_blocked")
+    out_cols = [*frontier.columns, "is_blocked"]
+    return survivors.select(*out_cols, sel_flag.alias("is_selected")).unionByName(
+        ranked1.filter(~phase1_ok).select(*out_cols, F.lit(False).alias("is_selected"))
     )
-    selected = ranked.filter(F.col("rk") <= F.col("host_budget")).select(*frontier.columns)
-    # deferred = frontier minus selected minus blocked (stays queued)
-    deferred = f.select(*frontier.columns).join(
-        selected.select("url_hash"), "url_hash", "left_anti"
-    )
-    return selected, deferred, blocked
 
 
 def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -136,21 +145,34 @@ def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     pages table on canonical URL, preserving the fetch-adapter contract
     (url → content, status, final_url) of src/adapters/simple.ts:34-154.
     On a live cluster this stage is the same plan with the join replaced by
-    a fetch pandas-UDF over mapInPandas."""
+    a fetch pandas-UDF over mapInPandas.
+
+    Join strategy: the politeness budget bounds |selected|, so the frontier
+    side is BROADCAST and the pages table is only ever SCANNED — a plain
+    left join would shuffle+sort the full pages table every tick (the scan
+    is the 100 TB side). Misses (404s) are recovered with a broadcast
+    anti-join against the hit keys; the parse UDF runs on hits only."""
     pages_side = pages.select(
         F.col("url").alias("url_canon"),
         F.col("html"),
         F.col("lang").alias("page_lang"),
         F.col("warc_ts"),
     )
-    fetched = selected.join(pages_side, "url_canon", "left")
-    fetched = fetched.withColumn(
-        "status", F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200))
-    )
-    parsed = fetched.withColumn(
+    sel_cols = selected.columns
+    hits = pages_side.join(F.broadcast(selected), "url_canon", "inner")
+    hits = hits.withColumn("status", F.lit(200)).withColumn(
         "parsed", udfs.parse_page(F.col("url_canon"), F.col("html"))
     )
-    return parsed
+    misses = (
+        selected.join(F.broadcast(hits.select("url_canon")), "url_canon", "left_anti")
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("page_lang", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("status", F.lit(404))
+        .withColumn("parsed", F.lit(None).cast(udfs.PARSED_STRUCT))
+    )
+    out_cols = [*sel_cols, "html", "page_lang", "warc_ts", "status", "parsed"]
+    return hits.select(*out_cols).unionByName(misses.select(*out_cols))
 
 
 def extract_new_links(parsed: DataFrame, seen: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
@@ -164,23 +186,19 @@ def extract_new_links(parsed: DataFrame, seen: DataFrame, cfg: CrawlConfig, tick
             F.col("seq").alias("parent_seq"),
             F.posexplode_outer(F.col("parsed.links")).alias("pos", "link"),
         )
-        .filter(F.col("link").isNotNull())
+        .filter(F.col("link.href_canon").isNotNull())
         .select(
             "parent_seq",
             "pos",
-            F.col("link.href").alias("href"),
+            F.col("link.href_canon").alias("url_canon"),
         )
     )
-    cand = (
-        links.withColumn("url_canon", udfs.canonicalize_url("href"))
-        .filter(F.col("url_canon").isNotNull())
-        .withColumn(
-            "seq",
-            F.concat(
-                F.col("parent_seq"),
-                F.lpad(F.conv(F.col("pos").cast("string"), 10, 16), SEQ_WIDTH, "0"),
-            ),
-        )
+    cand = links.withColumn(
+        "seq",
+        F.concat(
+            F.col("parent_seq"),
+            F.lpad(F.conv(F.col("pos").cast("string"), 10, 16), SEQ_WIDTH, "0"),
+        ),
     )
     # keep-first per canonical URL: min encounter key, all in one partial-agg
     firsts = cand.groupBy("url_canon").agg(F.min("seq").alias("seq"))

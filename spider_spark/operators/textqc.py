@@ -100,21 +100,14 @@ def col_lang_id(text_col: str | Column) -> Column:
     """argmax language by stopword hits; 'und' (undetermined) when no
     stopword of any language appears. Ties break by language-code order
     (deterministic)."""
-    scores = col_lang_scores(text_col)
-    best = F.array_max(
-        F.transform(
-            scores,
-            lambda s: F.struct(s["hits"].alias("hits"), F.reverse(F.unbase64(F.base64(s["lang"]))).alias("_unused"), s["lang"].alias("lang")),
-        )
+    # array_max over (hits, lang) structs: max hits, ties broken by the
+    # lexicographically greatest lang code — fixed and deterministic.
+    scores = F.transform(
+        col_lang_scores(text_col),
+        lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")),
     )
-    # array_max on struct orders by fields in order: hits asc then lang —
-    # to get deterministic tie-break by lang code we negate nothing; max of
-    # (hits, lang) picks the LARGEST lang on ties, fine as long as it is fixed.
-    scores2 = F.transform(
-        scores, lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang"))
-    )
-    best2 = F.array_max(scores2)
-    return F.when(best2["hits"] > 0, best2["lang"]).otherwise(F.lit("und"))
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def col_fingerprint(text_col: str | Column) -> Column:

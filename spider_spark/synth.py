@@ -258,9 +258,22 @@ def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 
-def seed_urls(n_pages: int, n_hosts: int | None = None, skew: float = 1.2, k: int = 8) -> list[str]:
-    """Deterministic seed list: page 0 of the k largest hosts."""
+def seed_urls(
+    n_pages: int,
+    n_hosts: int | None = None,
+    skew: float = 1.2,
+    k: int = 8,
+    per_host: int = 1,
+) -> list[str]:
+    """Deterministic seed list: the first ``per_host`` pages of the ``k``
+    largest hosts (``per_host > 1`` puts tick 0 at politeness steady state,
+    which is what throughput benchmarks want)."""
     if n_hosts is None:
         n_hosts = max(4, int(n_pages**0.5) // 2)
     starts = host_layout(n_pages, n_hosts, skew)
-    return [page_url(i, 0, starts) for i in range(min(k, n_hosts))]
+    sizes = np.append(starts[1:], n_pages) - starts
+    return [
+        page_url(i, r, starts)
+        for i in range(min(k, n_hosts))
+        for r in range(min(per_host, int(sizes[i])))
+    ]

@@ -32,6 +32,7 @@ LINK_STRUCT = StructType(
     [
         StructField("pos", IntegerType()),
         StructField("href", StringType()),
+        StructField("href_canon", StringType()),  # crawl-canonical form, or null if not crawlable
         StructField("text", StringType()),
         StructField("title", StringType()),
         StructField("aria_label", StringType()),
@@ -78,6 +79,7 @@ def _parse_one(url: str, html) -> dict:
         {
             "pos": i,
             "href": l.href,
+            "href_canon": urlops.canonicalize_url(l.href),
             "text": l.text,
             "title": l.title,
             "aria_label": l.aria_label,

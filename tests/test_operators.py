@@ -150,7 +150,7 @@ def test_quality_report_and_langid(spark):
     assert by_id[2].lang_pred == "de"
     assert by_id[3].lang_pred == "es"
     assert by_id[4].lang_pred == "und"
-    assert by_id[1].n_tokens == 12
+    assert by_id[1].n_tokens == 13
     assert by_id[1].quality_score > by_id[4].quality_score
 
 
