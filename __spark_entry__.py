@@ -20,10 +20,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spider_spark import synth, udfs
+from spider_spark import cache as cache_ops
+from spider_spark import scrape, synth, udfs
 from spider_spark.crawler import Crawler
 from spider_spark.frontier import CrawlConfig
 from spider_spark.operators import dedup, multimodal, similarity, textqc
+from spider_spark.platform import default_registry
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -285,6 +287,61 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def q_scrape_document(spark, sf_dir):
+    """The scrape_document 4-branch pipeline (scrapeDocument.ts:249-320)
+    over deterministic HTML wrapped around documents.text — runs the REAL
+    parse UDF end-to-end; the oracle reproduces the text branch's
+    byte-identical strip/collapse in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    url = F.concat(F.lit("https://docs.test/page/"), F.col("doc_id").cast("string"))
+    pages = docs.select(F.col("doc_id"), url.alias("url"), html.alias("html"))
+    out = scrape.scrape_document(pages)
+    return (
+        out.join(pages.select("doc_id", F.col("url").alias("u")), out.url == F.col("u"))
+        .select("doc_id", "title", "text", "strategy", "complete")
+    )
+
+
+def q_platform_detect(spark, sf_dir):
+    """Two-phase platform registry detection (registry.ts:87-149) over
+    synthesized URLs/html — URL phase, HTML phase, and low-confidence
+    fallback all exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(5))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://a.test/download/doc"), F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat(F.lit("https://b.civicweb.net/filepro/documents/?preview="), F.col("doc_id").cast("string")))
+        .when(m == 2, F.concat(F.lit("https://c.test/docushare/dsweb/Get/Document-"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("https://d.test/page/"), F.col("doc_id").cast("string")))
+    )
+    html = F.when(m == 3, F.lit('<div class="wpdm-download-link">x</div>')).otherwise(F.lit("<p>plain</p>")).cast("binary")
+    src = docs.select("doc_id", url.alias("url"), html.alias("html"))
+    out = default_registry().detect(src)
+    return out.select("doc_id", "detected_type", "detected_confidence")
+
+
+def q_cache_read_through(spark, sf_dir):
+    """Read-through fetch-cache split (cache.ts read-through ≙
+    simple.ts:79-85): report the MISS set given a cache holding every third
+    URL; runs the real cache-key join path."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+    frontier = docs.select(F.col("doc_id"), url.alias("url_canon"))
+    cached = frontier.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        cache_ops.col_cache_key("url_canon").alias("cache_key"),
+        F.current_timestamp().alias("cached_at"),
+    )
+    hits, misses = cache_ops.read_through(frontier, cached)
+    return misses.select("doc_id", "url_canon")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records rows+schema)
 # ---------------------------------------------------------------------------
@@ -397,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         "lang_id": q_lang_id,
         "similarity_topk_cosine": q_similarity_topk,
+        "scrape_document_text_branch": q_scrape_document,
+        "platform_detect": q_platform_detect,
+        "cache_read_through_misses": q_cache_read_through,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -532,6 +592,34 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         """,
         "lang_id": _lang_id_oracle(),
+        "scrape_document_text_branch": """
+            SELECT doc_id,
+                   'Doc ' || doc_id AS title,
+                   'Doc ' || doc_id ||
+                     CASE WHEN trim(text) = '' THEN ''
+                          ELSE ' ' || trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) END AS text,
+                   'html-text' AS strategy,
+                   TRUE AS complete
+            FROM documents
+        """,
+        "platform_detect": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'wordpress-download-manager'
+                     WHEN 1 THEN 'civicweb'
+                     WHEN 2 THEN 'docushare'
+                     WHEN 3 THEN 'wordpress-download-manager'
+                     ELSE 'generic' END AS detected_type,
+                   CASE doc_id % 5
+                     WHEN 3 THEN 'medium'
+                     WHEN 4 THEN 'low'
+                     ELSE 'high' END AS detected_confidence
+            FROM documents
+        """,
+        "cache_read_through_misses": """
+            SELECT doc_id, 'https://docs.test/' || doc_id AS url_canon
+            FROM documents WHERE doc_id % 3 <> 0
+        """,
         "similarity_topk_cosine": """
             SELECT probe_id, vec_id, ROUND(cosine, 4) AS cosine_r, rank FROM (
               SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,

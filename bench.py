@@ -40,26 +40,53 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.0
 
 
-def run_crawl(spark, n_pages: int, n_hosts: int, ticks: int, budget: int = 16):
+def run_crawl(
+    spark,
+    n_pages: int,
+    n_hosts: int,
+    ticks: int,
+    budget: int = 16,
+    body_words: int = 800,
+    extra_links: int = 80,
+    tick_ms: int = 60_000,
+    steady_state: bool = True,
+    pages_dir: str | None = None,
+):
     """One measured crawl: returns (urls_fetched_and_extracted, seconds).
-    Pages are materialized (written+read) first so generation cost is not
-    billed to the crawl."""
+
+    Pages are Common-Crawl-like and materialized (written+read) first so
+    generation cost is not billed to the crawl; pass ``pages_dir`` to reuse
+    a pre-generated corpus (the scaling harness generates once and points
+    both legs at the same files). ``steady_state`` seeds ``budget`` pages
+    per host so tick 0 already runs at the politeness cap — the regime a
+    10^10-URL frontier is always in."""
     from spider_spark import synth
     from spider_spark.crawler import Crawler
     from spider_spark.frontier import CrawlConfig
 
     with tempfile.TemporaryDirectory() as tmp:
-        pages_path = f"{tmp}/pages"
-        synth.generate_pages(spark, n_pages, n_hosts=n_hosts).write.parquet(pages_path)
-        pages = spark.read.parquet(pages_path)
+        if pages_dir is None:
+            pages_dir = f"{tmp}/pages"
+            synth.generate_pages(
+                spark, n_pages, n_hosts=n_hosts, body_words=body_words, extra_links=extra_links
+            ).write.parquet(pages_dir)
+        # the pages table emulates the NETWORK — cache it so ticks pay for
+        # fetch+extract work, not for repeatedly decoding the corpus parquet
+        # (a real fetch stage reads nothing from disk); spills to local disk
+        # if it outgrows the heap
+        pages = spark.read.parquet(pages_dir).persist()
+        pages.count()
         robots = synth.generate_robots(spark, n_hosts)
-        cfg = CrawlConfig(per_host_budget=budget, max_ticks=ticks, store_text=True)
+        cfg = CrawlConfig(per_host_budget=budget, max_ticks=ticks, tick_ms=tick_ms, store_text=True)
         crawler = Crawler(spark, pages, f"{tmp}/ckpt", cfg, robots=robots)
-        seeds = synth.seed_urls(n_pages, n_hosts, k=min(64, n_hosts))
+        seeds = synth.seed_urls(
+            n_pages, n_hosts, k=n_hosts, per_host=budget if steady_state else 1
+        )
         t0 = time.monotonic()
         stats = crawler.run(seeds, max_ticks=ticks)
         dt = time.monotonic() - t0
         fetched = sum(s.fetched for s in stats)
+        pages.unpersist()
         return fetched, dt
 
 
@@ -103,13 +130,13 @@ def main_default(args):
     queries = headline_queries(spark, sf_dir)
 
     # crawl throughput (north-star metric) over the synthetic pages table,
-    # scaled with sf: sf0.1 → 30k pages
+    # scaled with sf: sf0.1 → 60k CC-like pages at the politeness cap
     sf = _sf_from_dir(sf_dir)
-    n_pages = max(2000, int(300_000 * sf))
-    n_hosts = max(16, int(n_pages ** 0.5) // 2)
+    n_pages = max(2000, int(600_000 * sf))
+    n_hosts = max(16, n_pages // 150)
     t0 = time.monotonic()
-    fetched, crawl_s = run_crawl(spark, n_pages, n_hosts, ticks=5)
-    queries["crawl_5_ticks"] = round(time.monotonic() - t0, 3)
+    fetched, crawl_s = run_crawl(spark, n_pages, n_hosts, ticks=3, budget=32)
+    queries["crawl_3_ticks"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -134,21 +161,43 @@ def main_crawl_only(args):
 
     spark = get_spark(app_name=f"crawl-bench-{args.cores}", cpus=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM/codegen/Arrow path on a small crawl, not billed
-    run_crawl(spark, 2000, 16, ticks=2)
-    fetched, dt = run_crawl(spark, args.pages, args.hosts, ticks=args.ticks)
+    # warmup: JVM/codegen/Arrow path on a rich-page crawl, not billed
+    run_crawl(spark, 8000, 32, ticks=2, budget=16,
+              body_words=args.body_words, extra_links=args.extra_links)
+    fetched, dt = run_crawl(
+        spark, args.pages, args.hosts, ticks=args.ticks, budget=args.budget,
+        tick_ms=args.tick_ms, body_words=args.body_words,
+        extra_links=args.extra_links, pages_dir=args.pages_dir,
+    )
     print(json.dumps({"cores": args.cores, "fetched": fetched, "seconds": round(dt, 2),
                       "urls_per_sec": round(fetched / dt, 1)}))
     spark.stop()
 
 
 def main_scaling(args):
+    from spider_spark import synth
+    from spider_spark.session import get_spark
+
     results = {}
+    gen_tmp = tempfile.mkdtemp(prefix="scaling-pages-")
+    pages_dir = f"{gen_tmp}/pages"
+    # generate the corpus ONCE (full machine) — both legs read the same files
+    gen_spark = get_spark(app_name="scaling-gen", cpus=32)
+    gen_spark.sparkContext.setLogLevel("ERROR")
+    synth.generate_pages(
+        gen_spark, args.pages, n_hosts=args.hosts,
+        body_words=args.body_words, extra_links=args.extra_links,
+    ).write.mode("overwrite").parquet(pages_dir)
+    gen_spark.stop()
     for cores in (args.n, 4 * args.n):
         env = dict(os.environ)
+        env.setdefault("SPARK_DRIVER_MEMORY", "48g")  # single-JVM local mode holds all executors
         cmd = [
             sys.executable, __file__, "--crawl-only", "--cores", str(cores),
-            "--pages", str(args.pages), "--hosts", str(args.hosts), "--ticks", str(args.ticks),
+            "--pages", str(args.pages), "--hosts", str(args.hosts),
+            "--ticks", str(args.ticks), "--budget", str(args.budget),
+            "--tick-ms", str(args.tick_ms), "--pages-dir", pages_dir,
+            "--body-words", str(args.body_words), "--extra-links", str(args.extra_links),
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -172,9 +221,14 @@ if __name__ == "__main__":
     p.add_argument("--crawl-only", action="store_true")
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--n", type=int, default=8, help="scaling mode: N cores (vs 4N)")
-    p.add_argument("--pages", type=int, default=120_000)
-    p.add_argument("--hosts", type=int, default=400)
-    p.add_argument("--ticks", type=int, default=5)
+    p.add_argument("--pages", type=int, default=800_000)
+    p.add_argument("--hosts", type=int, default=2500)
+    p.add_argument("--ticks", type=int, default=3)
+    p.add_argument("--budget", type=int, default=96)
+    p.add_argument("--tick-ms", type=int, default=120_000)
+    p.add_argument("--pages-dir", type=str, default=None)
+    p.add_argument("--body-words", type=int, default=800)
+    p.add_argument("--extra-links", type=int, default=80)
     a = p.parse_args()
     if a.crawl_only:
         main_crawl_only(a)

@@ -10,6 +10,10 @@ partitioned parquet (Iceberg-style) tables of Common-Crawl-style pages, with
 - a sharded URL-seen filter (exact anti-join ground truth + bloom shards),
 - per-host politeness budgets, robots gating, priority scheduling,
 - checkpoint/resume without refetch (``catalog``/``crawler``),
+- DataFrame entry points (``scrape``: scrape_index / scrape_document /
+  link filters), platform registry (``platform``), read-through fetch
+  cache (``cache``), env config (``config``), streaming extraction
+  (``streaming``),
 - large-scale training-data ops: dedup (exact/minhash/simhash), ANN
   similarity search, text QC, multimodal column plumbing (``operators``).
 

@@ -91,6 +91,22 @@ def split_by_bloom(
     return definitely_new, maybe_seen
 
 
+def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two shard sets together (incremental maintenance: tick t's bloom =
+    tick t-1's bloom ∪ the seen delta's shards). Executor-side reduce —
+    never collects a bitset to the driver."""
+
+    def orr(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        acc = None
+        for blob in pdf["bits"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame({"shard": [shard], "bits": [acc.tobytes()]})
+
+    return a.unionByName(b).groupBy("shard").applyInPandas(orr, BLOOM_SCHEMA)
+
+
 def filter_unseen_with_bloom(
     candidates: DataFrame, seen: DataFrame, bloom: DataFrame | None, **bloom_kw
 ) -> DataFrame:

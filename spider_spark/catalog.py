@@ -54,6 +54,33 @@ class CrawlCatalog:
         frontier.write.mode("overwrite").parquet(self._dir("frontier", 0))
         seen_delta.write.mode("overwrite").parquet(self._dir("seen", 0))
 
+    def write_results(self, tick: int, results: DataFrame) -> None:
+        """Results inherit the parse stage's partitioning (no extra
+        shuffle); they are re-read once, column-pruned, by the frontier
+        stage."""
+        results.write.mode("overwrite").parquet(self._dir("results", tick))
+
+    def write_frontier(self, tick: int, frontier: DataFrame) -> None:
+        """AQE REBALANCE sizes snapshot files by bytes, not by
+        shuffle.partitions — without it each tick emits hundreds of tiny
+        files and every later tick pays a scan task per file (the classic
+        small-files death at 10^10-URL scale)."""
+        frontier.hint("rebalance").write.mode("overwrite").parquet(self._dir("frontier", tick))
+
+    def write_seen_delta(self, tick: int, seen_delta: DataFrame) -> None:
+        seen_delta.hint("rebalance").write.mode("overwrite").parquet(self._dir("seen", tick))
+
+    def write_bloom(self, tick: int, bloom: DataFrame) -> None:
+        """Bloom shard snapshot entering ``tick`` — one (shard, bits) row
+        per shard, checkpointed like any other tick state."""
+        bloom.write.mode("overwrite").parquet(self._dir("bloom", tick))
+
+    def load_bloom(self, spark: SparkSession, tick: int) -> DataFrame | None:
+        p = self.root / "bloom" / f"tick={tick}"
+        if not p.exists():
+            return None
+        return spark.read.parquet(str(p))
+
     def write_tick_data(
         self,
         tick: int,
@@ -61,17 +88,10 @@ class CrawlCatalog:
         next_frontier: DataFrame,
         seen_delta: DataFrame,
     ) -> None:
-        """Persist tick outputs (not yet visible to resume).
-
-        The frontier/seen writes go through an AQE REBALANCE so snapshot
-        files are sized by bytes, not by shuffle.partitions — without it
-        each tick emits hundreds of tiny files and every later tick pays a
-        scan task per file (the classic small-files death at 10^10-URL
-        scale). Results are write-only within the loop, so they skip the
-        extra shuffle and inherit the parse stage's partitioning."""
-        results.write.mode("overwrite").parquet(self._dir("results", tick))
-        next_frontier.hint("rebalance").write.mode("overwrite").parquet(self._dir("frontier", tick + 1))
-        seen_delta.hint("rebalance").write.mode("overwrite").parquet(self._dir("seen", tick + 1))
+        """Persist tick outputs (not yet visible to resume)."""
+        self.write_results(tick, results)
+        self.write_frontier(tick + 1, next_frontier)
+        self.write_seen_delta(tick + 1, seen_delta)
 
     def commit(self, tick: int, metrics: dict) -> None:
         """Atomically advance the manifest — the snapshot-commit point. A

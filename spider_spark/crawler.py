@@ -63,6 +63,18 @@ class Crawler:
     def bootstrap(self, seed_urls: list[str]) -> None:
         frontier = seeds_to_frontier(self.spark, seed_urls, self.cfg)
         self.catalog.write_bootstrap(frontier, frontier.select("url_hash", "url_canon", "seq"))
+        if self.cfg.use_bloom:
+            from .bloom import build_bloom_shards
+
+            seen0 = self.catalog.load_seen(self.spark, 0)
+            self.catalog.write_bloom(
+                0,
+                build_bloom_shards(
+                    seen0.select("url_hash"),
+                    num_shards=self.cfg.bloom_shards,
+                    bits_per_shard=self.cfg.bloom_bits_per_shard,
+                ),
+            )
 
     def run(self, seed_urls: list[str] | None = None, max_ticks: int | None = None) -> list[TickStats]:
         """Run (or resume) the crawl. Returns per-tick stats. Total fetch
@@ -76,9 +88,17 @@ class Crawler:
             self.bootstrap(seed_urls)
         stats: list[TickStats] = []
         empty_streak = 0
+        # max_requests: cumulative fetch budget including committed history
+        # (so a resumed run honors the same global cap)
+        fetched_total = sum(
+            m.get("fetched", 0) for m in self.catalog.manifest()["metrics"].values()
+        )
         for tick in range(start_tick, max_ticks):
+            if self.cfg.max_requests is not None and fetched_total >= self.cfg.max_requests:
+                break
             st = self.run_tick(tick)
             stats.append(st)
+            fetched_total += st.fetched
             if st.fetched == 0:
                 empty_streak += 1
                 if empty_streak >= 2:  # tree.ts:162-167 termination rule
@@ -106,9 +126,13 @@ class Crawler:
         robots_on = self.robots is not None and cfg.respect_robots
         blocked = tagged.filter("is_blocked").select(*fcols) if robots_on else None
 
-        parsed = fetch_and_parse(selected, self.pages, cfg).persist()
-        new = extract_new_links(parsed, seen, cfg, tick).persist()
+        new = None
         try:
+            # action 1 — fetch + parse once, write the results snapshot.
+            # The heavy columns (text, html-derived structs) flow straight
+            # from the parse UDF to parquet; nothing big is pinned in
+            # executor memory, so the tick scales to arbitrary batch sizes.
+            parsed = fetch_and_parse(selected, self.pages, cfg)
             results = results_projection(parsed, cfg, tick)
             if blocked is not None:
                 results = results.unionByName(blocked_projection(blocked, cfg, tick))
@@ -120,6 +144,13 @@ class Crawler:
                 F.sum(F.when(F.col("status") == 404, 1).otherwise(0)).alias("missing"),
                 F.sum(F.when(F.col("status") == 451, 1).otherwise(0)).alias("blocked"),
             )
+            self.catalog.write_results(tick, results)
+
+            # action 2 — next frontier from the written snapshot: parquet
+            # column pruning re-reads ONLY (status, seq, links)
+            results_back = self.catalog.load_results(spark, [tick])
+            bloom = self.catalog.load_bloom(spark, tick) if cfg.use_bloom else None
+            new = extract_new_links(results_back, seen, cfg, tick, bloom=bloom).persist()
             next_frontier = finalize_frontier(new, deferred, cfg)
             fr_obs = Observation()
             next_frontier = next_frontier.observe(
@@ -127,8 +158,22 @@ class Crawler:
                 F.sum(F.when(F.col("discovered_tick") == tick + 1, 1).otherwise(0)).alias("new_urls"),
                 F.count(F.lit(1)).alias("frontier_size"),
             )
-            seen_delta = new.select("url_hash", "url_canon", "seq")
-            self.catalog.write_tick_data(tick, results, next_frontier, seen_delta)
+            self.catalog.write_frontier(tick + 1, next_frontier)
+
+            # action 3 — seen delta from the (small, persisted) new set
+            self.catalog.write_seen_delta(tick + 1, new.select("url_hash", "url_canon", "seq"))
+
+            # bloom maintenance: next tick's shards = this tick's ∪ delta
+            if cfg.use_bloom:
+                from .bloom import build_bloom_shards, merge_bloom_shards
+
+                delta = build_bloom_shards(
+                    new.select("url_hash"),
+                    num_shards=cfg.bloom_shards,
+                    bits_per_shard=cfg.bloom_bits_per_shard,
+                )
+                merged = delta if bloom is None else merge_bloom_shards(bloom, delta)
+                self.catalog.write_bloom(tick + 1, merged)
 
             rm, fm = res_obs.get, fr_obs.get
             st = TickStats(
@@ -150,8 +195,8 @@ class Crawler:
             )
             return st
         finally:
-            new.unpersist()
-            parsed.unpersist()
+            if new is not None:
+                new.unpersist()
             tagged.unpersist()
 
     # --- inspection helpers -------------------------------------------------

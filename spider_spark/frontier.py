@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
 
 from . import udfs
 
@@ -49,6 +49,15 @@ class CrawlConfig:
     per_host_budget: int = 8  # max fetches per host per tick (politeness)
     tick_ms: int = 10_000  # nominal tick wall budget — modulates crawl_delay
     max_ticks: int = 10
+    # total fetch budget across the whole run. The reference parses
+    # maxRequests but never enforces it (SURVEY.md §2.3); here it is real —
+    # divergence-by-strictness, documented.
+    max_requests: int | None = None
+    # sharded bloom prefilter for the seen anti-join (bloom.py): identical
+    # results, less anti-join shuffle at 10^10-URL scale
+    use_bloom: bool = False
+    bloom_shards: int = 64
+    bloom_bits_per_shard: int = 1 << 20
     politeness_salt: int = 16  # phase-1 salt buckets for the top-k window
     store_text: bool = True
     respect_robots: bool = True
@@ -62,15 +71,20 @@ class CrawlConfig:
 
 
 def seeds_to_frontier(spark, seed_urls: list[str], cfg: CrawlConfig) -> DataFrame:
-    """Seed list → tick-0 frontier with deterministic seq by list order."""
-    rows = [(u, i) for i, u in enumerate(seed_urls)]
-    df = spark.createDataFrame(rows, "url string, seed_idx long")
-    df = df.withColumn("url_canon", udfs.canonicalize_url("url")).filter(
-        F.col("url_canon").isNotNull()
+    """Seed list → tick-0 frontier with deterministic seq by list order.
+    Arrow-path createDataFrame + one fused canonicalize UDF pass."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": seed_urls, "seed_idx": range(len(seed_urls))})
+    )
+    df = (
+        df.withColumn("ch", udfs.canon_and_host("url"))
+        .select("seed_idx", F.col("ch.url_canon").alias("url_canon"), F.col("ch.host").alias("host"))
+        .filter(F.col("url_canon").isNotNull() & F.col("host").isNotNull())
     )
     return (
         df.withColumn("url_hash", udfs.col_url_hash(F.col("url_canon")))
-        .withColumn("host", udfs.url_host("url_canon"))
         .withColumn("priority", F.expr(cfg.priority_expr).cast("int"))
         .withColumn("discovered_tick", F.lit(0))
         .withColumn("seq", F.lpad(F.conv(F.col("seed_idx").cast("string"), 10, 16), SEQ_WIDTH, "0"))
@@ -175,16 +189,26 @@ def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     return hits.select(*out_cols).unionByName(misses.select(*out_cols))
 
 
-def extract_new_links(parsed: DataFrame, seen: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
-    """Explode links, canonicalize, keep-first dedupe, drop already-seen.
+def extract_new_links(
+    results: DataFrame,
+    seen: DataFrame,
+    cfg: CrawlConfig,
+    tick: int,
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Explode links, keep-first dedupe, drop already-seen.
+
+    ``results`` is the written tick snapshot (columns ``status``, ``seq``,
+    ``links``) — reading it back prunes to just those columns, so the heavy
+    text/html bytes written by the parse stage are never re-read.
 
     Keep-first = min over the data-derived encounter key (parent seq ‖ pos),
     the distributed form of links.ts:31-35's first-writer-wins Set."""
     links = (
-        parsed.filter(F.col("status") == 200)
+        results.filter(F.col("status") == 200)
         .select(
             F.col("seq").alias("parent_seq"),
-            F.posexplode_outer(F.col("parsed.links")).alias("pos", "link"),
+            F.posexplode_outer(F.col("links")).alias("pos", "link"),
         )
         .filter(F.col("link.href_canon").isNotNull())
         .select(
@@ -204,12 +228,24 @@ def extract_new_links(parsed: DataFrame, seen: DataFrame, cfg: CrawlConfig, tick
     firsts = cand.groupBy("url_canon").agg(F.min("seq").alias("seq"))
     firsts = (
         firsts.withColumn("url_hash", udfs.col_url_hash(F.col("url_canon")))
-        .withColumn("host", udfs.url_host("url_canon"))
+        # href_canon is already WHATWG-normalized (lowercase host, no
+        # userinfo), so the JVM-side parse_url extracts the same host the
+        # Python resolver would — keeps this stage in codegen
+        .withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
         .filter(F.col("host").isNotNull())
         .withColumn("discovered_tick", F.lit(tick + 1))
     )
-    new = firsts.join(seen.select("url_hash"), "url_hash", "left_anti")
-    return new
+    if bloom is not None:
+        from .bloom import filter_unseen_with_bloom
+
+        return filter_unseen_with_bloom(
+            firsts,
+            seen,
+            bloom,
+            num_shards=cfg.bloom_shards,
+            bits_per_shard=cfg.bloom_bits_per_shard,
+        )
+    return firsts.join(seen.select("url_hash"), "url_hash", "left_anti")
 
 
 def finalize_frontier(new: DataFrame, deferred: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -235,6 +271,7 @@ def blocked_projection(blocked: DataFrame, cfg: CrawlConfig, tick: int) -> DataF
         F.lit(None).cast(udfs.DETECTED_STRUCT).alias("detected"),
         F.lit(None).cast("boolean").alias("is_pdf"),
         F.lit(0).alias("link_count"),
+        F.lit(None).cast(ArrayType(udfs.LINK_STRUCT)).alias("links"),
         F.lit(None).cast("string").alias("lang"),
         F.spark_partition_id().alias("partition_id"),
     ]
@@ -244,6 +281,9 @@ def blocked_projection(blocked: DataFrame, cfg: CrawlConfig, tick: int) -> DataF
 
 
 def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
+    """Tick ledger row per fetch, including the extracted link structs —
+    the results snapshot doubles as the link-graph edge source, and the
+    next-frontier stage re-reads ONLY the (status, seq, links) columns."""
     cols = [
         F.lit(tick).alias("tick"),
         "url_canon",
@@ -257,6 +297,7 @@ def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFr
         F.col("parsed.detected").alias("detected"),
         F.col("parsed.is_pdf").alias("is_pdf"),
         F.size(F.coalesce(F.col("parsed.links"), F.array())).alias("link_count"),
+        F.col("parsed.links").alias("links"),
         F.col("page_lang").alias("lang"),
         F.spark_partition_id().alias("partition_id"),  # per-partition lineage
     ]

@@ -1,0 +1,172 @@
+"""DataFrame-level scrape operators — the engine forms of the reference's
+three entry points (SURVEY.md §3).
+
+- ``scrape_index``    ≙ scrapeIndex (/root/reference/src/scrapeIndex.ts:64-87):
+  page → extracted links table.
+- ``scrape_document`` ≙ scrapeDocument (/root/reference/src/scrapeDocument.ts:249-320):
+  the 4-way CASE over a fetched page (downloads → detector chain → PDF
+  heuristic → text+metadata), expressed as one ``when/otherwise`` struct
+  projection — order-preserving by construction.
+- ``filter_links_df`` ≙ filterLinks (/root/reference/src/platform/link-filter.ts:24-66):
+  pure Catalyst predicate + keep-first dedupe window.
+- ``find_document_links`` ≙ findDocumentLinks
+  (/root/reference/src/scrapeDocument.ts:333-360).
+
+All operators take/return DataFrames and stay in whole-stage codegen except
+the single parse UDF column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import udfs
+from .textops import DEFAULT_DOC_EXTENSIONS
+
+
+def parse_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages → + ``parsed`` struct (text, title, description, links,
+    detected, is_pdf) in ONE vectorized UDF pass."""
+    return pages.withColumn("parsed", udfs.parse_page(F.col(url_col), F.col(html_col)))
+
+
+def scrape_index(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Page rows → one row per extracted link, document order, keep-first
+    dedupe already applied inside the extractor (links.ts:31-35).
+
+    Output: (url, pos, href, href_canon, text, title, aria_label, rel,
+    target, classes)."""
+    parsed = parse_pages(pages, url_col, html_col)
+    return parsed.select(
+        F.col(url_col).alias("url"),
+        F.posexplode_outer("parsed.links").alias("pos", "link"),
+    ).filter(F.col("link").isNotNull()).select(
+        "url",
+        "pos",
+        F.col("link.href").alias("href"),
+        F.col("link.href_canon").alias("href_canon"),
+        F.col("link.text").alias("text"),
+        F.col("link.title").alias("title"),
+        F.col("link.aria_label").alias("aria_label"),
+        F.col("link.rel").alias("rel"),
+        F.col("link.target").alias("target"),
+        F.col("link.classes").alias("classes"),
+    )
+
+
+def filter_links_df(links: DataFrame, config: dict | None = None,
+                    href_col: str = "href", text_col: str = "text",
+                    order_cols: tuple = ("url", "pos")) -> DataFrame:
+    """filterLinks as a Catalyst plan: include-union + excludes predicate,
+    then keep-first dedupe on the ORIGINAL-case href per page
+    (link-filter.ts:56-61), encounter order = the data-derived (url, pos)."""
+    config = config or {}
+    out = links.filter(udfs.col_filter_links_predicate(F.col(href_col), F.col(text_col), config))
+    if config.get("dedupe", True):
+        w = Window.partitionBy("url", href_col).orderBy(*[F.col(c) for c in order_cols])
+        out = out.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    return out
+
+
+def find_document_links(pages: DataFrame, extensions: list[str] | None = None,
+                        url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """scrapeDocument.ts:333-360: scrape the index then keep hrefs whose
+    lowercase form ends with a document extension; unique keep-first.
+    Output: (url, href)."""
+    links = scrape_index(pages, url_col, html_col)
+    kept = links.filter(udfs.col_doc_extension_predicate(F.col("href"), extensions))
+    w = Window.partitionBy("url", "href").orderBy("pos")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+        .select("url", "href")
+    )
+
+
+def _norm_download_url(url_col: Column) -> Column:
+    """normalizeDownloadPageUrl (scrapeDocument.ts:129-148) as a Catalyst
+    expression: append '/' to /download/ URLs with no query, no trailing
+    slash, and no file-ish extension on the path."""
+    path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit(""))
+    looks_like_file = path.rlike(r"(?i)\.[a-z0-9]{2,8}$")
+    needs_slash = (
+        url_col.contains("/download/")
+        & ~url_col.contains("?")
+        & ~url_col.endswith("/")
+        & ~looks_like_file
+    )
+    return F.when(needs_slash, F.concat(url_col, F.lit("/"))).otherwise(url_col)
+
+
+def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "html",
+                    downloads_col: str | None = None) -> DataFrame:
+    """scrapeDocument's 4-way branch (scrapeDocument.ts:259-319) as one
+    projection. Branch priority (first match wins, mirroring the sequential
+    returns):
+
+    1. downloads present → direct-download result (type from filename,
+       empty text, complete)                            scrapeDocument.ts:259-281
+    2. detector chain hit → re-enqueue signal: detected doc URL,
+       complete=false                                   scrapeDocument.ts:283-298
+    3. PDF-page heuristic → pdf result                  scrapeDocument.ts:300-303
+    4. else → text + metadata extraction                scrapeDocument.ts:304-319
+
+    Output columns: url (normalized), doc_url, type, text, title,
+    description, is_pdf, is_download, complete, strategy.
+    """
+    pages = pages.withColumn("_norm_url", _norm_download_url(F.col(url_col)))
+    parsed = parse_pages(pages, "_norm_url", html_col)
+
+    has_download = (
+        (F.size(F.coalesce(F.col(downloads_col), F.array())) > 0)
+        if downloads_col
+        else F.lit(False)
+    )
+    detected = F.col("parsed.detected")
+    html_str = F.col(html_col).cast("string")
+    is_pdf_page = udfs.col_is_pdf_page(F.col("_norm_url"), html_str)
+
+    first_dl = F.element_at(F.col(downloads_col), 1) if downloads_col else None
+
+    doc_url = (
+        F.when(has_download, F.col("_norm_url"))
+        .when(detected.isNotNull(), detected["url"])
+        .otherwise(F.col("_norm_url"))
+    )
+    mime = (
+        F.when(has_download, udfs.infer_content_type(first_dl["filename"]) if downloads_col else F.lit(None))
+        .when(detected.isNotNull(), detected["type"])
+        .when(is_pdf_page, F.lit("application/pdf"))
+        .otherwise(F.lit("text/html"))
+    )
+    text = (
+        F.when(has_download, F.lit(""))
+        .when(detected.isNotNull(), F.lit(""))
+        .when(is_pdf_page, F.lit(""))
+        .otherwise(F.col("parsed.text"))
+    )
+    complete = F.when(detected.isNotNull() & ~has_download, F.lit(False)).otherwise(F.lit(True))
+    strategy = (
+        F.when(has_download, F.lit("direct-download"))
+        .when(detected.isNotNull(), detected["strategy"])
+        .when(is_pdf_page, F.lit("pdf-page"))
+        .otherwise(F.lit("html-text"))
+    )
+    is_pdf = (
+        F.when(has_download, udfs.col_is_pdf_file(first_dl["filename"]) if downloads_col else F.lit(False))
+        .when(detected.isNotNull(), detected["is_pdf"])
+        .otherwise(is_pdf_page)
+    )
+
+    return parsed.select(
+        F.col("_norm_url").alias("url"),
+        doc_url.alias("doc_url"),
+        mime.alias("type"),
+        text.alias("text"),
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.description").alias("description"),
+        is_pdf.alias("is_pdf"),
+        has_download.alias("is_download"),
+        complete.alias("complete"),
+        strategy.alias("strategy"),
+    )

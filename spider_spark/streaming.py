@@ -1,0 +1,79 @@
+"""Structured Streaming variant of the extraction pipeline (SURVEY.md §2.13).
+
+The reference has no streaming concepts; the batch-tick crawl is the primary
+design because exact crawl-order replay needs a barrier per round. This
+module provides the streaming form for the *extraction* side — useful when
+pages arrive continuously (e.g. a WARC drop folder) and ordering is not part
+of the contract:
+
+- ``stream_pages``: file-source stream over a pages directory (same schema
+  as the batch table),
+- ``stream_extract``: the byte-identical parse UDF applied per micro-batch
+  (stateless — identical results to batch),
+- ``stream_metrics``: watermarked tumbling-window fetch metrics; late pages
+  beyond the watermark are dropped, the streaming analog of "re-discovered
+  URLs are dropped by the seen-filter",
+- ``run_available_now``: drain everything currently in the source and stop
+  (used by tests; production would run continuous triggers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import udfs
+from .synth import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_extract(pages: DataFrame) -> DataFrame:
+    """Stateless parse per micro-batch — same UDF as the batch tick, so
+    streamed output is byte-identical to batch output for the same rows."""
+    parsed = pages.withColumn("parsed", udfs.parse_page(F.col("url"), F.col("html")))
+    return parsed.select(
+        "url",
+        "warc_ts",
+        F.col("parsed.text").alias("text"),
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.detected").alias("detected"),
+        F.size(F.coalesce(F.col("parsed.links"), F.array())).alias("link_count"),
+        "lang",
+    )
+
+
+def stream_metrics(pages: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window rollup of pages/links per language —
+    the streaming ScrapeMetrics (§2.7). Late rows past the watermark drop."""
+    extracted = stream_extract(pages)
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("link_count").alias("n_links"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages", "n_links")
+    )
+
+
+def run_available_now(df: DataFrame, checkpoint: str, out_path: str, out_format: str = "parquet"):
+    """Drain the source with the available-now trigger and block until done
+    — exactly-once via the checkpoint dir (the streaming analog of the
+    tick-commit manifest)."""
+    q = (
+        df.writeStream.format(out_format)
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -122,14 +122,26 @@ def page_url(host_idx: int, r: int, starts: np.ndarray) -> str:
     return f"https://{host}/page/{r}"
 
 
-def _render_html(host_idx: int, r: int, starts: np.ndarray, n_hosts: int, host_size: int) -> str:
+def _render_html(
+    host_idx: int,
+    r: int,
+    starts: np.ndarray,
+    n_hosts: int,
+    host_size: int,
+    body_words: int = 40,
+    extra_links: int = 0,
+) -> str:
+    """``body_words``/``extra_links`` dial page richness: defaults give the
+    compact pages the unit tests use; the bench passes Common-Crawl-like
+    sizes (hundreds of words, tens of links) so parse compute per page is
+    realistic."""
     host = host_name(host_idx)
     kind = _page_kind(host_idx, r)
     pid = int(starts[host_idx]) + r
     title = f"{kind.title()} {r} on {host}"
     near_dup = r % 17 == 5 and r > 0
     body_seed = pid - 1 if near_dup else pid
-    body = _words(body_seed, 40 + (pid % 40))
+    body = _words(body_seed, body_words + (pid % 40))
     if near_dup:
         body += " variant"
 
@@ -143,7 +155,7 @@ def _render_html(host_idx: int, r: int, starts: np.ndarray, n_hosts: int, host_s
         return 0
 
     links = []
-    deg = 3 + pid % 4
+    deg = 3 + pid % 4 + extra_links
     for j in range(deg):
         child = normal_r(r * 7 + j * _MIX_B + 1)
         links.append((f"/page/{child}", f"page {child}"))
@@ -216,6 +228,8 @@ def generate_pages(
     n_pages: int,
     n_hosts: int | None = None,
     skew: float = 1.2,
+    body_words: int = 40,
+    extra_links: int = 0,
 ) -> DataFrame:
     """Distributed deterministic pages table (url, warc_ts, html, text, lang)."""
     if n_hosts is None:
@@ -230,7 +244,9 @@ def generate_pages(
                 host_idx = int(np.searchsorted(starts, pid, side="right") - 1)
                 r = int(pid - starts[host_idx])
                 host_size = int(sizes[host_idx])
-                html = _render_html(host_idx, r, starts, n_hosts, host_size)
+                html = _render_html(
+                    host_idx, r, starts, n_hosts, host_size, body_words, extra_links
+                )
                 rows.append(
                     {
                         "url": page_url(host_idx, r, starts),

@@ -32,6 +32,7 @@ from .urlops import resolve_href, whatwg_resolve, URLParseError
 __all__ = [
     "JS_WS",
     "js_trim",
+    "normalize_html",
     "strip_html_to_text",
     "extract_html_metadata",
     "decode_html_entities",
@@ -91,6 +92,62 @@ _FILE_EXT_RE = re.compile(r"\.[a-z0-9]{2,8}$", re.IGNORECASE)
 def js_trim(s: str) -> str:
     """JS String.prototype.trim — strips the JS whitespace set."""
     return s.strip(_JS_WS_SET)
+
+
+class _Serializer(HTMLParser):
+    """Parse → re-serialize round trip for normalize_html: preserves
+    document order and attribute form; unparseable input falls back to the
+    raw string (the DomAdapter contract, dom.ts:36-49)."""
+
+    VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
+            "link", "meta", "source", "track", "wbr"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=False)
+        self.out: list[str] = []
+
+    def _attrs(self, attrs):
+        parts = []
+        for k, v in attrs:
+            parts.append(f' {k}' if v is None else f' {k}="{v}"')
+        return "".join(parts)
+
+    def handle_starttag(self, tag, attrs):
+        self.out.append(f"<{tag}{self._attrs(attrs)}>")
+
+    def handle_startendtag(self, tag, attrs):
+        self.out.append(f"<{tag}{self._attrs(attrs)}/>")
+
+    def handle_endtag(self, tag):
+        self.out.append(f"</{tag}>")
+
+    def handle_data(self, data):
+        self.out.append(data)
+
+    def handle_entityref(self, name):
+        self.out.append(f"&{name};")
+
+    def handle_charref(self, name):
+        self.out.append(f"&#{name};")
+
+    def handle_comment(self, data):
+        self.out.append(f"<!--{data}-->")
+
+    def handle_decl(self, decl):
+        self.out.append(f"<!{decl}>")
+
+
+def normalize_html(html: str) -> str:
+    """DomAdapter.processHtml (dom.ts:36-49): normalize through a parser
+    round trip; on failure return the input unchanged. Idempotent and
+    deterministic — the ``adapter='dom'`` variant of the fetch stage."""
+    try:
+        p = _Serializer()
+        p.feed(html)
+        p.close()
+        return "".join(p.out)
+    except Exception:
+        return html
 
 
 def strip_html_to_text(html: str) -> str:

@@ -120,11 +120,36 @@ def strip_html_text(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 @pandas_udf(StringType())
+def normalize_html(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """The DOM adapter's processHtml (dom.ts:36-49): parse → re-serialize,
+    falling back to the raw input when parsing fails. A deterministic
+    string→string normalization (parser round-trip), the engine's
+    ``adapter='dom'`` fetch variant."""
+    for htmls in it:
+        yield htmls.map(lambda h: textops.normalize_html(_to_str(h)))
+
+
+@pandas_udf(StringType())
 def canonicalize_url(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """url → canonical crawl URL (WHATWG normalize + fragment drop +
     download-page trailing slash) or null if not crawlable http(s)."""
     for urls in it:
         yield urls.map(lambda u: urlops.canonicalize_url(_to_str(u)))
+
+
+CANON_HOST_STRUCT = StructType(
+    [StructField("url_canon", StringType()), StructField("host", StringType())]
+)
+
+
+@pandas_udf(CANON_HOST_STRUCT)
+def canon_and_host(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """url → (canonical URL, host) in ONE Python pass — the seed/frontier
+    hygiene stage, fused so bootstrap costs one Arrow round trip, not two."""
+    for urls in it:
+        canons = [urlops.canonicalize_url(_to_str(u)) for u in urls]
+        hosts = [None if c is None else urlops.url_host(c) for c in canons]
+        yield pd.DataFrame({"url_canon": canons, "host": hosts})
 
 
 @pandas_udf(StringType())

@@ -42,3 +42,27 @@ def test_bloom_prefilter_reduces_exact_checks(spark):
     # (100) — false positives only add a small margin at this load factor
     assert maybe.count() < 400
     assert new.count() > 3600
+
+
+def test_crawl_with_bloom_identical_to_exact(spark, tmp_path):
+    """use_bloom=True must produce the exact same url_seen set and crawl
+    order as the plain anti-join (bloom FPs only cost extra exact checks)."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    pages = synth.generate_pages(spark, 300, n_hosts=8)
+    seeds = synth.seed_urls(300, 8)
+    a = Crawler(spark, pages, str(tmp_path / "a"), CrawlConfig(per_host_budget=4))
+    a.run(seeds, max_ticks=4)
+    b = Crawler(
+        spark, pages, str(tmp_path / "b"),
+        CrawlConfig(per_host_budget=4, use_bloom=True, bloom_shards=8, bloom_bits_per_shard=1 << 14),
+    )
+    b.run(seeds, max_ticks=4)
+    sa = sorted(r.url_canon for r in a.seen().collect())
+    sb = sorted(r.url_canon for r in b.seen().collect())
+    assert sa == sb
+    oa = [(r.tick, r.url_canon) for r in a.crawl_order().collect()]
+    ob = [(r.tick, r.url_canon) for r in b.crawl_order().collect()]
+    assert oa == ob
