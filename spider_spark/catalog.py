@@ -60,6 +60,11 @@ class CrawlCatalog:
         stage."""
         results.write.mode("overwrite").parquet(self._dir("results", tick))
 
+    def append_results(self, tick: int, rows: DataFrame) -> None:
+        """Second writer into a tick's results dir (e.g. the 404 ledger) —
+        append-mode, so the hits snapshot written first is untouched."""
+        rows.write.mode("append").parquet(self._dir("results", tick))
+
     def write_frontier(self, tick: int, frontier: DataFrame) -> None:
         """AQE REBALANCE sizes snapshot files by bytes, not by
         shuffle.partitions — without it each tick emits hundreds of tiny

@@ -27,6 +27,7 @@ from .frontier import (
     extract_new_links,
     fetch_and_parse,
     finalize_frontier,
+    misses_projection,
     politeness_tag,
     results_projection,
     seeds_to_frontier,
@@ -128,10 +129,10 @@ class Crawler:
 
         new = None
         try:
-            # action 1 — fetch + parse once, write the results snapshot.
-            # The heavy columns (text, html-derived structs) flow straight
-            # from the parse UDF to parquet; nothing big is pinned in
-            # executor memory, so the tick scales to arbitrary batch sizes.
+            # action 1 — fetch + parse once (hits only), write the results
+            # snapshot. The heavy columns (text, html-derived structs) flow
+            # straight from the parse UDF to parquet; nothing big is pinned
+            # in executor memory, so the tick scales to arbitrary batches.
             parsed = fetch_and_parse(selected, self.pages, cfg)
             results = results_projection(parsed, cfg, tick)
             if blocked is not None:
@@ -139,16 +140,23 @@ class Crawler:
             res_obs = Observation()
             results = results.observe(
                 res_obs,
-                F.sum(F.when(F.col("status") != 451, 1).otherwise(0)).alias("fetched"),
                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status") == 404, 1).otherwise(0)).alias("missing"),
                 F.sum(F.when(F.col("status") == 451, 1).otherwise(0)).alias("blocked"),
             )
             self.catalog.write_results(tick, results)
 
-            # action 2 — next frontier from the written snapshot: parquet
-            # column pruning re-reads ONLY (status, seq, links)
+            # action 2 — 404 ledger rows: selected minus fetched, an
+            # anti-join of two politeness-bounded sets (the written keys
+            # are read column-pruned; the corpus is never rescanned)
             results_back = self.catalog.load_results(spark, [tick])
+            miss_obs = Observation()
+            misses = misses_projection(
+                selected, results_back.filter(F.col("status") == 200), cfg, tick
+            ).observe(miss_obs, F.count(F.lit(1)).alias("missing"))
+            self.catalog.append_results(tick, misses)
+
+            # action 3 — next frontier from the written snapshot: parquet
+            # column pruning re-reads ONLY (status, seq, links)
             bloom = self.catalog.load_bloom(spark, tick) if cfg.use_bloom else None
             new = extract_new_links(results_back, seen, cfg, tick, bloom=bloom).persist()
             next_frontier = finalize_frontier(new, deferred, cfg)
@@ -160,7 +168,7 @@ class Crawler:
             )
             self.catalog.write_frontier(tick + 1, next_frontier)
 
-            # action 3 — seen delta from the (small, persisted) new set
+            # action 4 — seen delta from the (small, persisted) new set
             self.catalog.write_seen_delta(tick + 1, new.select("url_hash", "url_canon", "seq"))
 
             # bloom maintenance: next tick's shards = this tick's ∪ delta
@@ -175,12 +183,12 @@ class Crawler:
                 merged = delta if bloom is None else merge_bloom_shards(bloom, delta)
                 self.catalog.write_bloom(tick + 1, merged)
 
-            rm, fm = res_obs.get, fr_obs.get
+            rm, mm, fm = res_obs.get, miss_obs.get, fr_obs.get
             st = TickStats(
                 tick=tick,
-                fetched=int(rm["fetched"] or 0),
+                fetched=int(rm["ok"] or 0) + int(mm["missing"] or 0),
                 ok=int(rm["ok"] or 0),
-                missing=int(rm["missing"] or 0),
+                missing=int(mm["missing"] or 0),
                 blocked=int(rm["blocked"] or 0),
                 deferred=int(fm["frontier_size"] or 0) - int(fm["new_urls"] or 0),
                 new_urls=int(fm["new_urls"] or 0),

@@ -53,6 +53,10 @@ class CrawlConfig:
     # maxRequests but never enforces it (SURVEY.md §2.3); here it is real —
     # divergence-by-strictness, documented.
     max_requests: int | None = None
+    # opt-in round-robin rebalance of the fetch batch before parsing, for
+    # page stores that are NOT hash-distributed on url (see fetch_and_parse
+    # skew note); None = no extra shuffle
+    fetch_partitions: int | None = None
     # sharded bloom prefilter for the seen anti-join (bloom.py): identical
     # results, less anti-join shuffle at 10^10-URL scale
     use_bloom: bool = False
@@ -162,31 +166,57 @@ def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     a fetch pandas-UDF over mapInPandas.
 
     Join strategy: the politeness budget bounds |selected|, so the frontier
-    side is BROADCAST and the pages table is only ever SCANNED — a plain
-    left join would shuffle+sort the full pages table every tick (the scan
-    is the 100 TB side). Misses (404s) are recovered with a broadcast
-    anti-join against the hit keys; the parse UDF runs on hits only."""
+    side is BROADCAST and the pages table is only ever SCANNED, exactly
+    once — a plain left join would shuffle+sort the full pages table every
+    tick (the scan is the 100 TB side). Returns HITS only; the caller
+    derives 404 misses from the written snapshot (misses_projection), so
+    no second corpus scan or broadcast subquery is needed."""
     pages_side = pages.select(
         F.col("url").alias("url_canon"),
         F.col("html"),
         F.col("lang").alias("page_lang"),
         F.col("warc_ts"),
     )
-    sel_cols = selected.columns
     hits = pages_side.join(F.broadcast(selected), "url_canon", "inner")
-    hits = hits.withColumn("status", F.lit(200)).withColumn(
+    # SKEW NOTE: the page store must be hash-distributed on url (the
+    # engine's storage contract — synth/bench write it that way). On a
+    # host-contiguous layout, politeness (≤budget rows/host) makes
+    # small-host scan splits ~100% hits while big-host splits are <1%, and
+    # one task ends up carrying most of the parse (measured: stage wall ≈
+    # slowest task). For corpora you don't control, set
+    # cfg.fetch_partitions to force a round-robin rebalance of the fetch
+    # batch (moves only the politeness-bounded batch, never the corpus).
+    if cfg.fetch_partitions:
+        hits = hits.repartition(cfg.fetch_partitions)
+    return hits.withColumn("status", F.lit(200)).withColumn(
         "parsed", udfs.parse_page(F.col("url_canon"), F.col("html"))
     )
-    misses = (
-        selected.join(F.broadcast(hits.select("url_canon")), "url_canon", "left_anti")
-        .withColumn("html", F.lit(None).cast("binary"))
-        .withColumn("page_lang", F.lit(None).cast("string"))
-        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
-        .withColumn("status", F.lit(404))
-        .withColumn("parsed", F.lit(None).cast(udfs.PARSED_STRUCT))
-    )
-    out_cols = [*sel_cols, "html", "page_lang", "warc_ts", "status", "parsed"]
-    return hits.select(*out_cols).unionByName(misses.select(*out_cols))
+
+
+def misses_projection(selected: DataFrame, fetched_keys: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
+    """404 ledger rows: selected frontier entries with no page — an
+    anti-join of two politeness-bounded sets (no corpus access)."""
+    missed = selected.join(fetched_keys.select("url_canon"), "url_canon", "left_anti")
+    cols = [
+        F.lit(tick).alias("tick"),
+        "url_canon",
+        "url_hash",
+        "host",
+        "priority",
+        "seq",
+        F.lit(404).alias("status"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast(udfs.DETECTED_STRUCT).alias("detected"),
+        F.lit(None).cast("boolean").alias("is_pdf"),
+        F.lit(0).alias("link_count"),
+        F.lit(None).cast(ArrayType(udfs.LINK_STRUCT)).alias("links"),
+        F.lit(None).cast("string").alias("lang"),
+        F.spark_partition_id().alias("partition_id"),
+    ]
+    if cfg.store_text:
+        cols.append(F.lit(None).cast("string").alias("text"))
+    return missed.select(*cols)
 
 
 def extract_new_links(

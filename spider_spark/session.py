@@ -38,7 +38,11 @@ def get_spark(
         # (bytes-based splitting underestimates per-row extraction cost)
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size bounds PER-WORKER memory, not throughput: with
+        # ~30 KB page rows, 10k-row batches mean ~300 MB held per Python
+        # worker — at 32 workers that alone thrashes the box. 2k rows keeps
+        # each worker's resident batch ~60 MB while still amortizing IPC.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -454,6 +454,29 @@ def filter_links(links: list[Link], config: dict | None = None) -> list[Link]:
     return out
 
 
+def extract_markdown(markdown_field) -> str | None:
+    """Crawl4aiAdapter.extractMarkdown (crawl4ai.ts:114-125): the markdown
+    field may be a plain string or an object — prefer ``fit_markdown``,
+    else ``raw_markdown``, else None."""
+    if markdown_field is None:
+        return None
+    if isinstance(markdown_field, str):
+        return markdown_field
+    if isinstance(markdown_field, dict):
+        return markdown_field.get("fit_markdown") or markdown_field.get("raw_markdown") or None
+    return None
+
+
+def is_skip_link(href: str | None, text: str | None) -> bool:
+    """Crawlee expansion skip heuristic (crawlee.ts:137-143): during
+    expansion, skip ``a[href="#"]`` anchors whose text contains skip/menu
+    or is longer than 100 chars."""
+    if href != "#":
+        return False
+    t = (text or "").lower()
+    return "skip" in t or "menu" in t or len(text or "") > 100
+
+
 DEFAULT_DOC_EXTENSIONS = [".pdf", ".doc", ".docx", ".txt", ".md", ".rtf"]
 
 

@@ -228,6 +228,31 @@ def col_filter_links_predicate(href_col, text_col, config: dict):
     return pred
 
 
+def col_prefer_cleaned_html(cleaned_col, html_col):
+    """The crawl4ai 'prefer cleaned_html, fall back to html' rule
+    (crawl4ai.ts:243) — a plain coalesce."""
+    return F.coalesce(cleaned_col, html_col)
+
+
+def col_skip_link_predicate(href_col, text_col):
+    """Crawlee skip-link heuristic (crawlee.ts:137-143) as a Catalyst
+    predicate: a '#' href whose text contains skip/menu or exceeds 100
+    chars."""
+    t = F.coalesce(text_col, F.lit(""))
+    return (href_col == "#") & (
+        F.contains(F.lower(t), F.lit("skip"))
+        | F.contains(F.lower(t), F.lit("menu"))
+        | (F.length(t) > 100)
+    )
+
+
+def dedupe_downloads(df, url_col: str = "url", filename_col: str = "filename",
+                     content_type_col: str = "content_type"):
+    """Download dedupe by (url, filename, contentType) — the '\\0'-joined
+    key of browser-runner.ts:204-222."""
+    return df.dropDuplicates([url_col, filename_col, content_type_col])
+
+
 def col_doc_extension_predicate(href_col, extensions: list[str] | None = None):
     """findDocumentLinks suffix filter (scrapeDocument.ts:337-356)."""
     exts = extensions or textops.DEFAULT_DOC_EXTENSIONS

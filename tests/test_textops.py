@@ -123,3 +123,22 @@ def test_entities_node_differential():
     expected = js_oracle("entities", samples)
     for s, exp in zip(samples, expected):
         assert t.decode_html_entities(s) == exp, repr(s)
+
+
+def test_extract_markdown_preference():
+    from spider_spark import textops as t
+    assert t.extract_markdown("plain md") == "plain md"
+    assert t.extract_markdown({"fit_markdown": "fit", "raw_markdown": "raw"}) == "fit"
+    assert t.extract_markdown({"raw_markdown": "raw"}) == "raw"
+    assert t.extract_markdown({"fit_markdown": "", "raw_markdown": "raw"}) == "raw"
+    assert t.extract_markdown({}) is None
+    assert t.extract_markdown(None) is None
+
+
+def test_is_skip_link_heuristic():
+    from spider_spark import textops as t
+    assert t.is_skip_link("#", "Skip to content")
+    assert t.is_skip_link("#", "Main Menu")
+    assert t.is_skip_link("#", "x" * 101)
+    assert not t.is_skip_link("#", "ok")
+    assert not t.is_skip_link("/page", "skip me")  # only href="#" anchors
