@@ -54,11 +54,13 @@ class Crawler:
         checkpoint_dir: str,
         cfg: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        redirects: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
+        self.redirects = redirects
         self.catalog = CrawlCatalog(checkpoint_dir)
 
     def bootstrap(self, seed_urls: list[str]) -> None:
@@ -109,12 +111,12 @@ class Crawler:
         return stats
 
     def run_tick(self, tick: int) -> TickStats:
-        """One crawl tick = exactly three Spark actions (the three snapshot
-        writes). The politeness ranking and the link-dedupe pipeline are
-        persisted so no action recomputes another's shuffles; all metrics
-        come from ``Observation`` nodes riding the writes (no extra jobs —
-        the distributed form of the fixture server's request counter,
-        testdata/local-server.ts:74-77)."""
+        """One crawl tick = four Spark actions (the snapshot writes: hits,
+        404 ledger, frontier, seen delta). The politeness ranking and the
+        link-dedupe pipeline are persisted so no action recomputes
+        another's shuffles; all metrics come from ``Observation`` nodes
+        riding the writes (no extra jobs — the distributed form of the
+        fixture server's request counter, testdata/local-server.ts:74-77)."""
         t0 = time.monotonic()
         spark, cfg = self.spark, self.cfg
         frontier = self.catalog.load_frontier(spark, tick)
@@ -133,7 +135,7 @@ class Crawler:
             # snapshot. The heavy columns (text, html-derived structs) flow
             # straight from the parse UDF to parquet; nothing big is pinned
             # in executor memory, so the tick scales to arbitrary batches.
-            parsed = fetch_and_parse(selected, self.pages, cfg)
+            parsed = fetch_and_parse(selected, self.pages, cfg, redirects=self.redirects)
             results = results_projection(parsed, cfg, tick)
             if blocked is not None:
                 results = results.unionByName(blocked_projection(blocked, cfg, tick))
@@ -142,6 +144,7 @@ class Crawler:
                 res_obs,
                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
                 F.sum(F.when(F.col("status") == 451, 1).otherwise(0)).alias("blocked"),
+                F.sum(F.when(F.col("status") == 599, 1).otherwise(0)).alias("net_err"),
             )
             self.catalog.write_results(tick, results)
 
@@ -151,7 +154,7 @@ class Crawler:
             results_back = self.catalog.load_results(spark, [tick])
             miss_obs = Observation()
             misses = misses_projection(
-                selected, results_back.filter(F.col("status") == 200), cfg, tick
+                selected, results_back.filter(F.col("status").isin(200, 599)), cfg, tick
             ).observe(miss_obs, F.count(F.lit(1)).alias("missing"))
             self.catalog.append_results(tick, misses)
 
@@ -186,7 +189,7 @@ class Crawler:
             rm, mm, fm = res_obs.get, miss_obs.get, fr_obs.get
             st = TickStats(
                 tick=tick,
-                fetched=int(rm["ok"] or 0) + int(mm["missing"] or 0),
+                fetched=int(rm["ok"] or 0) + int(mm["missing"] or 0) + int(rm["net_err"] or 0),
                 ok=int(rm["ok"] or 0),
                 missing=int(mm["missing"] or 0),
                 blocked=int(rm["blocked"] or 0),

@@ -158,26 +158,67 @@ def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | No
     )
 
 
-def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """The sandbox "network": equi-join the selected frontier against the
-    pages table on canonical URL, preserving the fetch-adapter contract
-    (url → content, status, final_url) of src/adapters/simple.ts:34-154.
-    On a live cluster this stage is the same plan with the join replaced by
-    a fetch pandas-UDF over mapInPandas.
+MAX_REDIRECTS = 5  # simple.ts:100 — NetworkError past this
+
+
+def resolve_redirects(selected: DataFrame, redirects: DataFrame | None) -> DataFrame:
+    """Follow redirect chains up to MAX_REDIRECTS hops (simple.ts:89-120):
+    adds ``final_url`` (the last location — links resolve against it, like
+    the simple adapter's Page.url) and ``redirect_error`` (chain longer
+    than the limit ⇒ the NetworkError path).
+
+    Each hop is one equi-join against the redirect table (broadcast when
+    small; hash join on url otherwise); chains longer than the constant
+    don't exist in practice, so the loop unrolls to a fixed 6-join plan."""
+    if redirects is None:
+        return selected.withColumn("final_url", F.col("url_canon")).withColumn(
+            "redirect_error", F.lit(False)
+        )
+    r = F.broadcast(redirects.select(F.col("src"), F.col("location")))
+    out = selected.withColumn("final_url", F.col("url_canon"))
+    for _hop in range(MAX_REDIRECTS + 1):
+        out = (
+            out.join(r, out.final_url == r.src, "left")
+            .withColumn("final_url", F.coalesce(F.col("location"), F.col("final_url")))
+            .withColumn(f"_hop{_hop}", F.col("location").isNotNull())
+            .drop("src", "location")
+        )
+    # a 6th successful hop means the chain exceeded the limit
+    return out.withColumn("redirect_error", F.col(f"_hop{MAX_REDIRECTS}")).drop(
+        *[f"_hop{i}" for i in range(MAX_REDIRECTS + 1)]
+    )
+
+
+def fetch_and_parse(
+    selected: DataFrame,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    redirects: DataFrame | None = None,
+) -> DataFrame:
+    """The sandbox "network": resolve redirects (≤5 hops), then equi-join
+    the selected frontier against the pages table on the FINAL URL,
+    preserving the fetch-adapter contract (url → content, status,
+    final_url) of src/adapters/simple.ts:34-154 — links are extracted
+    against the final URL, exactly like the simple adapter's Page.url
+    (simple.ts:115-121). On a live cluster this stage is the same plan
+    with the join replaced by a fetch pandas-UDF over mapInPandas.
 
     Join strategy: the politeness budget bounds |selected|, so the frontier
     side is BROADCAST and the pages table is only ever SCANNED, exactly
     once — a plain left join would shuffle+sort the full pages table every
-    tick (the scan is the 100 TB side). Returns HITS only; the caller
-    derives 404 misses from the written snapshot (misses_projection), so
-    no second corpus scan or broadcast subquery is needed."""
+    tick (the scan is the 100 TB side). Returns hits ∪ redirect-error rows
+    (status 599 ≙ NetworkError); the caller derives 404 misses from the
+    written snapshot (misses_projection), so no second corpus scan or
+    broadcast subquery is needed."""
+    resolved = resolve_redirects(selected, redirects)
+    ok = resolved.filter(~F.col("redirect_error")).drop("redirect_error")
     pages_side = pages.select(
-        F.col("url").alias("url_canon"),
+        F.col("url").alias("final_url"),
         F.col("html"),
         F.col("lang").alias("page_lang"),
         F.col("warc_ts"),
     )
-    hits = pages_side.join(F.broadcast(selected), "url_canon", "inner")
+    hits = pages_side.join(F.broadcast(ok), "final_url", "inner")
     # SKEW NOTE: the page store must be hash-distributed on url (the
     # engine's storage contract — synth/bench write it that way). On a
     # host-contiguous layout, politeness (≤budget rows/host) makes
@@ -188,9 +229,21 @@ def fetch_and_parse(selected: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # batch (moves only the politeness-bounded batch, never the corpus).
     if cfg.fetch_partitions:
         hits = hits.repartition(cfg.fetch_partitions)
-    return hits.withColumn("status", F.lit(200)).withColumn(
-        "parsed", udfs.parse_page(F.col("url_canon"), F.col("html"))
+    hits = hits.withColumn("status", F.lit(200)).withColumn(
+        "parsed", udfs.parse_page(F.col("final_url"), F.col("html"))
     )
+    out_cols = [*selected.columns, "final_url", "html", "page_lang", "warc_ts", "status", "parsed"]
+    if redirects is None:
+        return hits.select(*out_cols)
+    err = (
+        resolved.filter(F.col("redirect_error"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("page_lang", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("status", F.lit(599))  # NetworkError ≙ simple.ts:104-109
+        .withColumn("parsed", F.lit(None).cast(udfs.PARSED_STRUCT))
+    )
+    return hits.select(*out_cols).unionByName(err.select(*out_cols))
 
 
 def misses_projection(selected: DataFrame, fetched_keys: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:
@@ -200,6 +253,7 @@ def misses_projection(selected: DataFrame, fetched_keys: DataFrame, cfg: CrawlCo
     cols = [
         F.lit(tick).alias("tick"),
         "url_canon",
+        F.col("url_canon").alias("final_url"),
         "url_hash",
         "host",
         "priority",
@@ -291,6 +345,7 @@ def blocked_projection(blocked: DataFrame, cfg: CrawlConfig, tick: int) -> DataF
     cols = [
         F.lit(tick).alias("tick"),
         "url_canon",
+        F.lit(None).cast("string").alias("final_url"),
         "url_hash",
         "host",
         "priority",
@@ -317,6 +372,7 @@ def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFr
     cols = [
         F.lit(tick).alias("tick"),
         "url_canon",
+        "final_url",
         "url_hash",
         "host",
         "priority",

@@ -178,6 +178,10 @@ def _render_html(
     # document file link
     if pid % 9 == 2:
         links.append((f"/files/report{r}.pdf", "report pdf"))
+    # redirect-chain link (/chain/{t} → /redir/{t} → /page/{t})
+    t_red = (r // 23) * 23 + 11
+    if t_red < host_size and _page_kind(host_idx, t_red) == "normal":
+        links.append((f"/chain/{t_red}", "via redirect"))
     # link to a VALID special page of this host so detectors get traffic
     if host_size > 4:
         if host_idx % 11 == 3:
@@ -259,6 +263,41 @@ def generate_pages(
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return spark.range(n_pages).mapInPandas(gen, PAGES_SCHEMA)
+
+
+REDIRECTS_SCHEMA = StructType(
+    [
+        StructField("src", StringType(), False),
+        StructField("location", StringType(), False),
+        StructField("status", IntegerType(), False),
+    ]
+)
+
+
+def generate_redirects(spark: SparkSession, n_pages: int, n_hosts: int | None = None, skew: float = 1.2) -> DataFrame:
+    """Deterministic redirect table for the synthetic web:
+
+    - ``/redir/{r}``  → 301 → ``/page/{r}``          (single hop)
+    - ``/chain/{r}``  → 302 → ``/redir/{r}``         (two hops)
+    - ``/loopA`` ⇄ ``/loopB`` on host 0              (infinite loop — must
+      trip the ≤5-hop limit, simple.ts:94-102)
+    """
+    if n_hosts is None:
+        n_hosts = max(4, int(n_pages**0.5) // 2)
+    starts = host_layout(n_pages, n_hosts, skew)
+    sizes = np.append(starts[1:], n_pages) - starts
+    rows = []
+    for i in range(n_hosts):
+        host = host_name(i)
+        size = int(sizes[i])
+        for r in range(size):
+            if r % 23 == 11 and _page_kind(i, r) == "normal":
+                rows.append((f"https://{host}/redir/{r}", f"https://{host}/page/{r}", 301))
+                rows.append((f"https://{host}/chain/{r}", f"https://{host}/redir/{r}", 302))
+    h0 = host_name(0)
+    rows.append((f"https://{h0}/loopA", f"https://{h0}/loopB", 302))
+    rows.append((f"https://{h0}/loopB", f"https://{h0}/loopA", 302))
+    return spark.createDataFrame(rows, REDIRECTS_SCHEMA)
 
 
 def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:

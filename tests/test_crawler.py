@@ -135,3 +135,51 @@ def test_keep_first_dedupe_in_frontier(spark, world, tmp_path):
     # seen table has one row per canonical URL
     seen = c.seen()
     assert seen.count() == seen.select("url_canon").distinct().count()
+
+
+def test_redirects_followed_and_loop_detected(spark, tmp_path):
+    """simple.ts:89-120 semantics: chains followed (≤5 hops), final URL is
+    the landing URL and links resolve against it; loops past the limit
+    surface as network errors (599), never as fetched pages."""
+    pages = synth.generate_pages(spark, 220, 8).persist()
+    pages.count()
+    redirects = synth.generate_redirects(spark, 220, 8)
+    # seed directly with redirect entry points + the loop
+    starts = synth.host_layout(220, 8, 1.2)
+    h0 = synth.host_name(0)
+    seeds = [f"https://{h0}/chain/11", f"https://{h0}/redir/11", f"https://{h0}/loopA"]
+    c = Crawler(
+        spark, pages, str(tmp_path / "red"),
+        CrawlConfig(per_host_budget=16, max_ticks=1, respect_robots=False),
+        redirects=redirects,
+    )
+    c.run(seeds, max_ticks=1)
+    res = {r.url_canon: r for r in c.results().collect()}
+    chain = res[f"https://{h0}/chain/11"]
+    assert chain.status == 200
+    assert chain.final_url == f"https://{h0}/page/11"  # two hops resolved
+    redir = res[f"https://{h0}/redir/11"]
+    assert redir.status == 200 and redir.final_url == f"https://{h0}/page/11"
+    loop = res[f"https://{h0}/loopA"]
+    assert loop.status == 599 and loop.link_count == 0
+    pages.unpersist()
+
+
+def test_redirect_crawl_discovers_targets_via_final_url(spark, tmp_path):
+    """Links on a redirect-landing page resolve against the FINAL url (the
+    simple adapter's Page.url), so discovery continues correctly."""
+    pages = synth.generate_pages(spark, 220, 8).persist()
+    pages.count()
+    redirects = synth.generate_redirects(spark, 220, 8)
+    c = Crawler(
+        spark, pages, str(tmp_path / "red2"),
+        CrawlConfig(per_host_budget=16, max_ticks=3, respect_robots=False),
+        redirects=redirects,
+    )
+    c.run(synth.seed_urls(220, 8), max_ticks=3)
+    res = c.results()
+    # some /chain/ URLs were linked and fetched through redirects
+    chains = res.filter("url_canon LIKE '%/chain/%' AND status = 200")
+    assert chains.count() > 0
+    assert chains.filter("final_url NOT LIKE '%/page/%'").count() == 0
+    pages.unpersist()
