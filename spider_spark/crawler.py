@@ -64,7 +64,12 @@ class Crawler:
         self.catalog = CrawlCatalog(checkpoint_dir)
 
     def bootstrap(self, seed_urls: list[str]) -> None:
-        frontier = seeds_to_frontier(self.spark, seed_urls, self.cfg)
+        frontier = seeds_to_frontier(
+            self.spark,
+            seed_urls,
+            self.cfg,
+            dead_letter_path=str(self.catalog.root / "dead_letter" / "tick=0"),
+        )
         self.catalog.write_bootstrap(frontier, frontier.select("url_hash", "url_canon", "seq"))
         if self.cfg.use_bloom:
             from .bloom import build_bloom_shards

@@ -74,19 +74,31 @@ class CrawlConfig:
     )
 
 
-def seeds_to_frontier(spark, seed_urls: list[str], cfg: CrawlConfig) -> DataFrame:
+def seeds_to_frontier(
+    spark, seed_urls: list[str], cfg: CrawlConfig, dead_letter_path: str | None = None
+) -> DataFrame:
     """Seed list → tick-0 frontier with deterministic seq by list order.
-    Arrow-path createDataFrame + one fused canonicalize UDF pass."""
+    Arrow-path createDataFrame + one fused canonicalize UDF pass.
+
+    Invalid/non-http(s) seeds don't raise (the reference throws
+    ValidationError per URL, simple.ts:54-62 — exceptions don't scale
+    row-wise): they are dropped, and recorded to ``dead_letter_path``
+    when given."""
     import pandas as pd
 
     df = spark.createDataFrame(
         pd.DataFrame({"url": seed_urls, "seed_idx": range(len(seed_urls))})
     )
-    df = (
-        df.withColumn("ch", udfs.canon_and_host("url"))
-        .select("seed_idx", F.col("ch.url_canon").alias("url_canon"), F.col("ch.host").alias("host"))
-        .filter(F.col("url_canon").isNotNull() & F.col("host").isNotNull())
+    df = df.withColumn("ch", udfs.canon_and_host("url")).select(
+        "url", "seed_idx", F.col("ch.url_canon").alias("url_canon"), F.col("ch.host").alias("host")
     )
+    valid = F.col("url_canon").isNotNull() & F.col("host").isNotNull()
+    if dead_letter_path is not None:
+        df = df.persist()
+        df.filter(~valid).select(
+            "url", "seed_idx", F.lit("validation_error").alias("reason")
+        ).write.mode("overwrite").parquet(dead_letter_path)
+    df = df.filter(valid).drop("url")
     return (
         df.withColumn("url_hash", udfs.col_url_hash(F.col("url_canon")))
         .withColumn("priority", F.expr(cfg.priority_expr).cast("int"))

@@ -63,6 +63,43 @@ def stream_metrics(pages: DataFrame, window: str = "1 minute", watermark: str = 
     )
 
 
+def stream_first_seen(links: DataFrame, num_shards: int = 32) -> DataFrame:
+    """Stateful streaming URL-seen filter: emit each canonical URL exactly
+    once across all micro-batches (``applyInPandasWithState``), sharded by
+    ``pmod(url_hash, num_shards)`` — the same partitioning discipline as
+    the batch seen-filter, with the seen set living in the state store
+    instead of a snapshot table.
+
+    Input columns: (url_hash long, url_canon string). First-seen wins per
+    arrival order within the stream — the streaming analog of the batch
+    engine's left_anti against url_seen (links.ts:31-35 keep-first,
+    crawl-wide)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedupe(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out_h, out_u = [], []
+        for pdf in pdf_iter:
+            for h, u in zip(pdf["url_hash"], pdf["url_canon"]):
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    out_h.append(h)
+                    out_u.append(u)
+        state.update((list(seen),))
+        yield pd.DataFrame({"url_hash": out_h, "url_canon": out_u})
+
+    sharded = links.withColumn("shard", F.pmod(F.col("url_hash"), F.lit(num_shards)))
+    return sharded.groupBy("shard").applyInPandasWithState(
+        dedupe,
+        outputStructType="url_hash long, url_canon string",
+        stateStructType="hashes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, checkpoint: str, out_path: str, out_format: str = "parquet"):
     """Drain the source with the available-now trigger and block until done
     — exactly-once via the checkpoint dir (the streaming analog of the

@@ -183,3 +183,15 @@ def test_redirect_crawl_discovers_targets_via_final_url(spark, tmp_path):
     assert chains.count() > 0
     assert chains.filter("final_url NOT LIKE '%/page/%'").count() == 0
     pages.unpersist()
+
+
+def test_invalid_seeds_go_to_dead_letter(spark, tmp_path):
+    """ValidationError rows don't raise (simple.ts:54-62 made row-wise):
+    invalid seeds are dropped from the frontier and recorded."""
+    pages = synth.generate_pages(spark, 100, 4)
+    seeds = synth.seed_urls(100, 4) + ["not a url", "ftp://x.test/y", ""]
+    c = Crawler(spark, pages, str(tmp_path / "dl"), CrawlConfig(per_host_budget=4))
+    c.run(seeds, max_ticks=1)
+    dead = spark.read.parquet(str(tmp_path / "dl" / "dead_letter" / "tick=0"))
+    assert {r.url for r in dead.collect()} == {"not a url", "ftp://x.test/y", ""}
+    assert {r.reason for r in dead.collect()} == {"validation_error"}

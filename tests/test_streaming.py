@@ -49,3 +49,40 @@ def test_stream_metrics_windowed(spark, tmp_path):
     rows = spark.sql("SELECT * FROM mwin").collect()
     assert sum(r.n_pages for r in rows) == 60
     assert all(r.n_links >= 0 for r in rows)
+
+
+def test_stream_first_seen_exactly_once_across_batches(spark, tmp_path):
+    """The stateful seen-filter emits each URL once even when it reappears
+    in later micro-batches (state store holds the seen set per shard)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "links"
+    src.mkdir()
+    # two files = two micro-batches (maxFilesPerTrigger=1), overlapping URLs
+    b0 = pd.DataFrame({"url_canon": [f"https://h{i%4}.test/p{i}" for i in range(50)]})
+    b1 = pd.DataFrame({"url_canon": [f"https://h{i%4}.test/p{i}" for i in range(25, 75)]})
+    spark.createDataFrame(b0).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("url_canon string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+    )
+    from spider_spark import streaming
+
+    deduped = streaming.stream_first_seen(stream, num_shards=8)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("firstseen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT url_canon FROM firstseen").collect()
+    urls = [r.url_canon for r in rows]
+    assert len(urls) == len(set(urls)) == 75  # 50 + 50 with 25 overlap
