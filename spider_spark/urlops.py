@@ -352,14 +352,19 @@ def parse_url(input_str: str, base: URLRecord | str | None = None) -> URLRecord:
 
 def _resolve_with_base(s: str, base: URLRecord) -> URLRecord:
     special = base.is_special
+    # Node/WHATWG quirk (differentially verified): a base's EMPTY query
+    # ('https://h/p?') survives direct parsing but is dropped when copied
+    # during relative resolution — new URL('', 'https://h/p?') and
+    # new URL('#x', …) serialize without the '?'
+    base_q = base.query or None
     if base.opaque_path and not s.startswith("#"):
         if s == "":
-            return replace(base, fragment=None)
+            return replace(base, fragment=None, query=base_q)
         raise URLParseError("cannot resolve against opaque-path base")
     if s == "":
-        return replace(base, fragment=None)
+        return replace(base, fragment=None, query=base_q)
     if s[0] == "#":
-        return replace(base, fragment=_pct_encode(s[1:], _FRAGMENT_EXTRA))
+        return replace(base, fragment=_pct_encode(s[1:], _FRAGMENT_EXTRA), query=base_q)
     slash = "/\\" if special else "/"
     if len(s) >= 2 and s[0] in slash and s[1] in slash:
         return _with_scheme_defaults(_parse_authority_and_path(base.scheme, s.lstrip("/\\") if special else s[2:]))
