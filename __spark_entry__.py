@@ -226,7 +226,10 @@ def q_orders_per_nation(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
-    """Per-tick metrics rollup analog (§2.7): tumbling 1h event windows."""
+    """Per-tick metrics rollup analog (§2.7): tumbling 1h event windows.
+    Pins the session to UTC so hour truncation matches DuckDB's naive
+    timestamps regardless of the harness's timezone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
     return (
@@ -340,6 +343,24 @@ def q_cache_read_through(spark, sf_dir):
     )
     hits, misses = cache_ops.read_through(frontier, cached)
     return misses.select("doc_id", "url_canon")
+
+
+def q_find_document_links(spark, sf_dir):
+    """findDocumentLinks end-to-end (scrapeDocument.ts:333-360): HTML parse
+    → WHATWG href resolution → extension filter → keep-first unique. The
+    oracle constructs the expected resolved URLs directly, so this checks
+    the REAL extraction pipeline byte-for-byte in the correctness gate."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/files/a'), sid, F.lit('.pdf">pdf</a>'),
+        F.lit('<a href="rel'), sid, F.lit('.txt">txt</a>'),
+        F.lit('<a href="/files/a'), sid, F.lit('.pdf">dup</a>'),
+        F.lit('<a href="/img'), sid, F.lit('.png">img</a></body></html>'),
+    ).cast("binary")
+    url = F.concat(F.lit("https://docs.test/d/"), sid)
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return scrape.find_document_links(pages)
 
 
 # ---------------------------------------------------------------------------
@@ -457,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrape_document_text_branch": q_scrape_document,
         "platform_detect": q_platform_detect,
         "cache_read_through_misses": q_cache_read_through,
+        "find_document_links": q_find_document_links,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -619,6 +641,15 @@ def oracle_sql() -> dict[str, str]:
         "cache_read_through_misses": """
             SELECT doc_id, 'https://docs.test/' || doc_id AS url_canon
             FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "find_document_links": """
+            SELECT 'https://docs.test/d/' || doc_id AS url,
+                   'https://docs.test/files/a' || doc_id || '.pdf' AS href
+            FROM documents
+            UNION ALL
+            SELECT 'https://docs.test/d/' || doc_id AS url,
+                   'https://docs.test/d/rel' || doc_id || '.txt' AS href
+            FROM documents
         """,
         "similarity_topk_cosine": """
             SELECT probe_id, vec_id, ROUND(cosine, 4) AS cosine_r, rank FROM (
