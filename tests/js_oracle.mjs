@@ -48,6 +48,80 @@ const detectRegexes = ([url, html]) => {
   ];
 };
 
+// Full detectDocumentUrl chain (detectors.ts:30-193) under true JS string /
+// regex / WHATWG-URL semantics — drives the 17-fixture differential test.
+const makeAbsoluteUrl = (url, base) => {
+  const decoded = decodeEntities(url);
+  try {
+    return new URL(decoded, base).toString();
+  } catch {
+    return decoded;
+  }
+};
+
+const extractWordPress = (url, html) => {
+  if (url.includes('wpdmdl=')) return null;
+  const isWpdm =
+    url.includes('/download/') ||
+    html.includes('wpdm-download-link') ||
+    html.includes('wpdm_view_count');
+  if (!isWpdm) return null;
+  const wpdm = html.match(/href=["']([^"']*wpdmdl=\d+[^"']*)["']/i);
+  if (wpdm) return makeAbsoluteUrl(wpdm[1], url);
+  const pdf = html.match(/href=["']([^"']*\.pdf[^"']*)["']/i);
+  if (pdf) return makeAbsoluteUrl(pdf[1], url);
+  return null;
+};
+
+const extractCivicWeb = (url, html) => {
+  const isPreview =
+    url.includes('/filepro/documents/?preview=') ||
+    (url.includes('civicweb.net') && url.includes('/filepro/documents'));
+  if (!isPreview) return null;
+  const m = html.match(/href=["'](\/filepro\/document\/\d+\/[^"']+\.pdf)["']/i);
+  return m ? makeAbsoluteUrl(m[1], url) : null;
+};
+
+const extractDocuShare = (url, html) => {
+  const isDs =
+    url.includes('/docushare/dsweb/') ||
+    url.includes('DocuShare') ||
+    html.includes('DocuShare') ||
+    html.includes('/dsweb/Get/') ||
+    html.includes('/dsweb/ServicesLib/');
+  if (!isDs) return null;
+  const patterns = [
+    /href=["'](\/dsweb\/Get\/Document-\d+\/[^"']+\.(pdf|doc|docx|xls|xlsx|ppt|pptx))["']/i,
+    /href=["'](\/dsweb\/ServicesLib\/Document-\d+\/[^"']+\.(pdf|doc|docx|xls|xlsx|ppt|pptx))["']/i,
+    /href=["'](\/[^"']*(?:docushare|dsweb)[^"']+\.(pdf|doc|docx|xls|xlsx|ppt|pptx))["']/i,
+  ];
+  for (const p of patterns) {
+    const m = html.match(p);
+    if (m) return makeAbsoluteUrl(m[1], url);
+  }
+  return null;
+};
+
+const detect = ([url, html]) => {
+  const wp = extractWordPress(url, html);
+  if (wp)
+    return { url: wp, type: 'application/pdf', is_pdf: true, strategy: 'wordpress-pdf-link' };
+  const cw = extractCivicWeb(url, html);
+  if (cw)
+    return { url: cw, type: 'application/pdf', is_pdf: true, strategy: 'civicweb-pdf-link' };
+  const ds = extractDocuShare(url, html);
+  if (ds) {
+    const isPdf = ds.toLowerCase().endsWith('.pdf');
+    return {
+      url: ds,
+      type: isPdf ? 'application/pdf' : 'application/octet-stream',
+      is_pdf: isPdf,
+      strategy: 'docushare-doc-link',
+    };
+  }
+  return null;
+};
+
 let input = '';
 process.stdin.on('data', (c) => (input += c));
 process.stdin.on('end', () => {
@@ -58,6 +132,7 @@ process.stdin.on('end', () => {
     entities: decodeEntities,
     resolve,
     detect_regexes: detectRegexes,
+    detect,
   }[op];
   process.stdout.write(JSON.stringify(args.map(fn)));
 });
