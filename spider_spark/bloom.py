@@ -111,9 +111,16 @@ def filter_unseen_with_bloom(
     candidates: DataFrame, seen: DataFrame, bloom: DataFrame | None, **bloom_kw
 ) -> DataFrame:
     """Exact unseen-filter accelerated by the bloom prefilter when given.
-    Result is identical to the plain left_anti (tested in test_bloom.py)."""
+    Result is identical to the plain left_anti (tested in test_bloom.py).
+
+    The exact backstop joins on (url_hash, url_canon) — hash for shuffle
+    locality, string for equality — so a 64-bit hash collision between a new
+    URL and a seen one costs only a wasted bloom maybe-hit, never a dropped
+    URL. Bloom probes stay hash-only (a colliding new URL lands in
+    ``maybe_seen`` and survives the exact check)."""
+    seen_keys = seen.select("url_hash", "url_canon")
     if bloom is None:
-        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return candidates.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
     new, maybe = split_by_bloom(candidates, bloom, **bloom_kw)
-    checked = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    checked = maybe.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
     return new.unionByName(checked)

@@ -20,12 +20,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def col_cache_key(url_col: Column | str, namespace: str = "fetch", parts: list[str] | None = None) -> Column:
-    """Catalyst expression equal to textops.create_cache_key(namespace, url,
-    parts) — JSON shape {"parts":[...],"url":"<url>"} with sorted keys."""
+def col_cache_key(url_col: Column | str, namespace: str = "fetch", parts: list | None = None) -> Column:
+    """Catalyst expression equal to ``textops.create_cache_key(namespace,
+    url, parts)`` byte-for-byte: parts (config literals, not columns) are
+    double-encoded driver-side exactly like normalizeCacheKeyPart
+    (cache.ts:62-68), and the url is JSON-string-escaped JVM-side
+    (backslash, quote). Canonical http(s) URLs contain no raw control
+    characters (the WHATWG canonicalizer strips/percent-encodes them), so
+    the two-character escape set is exhaustive for this column."""
+    from .textops import _js_json_str, normalize_cache_key_part
+
     url = F.col(url_col) if isinstance(url_col, str) else url_col
-    parts_json = "[" + ",".join('"' + p + '"' for p in (parts or [])) + "]"
-    payload = F.concat(F.lit('{"parts":' + parts_json + ',"url":"'), url, F.lit('"}'))
+    sig_parts = [p for p in map(normalize_cache_key_part, parts or []) if p is not None]
+    parts_json = "[" + ",".join(_js_json_str(p) for p in sig_parts) + "]"
+    url_esc = F.replace(
+        F.replace(url, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+    payload = F.concat(F.lit('{"parts":' + parts_json + ',"url":"'), url_esc, F.lit('"}'))
     return F.concat(F.lit(namespace + ":"), F.sha2(payload, 256))
 
 
@@ -48,6 +59,13 @@ def read_through(
     keyed = frontier.withColumn("cache_key", col_cache_key(url_col, namespace))
     if fetch_cache is None:
         return keyed.limit(0), keyed
+    # hit/miss is probed on the non-null 'cached_at' column BY NAME — a
+    # positional probe silently misclassifies if the payload column order
+    # differs or the payload itself is nullable (ADVICE r01)
+    if "cached_at" not in fetch_cache.columns:
+        raise ValueError("fetch_cache table must have a 'cached_at' timestamp column")
+    if "cached_at" in frontier.columns:
+        raise ValueError("frontier must not carry a 'cached_at' column (probe would be ambiguous)")
     cache = fetch_cache
     if ttl_ms is not None:
         now = now if now is not None else F.current_timestamp()
@@ -55,9 +73,8 @@ def read_through(
         fresh = F.col("cached_at") >= (now - F.expr(f"INTERVAL {ttl_ms // 1000} SECOND"))
         cache = cache.filter(fresh)
     joined = keyed.join(cache, "cache_key", "left")
-    probe_col = cache.columns[1] if len(cache.columns) > 1 else "cached_at"
-    hits = joined.filter(F.col(probe_col).isNotNull())
-    misses = joined.filter(F.col(probe_col).isNull()).select(*keyed.columns)
+    hits = joined.filter(F.col("cached_at").isNotNull())
+    misses = joined.filter(F.col("cached_at").isNull()).select(*keyed.columns)
     return hits, misses
 
 

@@ -62,6 +62,13 @@ class Crawler:
         self.robots = robots
         self.redirects = redirects
         self.catalog = CrawlCatalog(checkpoint_dir)
+        # size-gate the redirect broadcast ONCE per run: a limit-bounded
+        # count (scan stops early), so deciding costs O(threshold) not O(table)
+        if redirects is not None:
+            probe = redirects.limit(self.cfg.redirect_broadcast_rows + 1).count()
+            self.redirects_broadcast = probe <= self.cfg.redirect_broadcast_rows
+        else:
+            self.redirects_broadcast = True
 
     def bootstrap(self, seed_urls: list[str]) -> None:
         frontier = seeds_to_frontier(
@@ -140,7 +147,10 @@ class Crawler:
             # snapshot. The heavy columns (text, html-derived structs) flow
             # straight from the parse UDF to parquet; nothing big is pinned
             # in executor memory, so the tick scales to arbitrary batches.
-            parsed = fetch_and_parse(selected, self.pages, cfg, redirects=self.redirects)
+            parsed = fetch_and_parse(
+                selected, self.pages, cfg,
+                redirects=self.redirects, redirects_broadcast=self.redirects_broadcast,
+            )
             results = results_projection(parsed, cfg, tick)
             if blocked is not None:
                 results = results.unionByName(blocked_projection(blocked, cfg, tick))
@@ -179,16 +189,26 @@ class Crawler:
             # action 4 — seen delta from the (small, persisted) new set
             self.catalog.write_seen_delta(tick + 1, new.select("url_hash", "url_canon", "seq"))
 
-            # bloom maintenance: next tick's shards = this tick's ∪ delta
+            # bloom maintenance: next tick's shards = this tick's ∪ delta.
+            # If this tick had NO bloom snapshot (e.g. resuming a checkpoint
+            # created with use_bloom=False), the next bloom must be built
+            # from the FULL next seen set, not the delta alone — a
+            # delta-only bloom is not a superset of seen, and bloom misses
+            # skip the exact anti-join, so seen URLs would be re-enqueued.
             if cfg.use_bloom:
                 from .bloom import build_bloom_shards, merge_bloom_shards
 
-                delta = build_bloom_shards(
-                    new.select("url_hash"),
+                src = (
+                    new.select("url_hash")
+                    if bloom is not None
+                    else self.catalog.load_seen(spark, tick + 1).select("url_hash")
+                )
+                shards = build_bloom_shards(
+                    src,
                     num_shards=cfg.bloom_shards,
                     bits_per_shard=cfg.bloom_bits_per_shard,
                 )
-                merged = delta if bloom is None else merge_bloom_shards(bloom, delta)
+                merged = shards if bloom is None else merge_bloom_shards(bloom, shards)
                 self.catalog.write_bloom(tick + 1, merged)
 
             rm, mm, fm = res_obs.get, miss_obs.get, fr_obs.get

@@ -57,6 +57,10 @@ class CrawlConfig:
     # page stores that are NOT hash-distributed on url (see fetch_and_parse
     # skew note); None = no extra shuffle
     fetch_partitions: int | None = None
+    # broadcast the redirect table into the per-hop joins only below this
+    # row count (counted once per run); above it, shuffle hash join on src —
+    # a web-scale redirect table would OOM the driver if always broadcast
+    redirect_broadcast_rows: int = 1_000_000
     # sharded bloom prefilter for the seen anti-join (bloom.py): identical
     # results, less anti-join shuffle at 10^10-URL scale
     use_bloom: bool = False
@@ -105,8 +109,9 @@ def seeds_to_frontier(
         .withColumn("discovered_tick", F.lit(0))
         .withColumn("seq", F.lpad(F.conv(F.col("seed_idx").cast("string"), 10, 16), SEQ_WIDTH, "0"))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
-        # keep-first on duplicate seeds
-        .withColumn("rn", F.row_number().over(Window.partitionBy("url_hash").orderBy("seq")))
+        # keep-first on duplicate seeds; identity is (hash, canon) — the hash
+        # alone is 64-bit and collides ~3 times at 10^10 URLs
+        .withColumn("rn", F.row_number().over(Window.partitionBy("url_hash", "url_canon").orderBy("seq")))
         .filter("rn = 1")
         .drop("rn")
     )
@@ -170,23 +175,37 @@ def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | No
     )
 
 
-MAX_REDIRECTS = 5  # simple.ts:100 — NetworkError past this
+MAX_REDIRECTS = 5  # simple.ts:100 — strict-divergence past this (see below)
 
 
-def resolve_redirects(selected: DataFrame, redirects: DataFrame | None) -> DataFrame:
+def resolve_redirects(
+    selected: DataFrame, redirects: DataFrame | None, broadcast: bool = True
+) -> DataFrame:
     """Follow redirect chains up to MAX_REDIRECTS hops (simple.ts:89-120):
     adds ``final_url`` (the last location — links resolve against it, like
-    the simple adapter's Page.url) and ``redirect_error`` (chain longer
-    than the limit ⇒ the NetworkError path).
+    the simple adapter's Page.url) and ``redirect_error``.
 
-    Each hop is one equi-join against the redirect table (broadcast when
-    small; hash join on url otherwise); chains longer than the constant
-    don't exist in practice, so the loop unrolls to a fixed 6-join plan."""
+    Chains longer than the limit map to status 599. DIVERGENCE-BY-
+    STRICTNESS (like max_requests): the reference's undici interceptor
+    stops following after 5 hops and returns the 3xx response body
+    (statusCode < 400 ⇒ no NetworkError, simple.ts:104-109); this engine
+    treats an over-long chain as a dead fetch instead of emitting an empty
+    3xx page — documented, deliberate.
+
+    Each hop is one equi-join against the redirect table — BROADCAST only
+    when the caller says the table is small (``broadcast=True``); a
+    web-scale redirect table (often 10-30% of URLs) cannot be broadcast,
+    so the caller size-gates it (Crawler counts once per run) and the
+    planner falls back to a shuffle hash join on ``src``. Chains longer
+    than the constant don't exist in practice, so the loop unrolls to a
+    fixed 6-join plan."""
     if redirects is None:
         return selected.withColumn("final_url", F.col("url_canon")).withColumn(
             "redirect_error", F.lit(False)
         )
-    r = F.broadcast(redirects.select(F.col("src"), F.col("location")))
+    r = redirects.select(F.col("src"), F.col("location"))
+    if broadcast:
+        r = F.broadcast(r)
     out = selected.withColumn("final_url", F.col("url_canon"))
     for _hop in range(MAX_REDIRECTS + 1):
         out = (
@@ -206,6 +225,7 @@ def fetch_and_parse(
     pages: DataFrame,
     cfg: CrawlConfig,
     redirects: DataFrame | None = None,
+    redirects_broadcast: bool = True,
 ) -> DataFrame:
     """The sandbox "network": resolve redirects (≤5 hops), then equi-join
     the selected frontier against the pages table on the FINAL URL,
@@ -222,7 +242,7 @@ def fetch_and_parse(
     (status 599 ≙ NetworkError); the caller derives 404 misses from the
     written snapshot (misses_projection), so no second corpus scan or
     broadcast subquery is needed."""
-    resolved = resolve_redirects(selected, redirects)
+    resolved = resolve_redirects(selected, redirects, broadcast=redirects_broadcast)
     ok = resolved.filter(~F.col("redirect_error")).drop("redirect_error")
     pages_side = pages.select(
         F.col("url").alias("final_url"),
@@ -341,7 +361,10 @@ def extract_new_links(
             num_shards=cfg.bloom_shards,
             bits_per_shard=cfg.bloom_bits_per_shard,
         )
-    return firsts.join(seen.select("url_hash"), "url_hash", "left_anti")
+    # anti-join on (url_hash, url_canon): the hash gives shuffle locality,
+    # the string gives exact equality — a 64-bit hash alone silently drops
+    # ~3 never-crawled URLs per 10^10 (birthday collisions)
+    return firsts.join(seen.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti")
 
 
 def finalize_frontier(new: DataFrame, deferred: DataFrame, cfg: CrawlConfig) -> DataFrame:

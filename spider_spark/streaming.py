@@ -73,28 +73,30 @@ def stream_first_seen(links: DataFrame, num_shards: int = 32) -> DataFrame:
     Input columns: (url_hash long, url_canon string). First-seen wins per
     arrival order within the stream — the streaming analog of the batch
     engine's left_anti against url_seen (links.ts:31-35 keep-first,
-    crawl-wide)."""
+    crawl-wide). Identity is the (url_hash, url_canon) PAIR, matching the
+    batch anti-join — a 64-bit hash alone would silently drop colliding
+    never-seen URLs."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def dedupe(key, pdf_iter, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        seen = set(zip(state.get[0], state.get[1])) if state.exists else set()
         out_h, out_u = [], []
         for pdf in pdf_iter:
             for h, u in zip(pdf["url_hash"], pdf["url_canon"]):
-                h = int(h)
-                if h not in seen:
-                    seen.add(h)
-                    out_h.append(h)
+                k = (int(h), u)
+                if k not in seen:
+                    seen.add(k)
+                    out_h.append(k[0])
                     out_u.append(u)
-        state.update((list(seen),))
+        state.update(([h for h, _ in seen], [u for _, u in seen]))
         yield pd.DataFrame({"url_hash": out_h, "url_canon": out_u})
 
     sharded = links.withColumn("shard", F.pmod(F.col("url_hash"), F.lit(num_shards)))
     return sharded.groupBy("shard").applyInPandasWithState(
         dedupe,
         outputStructType="url_hash long, url_canon string",
-        stateStructType="hashes array<long>",
+        stateStructType="hashes array<long>, urls array<string>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

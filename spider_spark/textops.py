@@ -53,6 +53,11 @@ __all__ = [
     "DEFAULT_DOC_EXTENSIONS",
     "stable_stringify",
     "create_cache_key",
+    "normalize_cache_key_part",
+    "adapter_cache_key",
+    "default_headers",
+    "UNDEFINED",
+    "is_download_error",
 ]
 
 # ECMA-262 WhiteSpace \u222a LineTerminator \u2014 what JS /\\s/ matches and
@@ -256,6 +261,14 @@ def infer_content_type(filename: str | None) -> str:
 def is_pdf_file(filename: str | None) -> bool:
     """isPdfFile (download-utils.ts:71-73)."""
     return bool(filename) and filename.lower().endswith(".pdf")
+
+
+def is_download_error(error_message: str | None) -> bool:
+    """isDownloadError (download-utils.ts:121-126): the message indicates a
+    browser download was triggered rather than a navigation failure."""
+    if not error_message:
+        return False
+    return "Download is starting" in error_message or "net::ERR_ABORTED" in error_message
 
 
 def is_pdf_page(url: str, content: str) -> bool:
@@ -496,23 +509,132 @@ def find_document_links_from(links: list[Link], extensions: list[str] | None = N
 # --- cache keys (the url_seen / fetch_cache identity discipline) ---
 
 
+class _Undefined:
+    """Sentinel for JS ``undefined`` (distinct from None ≙ null)."""
+
+
+UNDEFINED = _Undefined()
+
+
+def _js_json_str(s: str) -> str:
+    """JSON.stringify for a string — Python's json escapes match JS for all
+    BMP text (short escapes for \\b\\f\\n\\r\\t, \\uXXXX for other controls)."""
+    return json.dumps(s, ensure_ascii=False)
+
+
 def stable_stringify(value) -> str:
-    """stableStringify (cache.ts:70-105): JSON with object keys sorted and
-    None (undefined) values dropped — a canonical serialization."""
+    """stableStringify (cache.ts:70-105), mirrored recursion: primitives via
+    JSON.stringify; arrays element-wise; objects with undefined values
+    dropped and keys sorted; ``UNDEFINED``→'undefined', None→'null'.
 
-    def norm(v):
-        if isinstance(v, dict):
-            return {k: norm(x) for k, x in sorted(v.items()) if x is not None}
-        if isinstance(v, (list, tuple)):
-            return [norm(x) for x in v]
-        return v
+    Python None maps to JS null (kept in output); pass ``UNDEFINED`` for the
+    JS undefined drop/'undefined' semantics."""
+    if value is UNDEFINED:
+        return "undefined"
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        return _js_json_str(value)
+    if isinstance(value, (int, float)):
+        return json.dumps(value)
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(stable_stringify(v) for v in value) + "]"
+    if isinstance(value, dict):
+        entries = sorted(
+            ((k, v) for k, v in value.items() if v is not UNDEFINED), key=lambda kv: kv[0]
+        )
+        return "{" + ",".join(f"{_js_json_str(k)}:{stable_stringify(v)}" for k, v in entries) + "}"
+    return _js_json_str(str(value))
 
-    return json.dumps(norm(value), separators=(",", ":"), ensure_ascii=False)
+
+def normalize_cache_key_part(part) -> str | None:
+    """normalizeCacheKeyPart (cache.ts:62-68): each part is itself
+    stableStringified into a STRING, which the outer stringify then
+    JSON-quotes (double encoding)."""
+    if part is UNDEFINED:
+        return None
+    return stable_stringify(part)
 
 
 def create_cache_key(namespace: str, url: str, parts: list | None = None) -> str:
-    """createCacheKey (cache.ts:48-68): '{namespace}:{sha256hex}' over the
-    stable stringify of {parts, url}."""
-    payload = {"parts": parts or [], "url": url}
-    digest = hashlib.sha256(stable_stringify(payload).encode("utf-8")).hexdigest()
+    """createCacheKey (cache.ts:48-60): '{namespace}:{sha256hex}' over
+    stableStringify({parts: parts.map(normalizeCacheKeyPart), url}) — note
+    the DOUBLE encoding: each part becomes a JSON string inside the outer
+    JSON (['{"a":1}'] not [{"a":1}]), byte-identical to the reference."""
+    sig_parts = [p for p in map(normalize_cache_key_part, parts or []) if p is not None]
+    signature = stable_stringify({"parts": sig_parts, "url": url})
+    digest = hashlib.sha256(signature.encode("utf-8")).hexdigest()
     return f"{namespace}:{digest}"
+
+
+# Per-adapter cache-key part composition — config knobs folded into the key
+# exactly like the reference adapters, so config changes never collide
+# (tested in index.spec.ts:206-237 / scrapers.spec.ts:220-266).
+
+DEFAULT_HEADERS_UA = "Mozilla/5.0 (compatible; HappyVertical Spider/2.0; +https://happyvertical.com/bot)"
+
+
+def default_headers(user_agent: str | None = None, headers: dict | None = None) -> dict:
+    """simple.ts:64-75 / dom.ts:84-95: bot default header set, user headers
+    win (spread-right)."""
+    base = {
+        "User-Agent": user_agent or DEFAULT_HEADERS_UA,
+        "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+        "Accept-Language": "en-US,en;q=0.5",
+        "DNT": "1",
+        "Connection": "keep-alive",
+        "Upgrade-Insecure-Requests": "1",
+    }
+    base.update(headers or {})
+    return base
+
+
+def adapter_cache_key(adapter: str, url: str, config: dict | None = None) -> str:
+    """Per-adapter key composition:
+    - simple:   ('simple', url, [defaultHeaders])      simple.ts:76
+    - dom:      ('dom', url, [defaultHeaders])         dom.ts:96
+    - crawlee:  (headless, UA, headers, stealth, executablePath,
+                 cloak.humanize, cloak.executablePath, cloak.autoUpdate)
+                                                       crawlee.ts:46-66
+    - crawl4ai: (serverUrl, headless, UA, waitUntil)   crawl4ai.ts:168-173
+    - tree:     all expansion knobs + headers + timeout tree.ts:97-122
+    """
+    c = config or {}
+    get = lambda k, d=UNDEFINED: c.get(k, d)
+    if adapter in ("simple", "dom"):
+        parts = [default_headers(c.get("userAgent"), c.get("headers"))]
+    elif adapter == "crawlee":
+        parts = [
+            get("headless", True),
+            get("userAgent"),
+            get("headers", {}),
+            get("stealth", False),
+            get("executablePath"),
+            get("cloakHumanize"),
+            get("cloakExecutablePath"),
+            get("cloakAutoUpdate"),
+        ]
+    elif adapter == "crawl4ai":
+        parts = [get("serverUrl"), get("headless", True), get("userAgent"), get("waitUntil", "networkidle")]
+    elif adapter == "tree":
+        parts = [
+            get("maxIterations", 10),
+            get("clickDelay", 100),
+            get("rateLimit", 1000),
+            get("customSelectors"),
+            get("handleExclusive"),
+            get("headless", True),
+            get("userAgent"),
+            get("headers"),
+            get("timeout"),
+            get("stealth", False),
+            get("executablePath"),
+            get("cloakHumanize"),
+            get("cloakExecutablePath"),
+            get("cloakAutoUpdate"),
+        ]
+    else:
+        parts = []
+    return create_cache_key(adapter, url, parts)

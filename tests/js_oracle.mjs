@@ -122,6 +122,39 @@ const detect = ([url, html]) => {
   return null;
 };
 
+// createCacheKey / stableStringify (cache.ts:48-105) under true JS
+// semantics, incl. the normalizeCacheKeyPart double-encoding.
+import { createHash } from 'node:crypto';
+
+const stableStringify = (value) => {
+  if (value === undefined) return 'undefined';
+  if (value === null) return 'null';
+  if (
+    typeof value === 'string' ||
+    typeof value === 'number' ||
+    typeof value === 'boolean'
+  )
+    return JSON.stringify(value);
+  if (Array.isArray(value)) return `[${value.map(stableStringify).join(',')}]`;
+  if (typeof value === 'object') {
+    const entries = Object.entries(value)
+      .filter(([, v]) => v !== undefined)
+      .sort(([a], [b]) => a.localeCompare(b));
+    return `{${entries
+      .map(([k, v]) => `${JSON.stringify(k)}:${stableStringify(v)}`)
+      .join(',')}}`;
+  }
+  return JSON.stringify(String(value));
+};
+
+const cacheKey = ([namespace, url, parts]) => {
+  const sig = (parts ?? [])
+    .map((p) => (p === undefined ? undefined : stableStringify(p)))
+    .filter((p) => p !== undefined);
+  const signature = stableStringify({ parts: sig, url });
+  return `${namespace}:${createHash('sha256').update(signature).digest('hex')}`;
+};
+
 let input = '';
 process.stdin.on('data', (c) => (input += c));
 process.stdin.on('end', () => {
@@ -133,6 +166,7 @@ process.stdin.on('end', () => {
     resolve,
     detect_regexes: detectRegexes,
     detect,
+    cache_key: cacheKey,
   }[op];
   process.stdout.write(JSON.stringify(args.map(fn)));
 });

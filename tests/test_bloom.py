@@ -66,3 +66,35 @@ def test_crawl_with_bloom_identical_to_exact(spark, tmp_path):
     oa = [(r.tick, r.url_canon) for r in a.crawl_order().collect()]
     ob = [(r.tick, r.url_canon) for r in b.crawl_order().collect()]
     assert oa == ob
+
+
+def test_bloom_enabled_on_non_bloom_checkpoint_resume(spark, tmp_path):
+    """ADVICE r01: resuming a checkpoint created with use_bloom=False under
+    use_bloom=True must rebuild the bloom from the FULL seen set — a
+    delta-only bloom lets seen URLs skip the exact anti-join and be
+    re-enqueued (duplicate fetches)."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    pages = synth.generate_pages(spark, 300, n_hosts=8)
+    seeds = synth.seed_urls(300, 8)
+    ckpt = str(tmp_path / "mixed")
+    # ticks 0-1 without bloom
+    a = Crawler(spark, pages, ckpt, CrawlConfig(per_host_budget=4))
+    a.run(seeds, max_ticks=2)
+    # resume with bloom on
+    b = Crawler(
+        spark, pages, ckpt,
+        CrawlConfig(per_host_budget=4, use_bloom=True, bloom_shards=8, bloom_bits_per_shard=1 << 14),
+    )
+    b.run(max_ticks=5)
+    # reference: uninterrupted non-bloom run
+    c = Crawler(spark, pages, str(tmp_path / "ref"), CrawlConfig(per_host_budget=4))
+    c.run(seeds, max_ticks=5)
+    # no URL fetched twice, and the final seen set matches the reference run
+    dup = b.results().groupBy("url_canon").count().filter("count > 1").count()
+    assert dup == 0
+    assert sorted(r.url_canon for r in b.seen().collect()) == sorted(
+        r.url_canon for r in c.seen().collect()
+    )

@@ -195,3 +195,34 @@ def test_invalid_seeds_go_to_dead_letter(spark, tmp_path):
     dead = spark.read.parquet(str(tmp_path / "dl" / "dead_letter" / "tick=0"))
     assert {r.url for r in dead.collect()} == {"not a url", "ftp://x.test/y", ""}
     assert {r.reason for r in dead.collect()} == {"validation_error"}
+
+
+def test_redirect_shuffle_join_matches_broadcast(spark, tmp_path):
+    """Size-gated redirect broadcast (ADVICE r01): above the row threshold
+    the per-hop joins fall back to shuffle hash joins — results must be
+    identical either side of the gate."""
+    pages = synth.generate_pages(spark, 220, 8).persist()
+    pages.count()
+    redirects = synth.generate_redirects(spark, 220, 8)
+    seeds = synth.seed_urls(220, 8)
+
+    def run(name, threshold):
+        c = Crawler(
+            spark, pages, str(tmp_path / name),
+            CrawlConfig(per_host_budget=16, max_ticks=2, respect_robots=False,
+                        redirect_broadcast_rows=threshold),
+            redirects=redirects,
+        )
+        c.run(seeds, max_ticks=2)
+        return c
+
+    bc = run("bc", 1_000_000)
+    sj = run("sj", 0)  # forces the shuffle-join side
+    assert bc.redirects_broadcast is True and sj.redirects_broadcast is False
+    key = lambda c: [
+        (r.tick, r.url_canon, r.final_url, r.status)
+        for r in c.results().orderBy("tick", "priority", "seq")
+        .select("tick", "url_canon", "final_url", "status").collect()
+    ]
+    assert key(bc) == key(sj)
+    pages.unpersist()

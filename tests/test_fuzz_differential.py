@@ -97,3 +97,21 @@ def test_canonicalize_idempotent_on_fuzz():
         assert urlops.canonicalize_url(c) == c, u
         ok += 1
     assert n > 100  # the generator produces plenty of valid URLs
+
+
+def test_cache_key_matches_js_reference_semantics():
+    """create_cache_key vs the Node oracle's verbatim createCacheKey
+    (double-encoded parts, sorted keys, JSON escaping) — byte-identical."""
+    from spider_spark import textops
+
+    cases = [
+        ["simple", "http://h/x", []],
+        ["simple", "http://h/x", [textops.default_headers()]],
+        ["dom", 'http://h/pa"th?q=\\back', []],
+        ["crawlee", "http://h/x", [True, None, {"b": [1, 2], "a": "s"}, 0.5]],
+        ["tree", "http://h/x", [10, 100, 1000, [".sel  a", "details summary"], False]],
+        ["c", "http://h/x", [{"nested": {"z": None, "a": ["q\"uote", "back\\slash"]}}]],
+    ]
+    expected = js_oracle("cache_key", cases)
+    for (ns, url, parts), exp in zip(cases, expected):
+        assert textops.create_cache_key(ns, url, parts) == exp, (ns, url, parts)

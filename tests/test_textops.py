@@ -75,9 +75,42 @@ def test_cache_key_stability():
     k1 = t.create_cache_key("simple", "http://h/x", [{"b": 1, "a": 2}])
     k2 = t.create_cache_key("simple", "http://h/x", [{"a": 2, "b": 1}])
     assert k1 == k2 and k1.startswith("simple:") and len(k1.split(":")[1]) == 64
-    k3 = t.create_cache_key("simple", "http://h/x", [{"a": 2, "b": 1, "c": None}])
-    assert k3 == k1  # None (undefined) dropped
+    k3 = t.create_cache_key("simple", "http://h/x", [{"a": 2, "b": 1, "c": t.UNDEFINED}])
+    assert k3 == k1  # undefined values dropped (cache.ts:91)
+    k4 = t.create_cache_key("simple", "http://h/x", [{"a": 2, "b": 1, "c": None}])
+    assert k4 != k1  # null is KEPT (only undefined drops)
     assert t.create_cache_key("dom", "http://h/x") != k1  # namespace in key
+
+
+def test_stable_stringify_double_encoding():
+    """normalizeCacheKeyPart double-encodes each part: the part object is
+    stringified to a STRING, which the outer stringify JSON-quotes."""
+    sig = t.stable_stringify(
+        {"parts": [p for p in map(t.normalize_cache_key_part, [{"a": 1}]) if p is not None],
+         "url": "http://h/x"}
+    )
+    assert sig == '{"parts":["{\\"a\\":1}"],"url":"http://h/x"}'
+    assert t.stable_stringify(True) == "true"
+    assert t.stable_stringify(None) == "null"
+    assert t.stable_stringify(t.UNDEFINED) == "undefined"
+    assert t.stable_stringify(["x", 1, None]) == '["x",1,null]'
+
+
+def test_adapter_cache_keys_vary_with_config():
+    """index.spec.ts:206-237 / scrapers.spec.ts:220-266: config knobs fold
+    into the key, so different headers / selectors fetch separately."""
+    base = t.adapter_cache_key("simple", "http://h/x")
+    hdr = t.adapter_cache_key("simple", "http://h/x", {"headers": {"X-Custom": "1"}})
+    assert base != hdr
+    # same headers ⇒ same key (read-through hit)
+    assert hdr == t.adapter_cache_key("simple", "http://h/x", {"headers": {"X-Custom": "1"}})
+    # adapters never collide on the same url
+    keys = {t.adapter_cache_key(a, "http://h/x") for a in ("simple", "dom", "crawlee", "crawl4ai", "tree")}
+    assert len(keys) == 5
+    # tree expansion knobs vary the key (customSelectors case)
+    t1 = t.adapter_cache_key("tree", "http://h/x", {"customSelectors": [".x"]})
+    t2 = t.adapter_cache_key("tree", "http://h/x", {"customSelectors": [".y"]})
+    assert t1 != t2
 
 
 def _random_html(rng: random.Random) -> str:
