@@ -312,6 +312,39 @@ def q_scrape_document(spark, sf_dir):
     )
 
 
+def q_scrape_document_downloads(spark, sf_dir):
+    """scrapeDocument branch 1 — downloads as first-class data
+    (scrapeDocument.ts:259-281 + download-utils.ts:80-113): DownloadInfo
+    structs materialized through the real branch projection; url falls back
+    to download.url, type to inferContentType, complete only when bytes
+    arrived error-free. Runs the REAL scrape_document plan; the oracle
+    reconstructs each branch directly."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(3))
+    filename = F.concat(F.lit("f"), sid, F.when(m == 2, ".xlsx").otherwise(".pdf"))
+    content = F.when(m != 1, F.concat(F.lit("bytes-"), sid).cast("binary"))
+    err = F.lit(None).cast("string")  # path-unavailable error comes from materialize
+    dl = udfs.materialize_download(
+        F.concat(F.lit("https://cdn.test/"), filename), filename, content, err
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site.test/download/d"), sid, F.lit("/")).alias("url"),
+        F.lit(b"<html></html>").alias("html"),
+        F.array(dl).alias("downloads"),
+    )
+    out = scrape.scrape_document(pages, downloads_col="downloads")
+    return (
+        out.join(pages.select("doc_id", F.col("url").alias("u")), out.url == F.col("u"))
+        .select(
+            "doc_id", "doc_url", "type", "title", "is_pdf", "is_download",
+            "complete", "strategy",
+            F.sha2(F.coalesce(F.col("file_content"), F.lit(b"")), 256).alias("content_sha"),
+        )
+    )
+
+
 def q_platform_detect(spark, sf_dir):
     """Two-phase platform registry detection (registry.ts:87-149) over
     synthesized URLs/html — URL phase, HTML phase, and low-confidence
@@ -328,6 +361,70 @@ def q_platform_detect(spark, sf_dir):
     src = docs.select("doc_id", url.alias("url"), html.alias("html"))
     out = default_registry().detect(src)
     return out.select("doc_id", "detected_type", "detected_confidence")
+
+
+def q_platform_fetch_items(spark, sf_dir):
+    """fetchItems UDTF (registry.ts:174-187): resolve each source by the
+    two-phase registry, then flat-map one source row into N item rows via
+    the resolved adapter's extraction (real parse → WHATWG resolve →
+    pattern filter, incl. %20 escaping); the oracle constructs the expected
+    item rows directly."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(3))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://a.test/download/d"), sid))
+        .when(m == 1, F.concat(F.lit("https://b.civicweb.net/filepro/documents/?preview="), sid))
+        .otherwise(F.concat(F.lit("https://c.test/docushare/dsweb/Get/Document-"), sid))
+    )
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<a href="/dl/f'), sid, F.lit('.pdf?wpdmdl='), sid,
+            F.lit('">Get</a><a href="/skip.zip">z</a>'),
+        ))
+        .when(m == 1, F.concat(
+            F.lit('<a href="/filepro/document/'), sid, F.lit("/Agenda "), sid,
+            F.lit('.pdf">Agenda</a><a href="/elsewhere/no.pdf">n</a>'),
+        ))
+        .otherwise(F.concat(
+            F.lit('<a href="/dsweb/Get/Document-'), sid, F.lit("/Min "), sid,
+            F.lit('.xlsx">M</a><a href="/dsweb/x.txt">n</a>'),
+        ))
+    ).cast("binary")
+    src = docs.select(url.alias("url"), html.alias("html"))
+    out = default_registry().fetch_items(src)
+    return out.select("url", "detected_type", "item_pos", "item_url", "item_text")
+
+
+def q_tree_scrape_metrics(spark, sf_dir):
+    """Tree-scraper ScrapeResult surface (tree.ts:55-70, 326-348): the
+    9-selector precedence census over synthesized expandable HTML, with the
+    reference's confidence rule (0.9 with interactions, 0.5 without); runs
+    the REAL scrape_result plan (parse UDF + expand UDF), oracle
+    reconstructs per doc_id."""
+    from spider_spark.scrapers import scrape_result
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(4))
+    html = (
+        F.when(m == 0, F.lit('<div class="accordion-button">A</div><div class="accordion-button">B</div><a href="/x">x</a>'))
+        .when(m == 1, F.lit("<details><summary>More</summary><a href='/y'>y</a></details>"))
+        .when(m == 2, F.lit('<button aria-expanded="false">T</button>'))
+        .otherwise(F.lit("<p>plain</p>"))
+    ).cast("binary")
+    pages = docs.select("doc_id", F.concat(F.lit("https://t.test/p/"), sid).alias("url"), html.alias("html"))
+    out = scrape_result(pages, scraper_type="tree")
+    return (
+        out.join(pages.select("doc_id", F.col("url").alias("u")), out.url == F.col("u"))
+        .select(
+            "doc_id",
+            F.col("metrics.interaction_count").alias("interaction_count"),
+            F.round(F.col("strategy.confidence"), 2).alias("confidence"),
+            "matched_selector",
+            F.col("metrics.link_count").alias("link_count"),
+        )
+    )
 
 
 def q_cache_read_through(spark, sf_dir):
@@ -476,7 +573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "similarity_topk_cosine": q_similarity_topk,
         "scrape_document_text_branch": q_scrape_document,
+        "scrape_document_download_branch": q_scrape_document_downloads,
         "platform_detect": q_platform_detect,
+        "platform_fetch_items": q_platform_fetch_items,
+        "tree_scrape_metrics": q_tree_scrape_metrics,
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
         # rows-only (custom distributed operators)
@@ -620,8 +720,25 @@ def oracle_sql() -> dict[str, str]:
                    'Doc ' || doc_id ||
                      CASE WHEN trim(text) = '' THEN ''
                           ELSE ' ' || trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) END AS text,
-                   'html-text' AS strategy,
+                   'basic' AS strategy,
                    TRUE AS complete
+            FROM documents
+        """,
+        "scrape_document_download_branch": """
+            SELECT doc_id,
+                   'https://cdn.test/f' || doc_id ||
+                     CASE WHEN doc_id % 3 = 2 THEN '.xlsx' ELSE '.pdf' END AS doc_url,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+                        ELSE 'application/pdf' END AS type,
+                   'f' || doc_id ||
+                     CASE WHEN doc_id % 3 = 2 THEN '.xlsx' ELSE '.pdf' END AS title,
+                   (doc_id % 3 <> 2) AS is_pdf,
+                   TRUE AS is_download,
+                   (doc_id % 3 <> 1) AS complete,
+                   'direct-download' AS strategy,
+                   CASE WHEN doc_id % 3 = 1 THEN sha256('')
+                        ELSE sha256('bytes-' || doc_id) END AS content_sha
             FROM documents
         """,
         "platform_detect": """
@@ -637,6 +754,38 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'low'
                      ELSE 'high' END AS detected_confidence
             FROM documents
+        """,
+        "tree_scrape_metrics": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS INT) AS interaction_count,
+                   CASE WHEN doc_id % 4 = 3 THEN 0.5 ELSE 0.9 END AS confidence,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '.accordion-button'
+                     WHEN 1 THEN 'details summary'
+                     WHEN 2 THEN 'button[aria-expanded]'
+                   END AS matched_selector,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS INT) AS link_count
+            FROM documents
+        """,
+        "platform_fetch_items": """
+            SELECT 'https://a.test/download/d' || doc_id AS url,
+                   'wordpress-download-manager' AS detected_type,
+                   CAST(0 AS INT) AS item_pos,
+                   'https://a.test/dl/f' || doc_id || '.pdf?wpdmdl=' || doc_id AS item_url,
+                   'Get' AS item_text
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'https://b.civicweb.net/filepro/documents/?preview=' || doc_id,
+                   'civicweb', CAST(0 AS INT),
+                   'https://b.civicweb.net/filepro/document/' || doc_id || '/Agenda%20' || doc_id || '.pdf',
+                   'Agenda'
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT 'https://c.test/docushare/dsweb/Get/Document-' || doc_id,
+                   'docushare', CAST(0 AS INT),
+                   'https://c.test/dsweb/Get/Document-' || doc_id || '/Min%20' || doc_id || '.xlsx',
+                   'M'
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "cache_read_through_misses": """
             SELECT doc_id, 'https://docs.test/' || doc_id AS url_canon

@@ -20,10 +20,17 @@ registry.ts:98-104); an adapter cannot spoof another's type
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # confidence bands mirror src/platform/types.ts:61-66 / registry.ts defaults
 CONF_HIGH, CONF_MEDIUM, CONF_LOW = "high", "medium", "low"
@@ -32,13 +39,19 @@ CONF_HIGH, CONF_MEDIUM, CONF_LOW = "high", "medium", "low"
 @dataclass
 class PlatformAdapter:
     """Declarative adapter: regex/contains patterns instead of callbacks —
-    the whole registry stays inside Catalyst."""
+    the whole registry stays inside Catalyst.
+
+    ``item_href_pattern`` is the adapter's ``fetch(source, ctx) → TItem[]``
+    contract (types.ts:67-91) in declarative form: which anchor hrefs on the
+    source page become normalized item rows (see
+    ``AdapterRegistry.fetch_items``)."""
 
     type: str
     name: str
     priority: int = 200  # registry.ts:10 default; bands types.ts:61-66
     url_pattern: str | None = None  # rlike on the URL (phase 1)
     html_pattern: str | None = None  # rlike on the HTML (phase 2)
+    item_href_pattern: str | None = None  # hrefs that become items (fetch stage)
 
     def detect_url_expr(self, url: Column) -> Column:
         if not self.url_pattern:
@@ -106,17 +119,115 @@ class AdapterRegistry:
 
     def resolve(self, sources: DataFrame, url_col: str = "url",
                 html_col: str | None = "html", type_col: str | None = None) -> DataFrame:
-        """registry.ts:156-168: a preset source.type bypasses detection."""
+        """registry.ts:156-168: a preset source.type naming a REGISTERED
+        adapter bypasses detection entirely (registry.ts:161-162); an
+        unregistered preset falls through to detection."""
         detected = self.detect(sources, url_col, html_col)
         if type_col is None:
             return detected
         preset = F.col(type_col)
+        valid_preset = preset.isin(list(self._adapters)) if self._adapters else F.lit(False)
         return detected.withColumn(
-            "detected_type", F.coalesce(preset, F.col("detected_type"))
+            "detected_type", F.when(valid_preset, preset).otherwise(F.col("detected_type"))
         ).withColumn(
             "detected_confidence",
-            F.when(preset.isNotNull(), F.lit(CONF_HIGH)).otherwise(F.col("detected_confidence")),
+            F.when(valid_preset, F.lit(CONF_HIGH)).otherwise(F.col("detected_confidence")),
         )
+
+    # -- item extraction (registry.ts:174-187 fetchItems) ------------------
+
+    ITEM_STRUCT = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("detected_type", StringType()),
+            StructField("item_pos", IntegerType()),
+            StructField("item_url", StringType()),
+            StructField("item_text", StringType()),
+            StructField("error", StringType()),
+        ]
+    )
+
+    def fetch_items(self, sources: DataFrame, url_col: str = "url",
+                    html_col: str = "html", type_col: str | None = None) -> DataFrame:
+        """``AdapterRegistry.fetchItems`` (registry.ts:174-187) as a UDTF:
+        resolve each source (preset-type bypass included), then run the
+        resolved adapter's item extraction — one source row → N item rows
+        via ``mapInPandas`` flat-map (the ``PlatformAdapter.fetch`` contract,
+        types.ts:67-91).
+
+        Items are the anchors whose resolved absolute href matches the
+        adapter's ``item_href_pattern``, document order, keep-first dedupe
+        on the absolute href (the reference adapters' universal discipline,
+        links.ts:31-35). A source no adapter resolves yields ONE row with
+        ``error='validation_error'`` and null item fields — the row-wise
+        form of the ValidationError throw (registry.ts:181-185); exceptions
+        don't scale row-wise.
+
+        Scale: the per-source work is bounded by page size; the flat-map
+        keeps the page's partitioning (no shuffle), and only (url, html,
+        detected_type) ride the Arrow transfer."""
+        import pandas as pd
+
+        from . import textops
+
+        resolved = self.resolve(sources, url_col, html_col, type_col)
+        patterns = {
+            a.type: a.item_href_pattern for a in self.all() if a.item_href_pattern
+        }
+        registered = set(self._adapters)
+        schema = self.ITEM_STRUCT
+
+        def extract(batches):
+            compiled = {t: re.compile(p, re.IGNORECASE) for t, p in patterns.items()}
+            for pdf in batches:
+                out = []
+                for url, html, typ in zip(
+                    pdf["__url"], pdf["__html"], pdf["detected_type"]
+                ):
+                    url = "" if url is None else str(url)
+                    if typ is None or typ not in registered:
+                        # no registered adapter resolves (a fallback type is
+                        # not an adapter) ⇒ ValidationError row
+                        out.append(
+                            {
+                                "url": url,
+                                "detected_type": typ,
+                                "item_pos": None,
+                                "item_url": None,
+                                "item_text": None,
+                                "error": "validation_error",
+                            }
+                        )
+                        continue
+                    if typ not in compiled:
+                        continue  # registered adapter with no items ⇒ []
+                    if isinstance(html, (bytes, bytearray)):
+                        html = bytes(html).decode("utf-8", errors="replace")
+                    html = "" if html is None else str(html)
+                    pat = compiled[typ]
+                    pos = 0
+                    for link in textops.extract_html_links(html, url):
+                        if not pat.search(link.href):
+                            continue
+                        out.append(
+                            {
+                                "url": url,
+                                "detected_type": typ,
+                                "item_pos": pos,
+                                "item_url": link.href,
+                                "item_text": link.text,
+                                "error": None,
+                            }
+                        )
+                        pos += 1
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+        narrow = resolved.select(
+            F.col(url_col).alias("__url"),
+            F.col(html_col).alias("__html"),
+            "detected_type",
+        )
+        return narrow.mapInPandas(extract, schema)
 
 
 def default_registry() -> AdapterRegistry:
@@ -127,15 +238,19 @@ def default_registry() -> AdapterRegistry:
         type="wordpress-download-manager", name="WordPress Download Manager",
         priority=100, url_pattern=r"/download/",
         html_pattern=r"wpdm-download-link|wpdm_view_count",
+        item_href_pattern=r"wpdmdl=\d+|\.pdf",  # detectors.ts:53,66
     ))
     r.register(PlatformAdapter(
         type="civicweb", name="CivicWeb", priority=110,
         url_pattern=r"/filepro/documents/\?preview=|civicweb\.net",
         html_pattern=r"/filepro/document/",
+        item_href_pattern=r"/filepro/document/\d+/[^\"']+\.pdf",  # detectors.ts:100-102
     ))
     r.register(PlatformAdapter(
         type="docushare", name="DocuShare", priority=120,
         url_pattern=r"/docushare/dsweb/|DocuShare",
         html_pattern=r"DocuShare|/dsweb/Get/|/dsweb/ServicesLib/",
+        # detectors.ts:126-130 href alternation over office extensions
+        item_href_pattern=r"/dsweb/(Get|ServicesLib)/Document-\d+/.+\.(pdf|doc|docx|xls|xlsx|ppt|pptx)",
     ))
     return r

@@ -99,20 +99,27 @@ def _norm_download_url(url_col: Column) -> Column:
 
 
 def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "html",
-                    downloads_col: str | None = None) -> DataFrame:
+                    downloads_col: str | None = None,
+                    scraper_type: str = "basic") -> DataFrame:
     """scrapeDocument's 4-way branch (scrapeDocument.ts:259-319) as one
-    projection. Branch priority (first match wins, mirroring the sequential
-    returns):
+    projection, branch-exact. Priority (first match wins, mirroring the
+    sequential returns):
 
-    1. downloads present → direct-download result (type from filename,
-       empty text, complete)                            scrapeDocument.ts:259-281
+    1. downloads present → direct-download DocumentResult:
+       url = download.url || actualUrl, type = download.contentType ||
+       inferContentType(filename), title = filename, empty text,
+       complete = content present AND no error      scrapeDocument.ts:259-281
     2. detector chain hit → re-enqueue signal: detected doc URL,
-       complete=false                                   scrapeDocument.ts:283-298
-    3. PDF-page heuristic → pdf result                  scrapeDocument.ts:300-303
-    4. else → text + metadata extraction                scrapeDocument.ts:304-319
+       complete=false, no title/description         scrapeDocument.ts:283-298
+    3. PDF-page heuristic → type application/pdf, text = the RAW content
+       (the reference passes PDF bytes through as text), no metadata
+                                                    scrapeDocument.ts:300-304
+    4. else → stripped text + metadata; strategy = the scraper's type
+       ('basic'|'tree'), complete = metrics.complete scrapeDocument.ts:305-319
 
-    Output columns: url (normalized), doc_url, type, text, title,
-    description, is_pdf, is_download, complete, strategy.
+    Output columns: url (normalized source), doc_url (≙ DocumentResult.url),
+    type, text, title, description, filename, content_type, file_content,
+    is_pdf, is_download, complete, strategy.
     """
     pages = pages.withColumn("_norm_url", _norm_download_url(F.col(url_col)))
     parsed = parse_pages(pages, "_norm_url", html_col)
@@ -126,15 +133,25 @@ def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "htm
     html_str = F.col(html_col).cast("string")
     is_pdf_page = udfs.col_is_pdf_page(F.col("_norm_url"), html_str)
 
-    first_dl = F.element_at(F.col(downloads_col), 1) if downloads_col else None
+    if downloads_col:
+        first_dl = F.element_at(F.col(downloads_col), 1)
+        dl_filename = F.coalesce(first_dl["filename"], F.lit(""))
+        dl_type = F.coalesce(first_dl["content_type"], udfs.col_infer_content_type(dl_filename))
+        dl_url = F.coalesce(first_dl["url"], F.col("_norm_url"))
+        dl_complete = first_dl["content"].isNotNull() & first_dl["error"].isNull()
+        dl_is_pdf = udfs.col_is_pdf_file(dl_filename)
+    else:
+        first_dl = None
+        dl_filename = dl_type = dl_url = F.lit(None).cast("string")
+        dl_complete = dl_is_pdf = F.lit(False)
 
     doc_url = (
-        F.when(has_download, F.col("_norm_url"))
+        F.when(has_download, dl_url)
         .when(detected.isNotNull(), detected["url"])
         .otherwise(F.col("_norm_url"))
     )
     mime = (
-        F.when(has_download, udfs.infer_content_type(first_dl["filename"]) if downloads_col else F.lit(None))
+        F.when(has_download, dl_type)
         .when(detected.isNotNull(), detected["type"])
         .when(is_pdf_page, F.lit("application/pdf"))
         .otherwise(F.lit("text/html"))
@@ -142,18 +159,29 @@ def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "htm
     text = (
         F.when(has_download, F.lit(""))
         .when(detected.isNotNull(), F.lit(""))
-        .when(is_pdf_page, F.lit(""))
+        # the reference returns the raw content as text for PDF pages
+        .when(is_pdf_page, html_str)
         .otherwise(F.col("parsed.text"))
     )
-    complete = F.when(detected.isNotNull() & ~has_download, F.lit(False)).otherwise(F.lit(True))
+    # metadata only exists on the plain-HTML branch (the reference skips
+    # extractHtmlMetadata for PDFs and emits none for downloads/detections)
+    plain = ~has_download & detected.isNull() & ~is_pdf_page
+    title = F.when(has_download, first_dl["filename"] if first_dl is not None else F.lit(None)).when(
+        plain, F.col("parsed.title")
+    )
+    description = F.when(plain, F.col("parsed.description"))
+    complete = (
+        F.when(has_download, dl_complete)
+        .when(detected.isNotNull(), F.lit(False))
+        .otherwise(F.lit(True))  # basic scraper metrics.complete is always true
+    )
     strategy = (
         F.when(has_download, F.lit("direct-download"))
         .when(detected.isNotNull(), detected["strategy"])
-        .when(is_pdf_page, F.lit("pdf-page"))
-        .otherwise(F.lit("html-text"))
+        .otherwise(F.lit(scraper_type))
     )
     is_pdf = (
-        F.when(has_download, udfs.col_is_pdf_file(first_dl["filename"]) if downloads_col else F.lit(False))
+        F.when(has_download, dl_is_pdf)
         .when(detected.isNotNull(), detected["is_pdf"])
         .otherwise(is_pdf_page)
     )
@@ -163,8 +191,12 @@ def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "htm
         doc_url.alias("doc_url"),
         mime.alias("type"),
         text.alias("text"),
-        F.col("parsed.title").alias("title"),
-        F.col("parsed.description").alias("description"),
+        title.alias("title"),
+        description.alias("description"),
+        F.when(has_download, first_dl["filename"] if first_dl is not None else F.lit(None)).alias("filename"),
+        F.when(has_download, dl_type).alias("content_type"),
+        (F.when(has_download, first_dl["content"]) if first_dl is not None
+         else F.lit(None).cast("binary")).alias("file_content"),
         is_pdf.alias("is_pdf"),
         has_download.alias("is_download"),
         complete.alias("complete"),

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     IntegerType,
     StringType,
@@ -48,6 +49,18 @@ DETECTED_STRUCT = StructType(
         StructField("type", StringType()),
         StructField("is_pdf", BooleanType()),
         StructField("strategy", StringType()),
+    ]
+)
+
+# DownloadInfo (src/shared/types.ts:4-19): downloads are first-class data —
+# raw bytes ride a BINARY column, never the driver
+DOWNLOAD_STRUCT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("filename", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -185,6 +198,53 @@ def infer_content_type(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def col_is_pdf_file(col):
     """isPdfFile as a Catalyst expression (download-utils.ts:71-73)."""
     return F.endswith(F.lower(col), F.lit(".pdf"))
+
+
+def col_infer_content_type(filename_col):
+    """inferContentType (download-utils.ts:59-66) JVM-side: the 40-entry
+    extension→MIME table as a map literal, probed with the lowered last
+    extension — stays in codegen, unlike the pandas-UDF variant."""
+    from .textops import _MIME_TYPES
+
+    name = F.coalesce(filename_col, F.lit(""))
+    ext = F.regexp_extract(F.lower(name), r"\.[^.]+$", 0)
+    mime_map = F.create_map(*[F.lit(x) for kv in _MIME_TYPES.items() for x in kv])
+    return F.when(ext == "", F.lit("application/octet-stream")).otherwise(
+        F.coalesce(mime_map[ext], F.lit("application/octet-stream"))
+    )
+
+
+def col_is_download_error(msg_col):
+    """isDownloadError (download-utils.ts:121-126): the message indicates a
+    browser download was triggered, not a navigation failure."""
+    m = F.coalesce(msg_col, F.lit(""))
+    return F.contains(m, F.lit("Download is starting")) | F.contains(
+        m, F.lit("net::ERR_ABORTED")
+    )
+
+
+def materialize_download(url_col, filename_col, content_col, error_col=None):
+    """handlePlaywrightDownload (download-utils.ts:80-113) as a DownloadInfo
+    struct projection, branch-exact:
+
+    - thrown failure (``error_col`` non-null): url + filename + the error
+      message, NO content_type/content,
+    - path unavailable (``content_col`` null): inferred content_type,
+      error='Download path not available',
+    - success: inferred content_type + the bytes."""
+    thrown = (
+        error_col.isNotNull() if error_col is not None else F.lit(False)
+    )
+    error = F.when(thrown, error_col).when(
+        content_col.isNull(), F.lit("Download path not available")
+    )
+    return F.struct(
+        url_col.alias("url"),
+        filename_col.alias("filename"),
+        F.when(~thrown, col_infer_content_type(filename_col)).alias("content_type"),
+        F.when(~thrown, content_col).alias("content"),
+        error.alias("error"),
+    )
 
 
 def col_is_pdf_page(url_col, content_col):

@@ -74,7 +74,7 @@ def test_scrape_document_text_branch_byte_identical(spark):
     url = "https://news.example.org/article"
     html = fixture_text("normal_article.html")
     row = scrape.scrape_document(_pages_df(spark, [(url, html)])).first()
-    assert row.strategy == "html-text"
+    assert row.strategy == "basic"  # metadata.strategy = result.strategy.type
     assert row.complete is True
     assert row.text == textops.strip_html_to_text(html)
     meta = textops.extract_html_metadata(html)
@@ -85,7 +85,11 @@ def test_scrape_document_pdf_heuristic_branch(spark):
     row = scrape.scrape_document(
         _pages_df(spark, [("https://x.test/file.pdf", "%PDF-1.7 not html")])
     ).first()
-    assert row.strategy == "pdf-page" and row.is_pdf is True and row.text == ""
+    # reference ELSE-with-isPdf: type pdf, text = the RAW content, no
+    # metadata, strategy = the scraper's type (scrapeDocument.ts:300-319)
+    assert row.strategy == "basic" and row.is_pdf is True
+    assert row.text == "%PDF-1.7 not html"
+    assert row.type == "application/pdf" and row.title is None
 
 
 def test_scrape_document_normalizes_download_url(spark):
@@ -155,13 +159,21 @@ def test_registry_duplicate_rejected_and_preset_bypass(spark):
     reg.register(PlatformAdapter(type="t1", name="one", url_pattern="one"))
     with pytest.raises(ValueError):
         reg.register(PlatformAdapter(type="t1", name="dup"))
+    reg.register(PlatformAdapter(type="preset-type", name="preset"))
     df = spark.createDataFrame(
-        [("https://one.test/one", b"", None), ("https://x.test/", b"", "preset-type")],
+        [
+            ("https://one.test/one", b"", None),
+            ("https://x.test/", b"", "preset-type"),
+            ("https://y.test/", b"", "never-registered"),
+        ],
         "url string, html binary, src_type string",
     )
     out = {r.url: (r.detected_type, r.detected_confidence) for r in reg.resolve(df, type_col="src_type").collect()}
     assert out["https://one.test/one"] == ("t1", "high")
-    assert out["https://x.test/"] == ("preset-type", "high")  # registry.ts:161-162
+    # a REGISTERED preset bypasses detection (registry.ts:161-162)
+    assert out["https://x.test/"] == ("preset-type", "high")
+    # an unregistered preset falls through to detection (no match, no fallback)
+    assert out["https://y.test/"] == (None, None)
 
 
 def test_registry_priority_order():
@@ -217,3 +229,169 @@ def test_max_requests_budget_enforced(spark, tmp_path):
     # a resumed run with the same cap does nothing
     c2 = Crawler(spark, pages, str(tmp_path / "ck"), cfg)
     assert c2.run(max_ticks=8) == []
+
+
+def test_fetch_items_extracts_platform_items(spark):
+    """fetchItems (registry.ts:174-187): one source row → N item rows via
+    the resolved adapter's item extraction; hrefs absolutized and
+    keep-first deduped in document order."""
+    from spider_spark.platform import default_registry
+
+    html = (
+        b'<a href="/dl/report.pdf?wpdmdl=7">Report</a>'
+        b'<a href="/other/file.zip">zip</a>'
+        b'<a href="/dl/report.pdf?wpdmdl=7">dup</a>'
+        b'<a href="/dl/minutes.pdf">Minutes</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://a.test/download/x", html)], "url string, html binary"
+    )
+    rows = default_registry().fetch_items(df).orderBy("item_pos").collect()
+    assert [(r.item_pos, r.item_url, r.item_text, r.detected_type) for r in rows] == [
+        (0, "https://a.test/dl/report.pdf?wpdmdl=7", "Report", "wordpress-download-manager"),
+        (1, "https://a.test/dl/minutes.pdf", "Minutes", "wordpress-download-manager"),
+    ]
+    assert all(r.error is None for r in rows)
+
+
+def test_fetch_items_preset_bypass_and_validation_error(spark):
+    """registry.spec.ts:200-212: a preset source.type naming a registered
+    adapter is fetched without detection; an unresolvable source becomes a
+    validation_error row (the row-wise ValidationError of registry.ts:181-185)."""
+    from spider_spark.platform import AdapterRegistry, PlatformAdapter
+
+    reg = AdapterRegistry()  # no fallback
+    reg.register(PlatformAdapter(
+        type="wordpress-download-manager", name="WPDM", priority=100,
+        url_pattern=r"/download/", item_href_pattern=r"wpdmdl=\d+|\.pdf",
+    ))
+    html = b'<a href="/f.pdf">F</a>'
+    df = spark.createDataFrame(
+        [
+            ("https://x.test/plain", html, "wordpress-download-manager"),  # preset bypass
+            ("https://y.test/plain", html, None),  # unresolvable
+        ],
+        "url string, html binary, src_type string",
+    )
+    rows = reg.fetch_items(df, type_col="src_type").collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r)
+    preset = by_url["https://x.test/plain"]
+    assert [(r.item_url, r.error) for r in preset] == [("https://x.test/f.pdf", None)]
+    bad = by_url["https://y.test/plain"]
+    assert [(r.item_url, r.error) for r in bad] == [(None, "validation_error")]
+
+
+def test_fetch_items_civicweb_and_docushare_patterns(spark):
+    from spider_spark.platform import default_registry
+
+    df = spark.createDataFrame(
+        [
+            (
+                "https://b.civicweb.net/filepro/documents/?preview=9",
+                b'<a href="/filepro/document/9/Agenda 9.pdf">A</a><a href="/elsewhere/x.pdf">no</a>',
+            ),
+            (
+                "https://c.test/docushare/dsweb/Get/Document-5",
+                b'<a href="/dsweb/Get/Document-5/Min 5.xlsx">M</a><a href="/dsweb/other.txt">no</a>',
+            ),
+        ],
+        "url string, html binary",
+    )
+    rows = default_registry().fetch_items(df).collect()
+    got = {(r.detected_type, r.item_url) for r in rows}
+    assert got == {
+        ("civicweb", "https://b.civicweb.net/filepro/document/9/Agenda%209.pdf"),
+        ("docushare", "https://c.test/dsweb/Get/Document-5/Min%205.xlsx"),
+    }
+
+
+# --- downloads as first-class data (download-utils.ts, scrapeDocument branch 1)
+
+
+def test_materialize_download_branches(spark):
+    """handlePlaywrightDownload (download-utils.ts:80-113) branch-exact,
+    expectations from download-utils.test.ts:36-83."""
+    from spider_spark import udfs
+
+    df = spark.createDataFrame(
+        [
+            ("https://example.com/agenda.pdf", "agenda.pdf", b"pdf content", None),
+            ("https://example.com/agenda.pdf", "agenda.pdf", None, None),
+            ("https://example.com/agenda.pdf", "agenda.pdf", None, "permission denied"),
+        ],
+        "url string, filename string, content binary, err string",
+    )
+    rows = df.select(
+        udfs.materialize_download(
+            F.col("url"), F.col("filename"), F.col("content"), F.col("err")
+        ).alias("d")
+    ).collect()
+    ok, nopath, thrown = [r.d for r in rows]
+    assert (ok.url, ok.filename, ok.content_type, bytes(ok.content), ok.error) == (
+        "https://example.com/agenda.pdf", "agenda.pdf", "application/pdf", b"pdf content", None,
+    )
+    assert (nopath.content_type, nopath.content, nopath.error) == (
+        "application/pdf", None, "Download path not available",
+    )
+    assert (thrown.content_type, thrown.content, thrown.error) == (
+        None, None, "permission denied",
+    )
+
+
+def test_col_infer_content_type_and_download_error(spark):
+    """download-utils.test.ts:22-34 + :85-89 through the Catalyst forms."""
+    from spider_spark import udfs
+
+    df = spark.createDataFrame(
+        [("AGENDA.PDF",), ("archive.unknown",), (None,), ("minutes.docx",)],
+        "filename string",
+    )
+    got = [r.ct for r in df.select(udfs.col_infer_content_type(F.col("filename")).alias("ct")).collect()]
+    assert got == [
+        "application/pdf",
+        "application/octet-stream",
+        "application/octet-stream",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ]
+    errs = spark.createDataFrame(
+        [("page.goto: Download is starting",), ("net::ERR_ABORTED at navigation",),
+         ("socket hang up",), (None,)],
+        "msg string",
+    )
+    flags = [r.e for r in errs.select(udfs.col_is_download_error(F.col("msg")).alias("e")).collect()]
+    assert flags == [True, True, False, False]
+    assert textops.is_download_error("page.goto: Download is starting") is True
+    assert textops.is_download_error("socket hang up") is False
+
+
+def test_scrape_document_download_branch(spark):
+    """scrapeDocument branch 1 (scrapeDocument.ts:259-281), expectations
+    mirroring scrapeDocument.test.ts:172-193: url = download.url, type from
+    filename, title = filename, empty text, complete only when bytes
+    arrived without error."""
+    from spider_spark import udfs
+
+    rows = [
+        ("https://site.test/download/file.pdf",
+         [("https://cdn.test/file.pdf", "file.pdf", None, b"%PDF-", None)]),
+        ("https://site.test/download/broken.pdf",
+         [("https://cdn.test/broken.pdf", "broken.pdf", None, None, "Download path not available")]),
+    ]
+    from pyspark.sql.types import ArrayType, StructType, StructField, StringType, BinaryType
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("downloads", ArrayType(udfs.DOWNLOAD_STRUCT)),
+    ])
+    df = spark.createDataFrame(rows, schema).withColumn("html", F.lit(b""))
+    out = {r.url: r for r in scrape.scrape_document(df, downloads_col="downloads").collect()}
+    ok = out["https://site.test/download/file.pdf"]
+    assert ok.is_download is True and ok.strategy == "direct-download"
+    assert ok.doc_url == "https://cdn.test/file.pdf"
+    assert ok.type == "application/pdf" and ok.title == "file.pdf"
+    assert ok.text == "" and ok.is_pdf is True and ok.complete is True
+    assert bytes(ok.file_content) == b"%PDF-"
+    bad = out["https://site.test/download/broken.pdf"]
+    assert bad.complete is False and bad.is_download is True
+    assert bad.error is None if hasattr(bad, "error") else True
