@@ -491,6 +491,32 @@ def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_duplicates(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q_simhash_md5(spark, sf_dir):
+    """Deterministic 32-bit SimHash (md5 token hashes) — pure Catalyst
+    (explode → 32 map-side-combinable bit sums → sign pack), fully
+    SQL-expressible so the SimHash *semantics* (bit-majority packing) get
+    an oracle even though the production simhash uses crc32 UDF hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != F.lit("")
+    )
+    tok_tbl = docs.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    sums = tok_tbl.withColumn("h", h).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    simhash = None
+    for b in range(32):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc_id", simhash.alias("simhash32"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verify stage over adjacent-id candidate pairs."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -579,11 +605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_scrape_metrics": q_tree_scrape_metrics,
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "simhash_deterministic": q_simhash_md5,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk_ann": q_lsh_topk,
         "multimodal_image_features": q_multimodal_features,
@@ -799,6 +826,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://docs.test/d/' || doc_id AS url,
                    'https://docs.test/d/rel' || doc_id || '.txt' AS href
             FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                              THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(a.grams, b.grams)))
+                              ELSE 0 END, 4) AS jaccard_r
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 = 0
+        """,
+        "simhash_deterministic": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            hashed AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+              FROM tok),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b) b
+              GROUP BY doc_id, b.b)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash32
+            FROM bits GROUP BY doc_id
         """,
         "similarity_topk_cosine": """
             SELECT probe_id, vec_id, ROUND(cosine, 4) AS cosine_r, rank FROM (

@@ -43,6 +43,11 @@ class CrawlCatalog:
             return json.loads(self._manifest_path.read_text())
         return {"committed_tick": -1, "metrics": {}}
 
+    def seen_compacted_at(self) -> int:
+        """Highest tick whose seen deltas have been folded into one
+        compacted snapshot (-1 = none)."""
+        return self.manifest().get("seen_compacted_at", -1)
+
     def committed_tick(self) -> int:
         return self.manifest()["committed_tick"]
 
@@ -125,14 +130,47 @@ class CrawlCatalog:
         return spark.read.parquet(self._dir("frontier", tick))
 
     def load_seen(self, spark: SparkSession, up_to_tick: int) -> DataFrame:
-        """Cumulative url_seen = union of committed deltas ≤ up_to_tick.
-        The tick=K dirs form a partitioned layout, so this is one scan with
-        partition pruning, not K scans."""
+        """Cumulative url_seen = compacted snapshot (deltas ≤ C folded into
+        one dir) ∪ per-tick deltas in (C, up_to_tick]. Without periodic
+        compaction the anti-join re-lists K snapshot dirs every tick — fine
+        for 10 ticks, a metadata death at hundreds (VERDICT r01 #7)."""
+        dirs: list[str] = []
+        c = self.seen_compacted_at()
+        if c >= 0 and c <= up_to_tick:
+            dirs.append(str(self.root / "seen_compact" / f"tick={c}"))
+            lo = c + 1
+        else:
+            lo = 0
         base = self.root / "seen"
-        df = spark.read.option("basePath", str(base)).parquet(
-            *[str(base / f"tick={k}") for k in range(up_to_tick + 1) if (base / f"tick={k}").exists()]
-        )
-        return df
+        dirs += [
+            str(base / f"tick={k}")
+            for k in range(lo, up_to_tick + 1)
+            if (base / f"tick={k}").exists()
+        ]
+        # each dir is passed as a leaf path (no basePath): the tick is not
+        # needed downstream, so no partition-column inference required
+        return spark.read.parquet(*dirs).select("url_hash", "url_canon", "seq")
+
+    def compact_seen(self, spark: SparkSession, up_to_tick: int) -> None:
+        """Fold all seen deltas ≤ up_to_tick into one rebalanced snapshot
+        dir. Crash-safe: the compacted dir is written FIRST, the manifest
+        pointer flips atomically, and only then are the folded delta dirs
+        garbage-collected — a kill at any point resumes correctly (either
+        pointer state reads a complete set)."""
+        snap = self.load_seen(spark, up_to_tick)
+        out = self.root / "seen_compact" / f"tick={up_to_tick}"
+        snap.hint("rebalance").write.mode("overwrite").parquet(str(out))
+        prev = self.seen_compacted_at()
+        m = self.manifest()
+        m["seen_compacted_at"] = up_to_tick
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)
+        # gc: folded delta dirs and the superseded compact snapshot
+        for k in range(up_to_tick + 1):
+            shutil.rmtree(self.root / "seen" / f"tick={k}", ignore_errors=True)
+        if 0 <= prev < up_to_tick:
+            shutil.rmtree(self.root / "seen_compact" / f"tick={prev}", ignore_errors=True)
 
     def load_results(self, spark: SparkSession, ticks: list[int] | None = None) -> DataFrame:
         base = self.root / "results"

@@ -229,6 +229,10 @@ class Crawler:
                     for k in ("fetched", "ok", "missing", "blocked", "deferred", "new_urls", "seconds")
                 },
             )
+            # periodic seen compaction (after the commit point: a kill
+            # during compaction resumes from this tick with either pointer)
+            if cfg.compact_seen_every and (tick + 1) % cfg.compact_seen_every == 0:
+                self.catalog.compact_seen(spark, tick + 1)
             return st
         finally:
             if new is not None:

@@ -67,6 +67,9 @@ class CrawlConfig:
     bloom_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20
     politeness_salt: int = 16  # phase-1 salt buckets for the top-k window
+    # fold seen deltas into one snapshot every M ticks (None = never):
+    # keeps the anti-join reading O(M) dirs instead of O(ticks)
+    compact_seen_every: int | None = 8
     store_text: bool = True
     respect_robots: bool = True
     # priority bands, mirroring the reference's adapter priority ordering

@@ -60,17 +60,34 @@ def minhash_signature_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42
     return sig
 
 
-def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_members: int = 100, member_salt: int = 64,
+) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, dup_count, keep_id,
-    member_ids). One shuffle on the 256-bit content hash."""
+    member_ids). Two salted shuffles on the 256-bit content hash.
+
+    ``member_ids`` is CAPPED at ``max_members`` (sorted ascending): a
+    boilerplate page duplicated 10^8 times must not become one multi-GB
+    row. The collect is two-phase — phase 1 groups on (hash, salt) and
+    keeps at most ``max_members`` ids per salt bucket, so no agg buffer
+    ever holds more than group_size/salt ids; phase 2 merges the bounded
+    per-salt slices. Counts are exact; only the member sample is bounded."""
     h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    salted = df.select(h, F.col(id_col)).withColumn(
+        "_salt", F.pmod(F.xxhash64(id_col), F.lit(member_salt))
+    )
+    phase1 = salted.groupBy("content_hash", "_salt").agg(
+        F.count("*").alias("cnt"),
+        F.min(id_col).alias("min_id"),
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, max_members).alias("ids"),
+    )
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("content_hash")
+        phase1.groupBy("content_hash")
         .agg(
-            F.count("*").alias("dup_count"),
-            F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.sum("cnt").alias("dup_count"),
+            F.min("min_id").alias("keep_id"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("ids"))), 1, max_members).alias("member_ids"),
         )
         .filter("dup_count > 1")
     )
@@ -79,9 +96,44 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
 def dedupe_exact_keep_first(df: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
     """Keep the first (by order_col) row of each identical-content group —
     the corpus-level generalization of the reference's keep-first Set
-    semantics (src/shared/links.ts:31-35)."""
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(order_col)
-    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    semantics (src/shared/links.ts:31-35).
+
+    groupBy-min + semi-join instead of a row_number window: a window over a
+    hot content hash serializes that group into one task; the groupBy form
+    partial-aggregates map-side and the join co-partitions on the hash."""
+    h = F.sha2(F.col(text_col), 256)
+    keepers = (
+        df.select(h.alias("_ch"), F.col(order_col))
+        .groupBy("_ch")
+        .agg(F.min(order_col).alias("_keep"))
+    )
+    return (
+        df.withColumn("_ch", h)
+        .join(keepers, ["_ch"])
+        .filter(F.col(order_col) == F.col("_keep"))
+        .drop("_ch", "_keep")
+    )
+
+
+def _drop_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Remove LSH buckets larger than ``max_bucket_size`` before the
+    self-join — the hot-bucket guard. All-identical or boilerplate content
+    collapses into one bucket and the self-join inside it goes quadratic
+    (at sf0.1 invisible; at 100 TB it IS the job). Oversized buckets are
+    dropped, not sub-split: a bucket that large is byte-identical or
+    near-boilerplate content, which ``exact_duplicate_groups`` already
+    catches exactly, so dropping costs no real near-dup recall. The count
+    pass is one map-side-combinable aggregation over (bucket keys); the hot
+    set is tiny and broadcasts into a left_anti."""
+    if max_bucket_size is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), keys, "left_anti")
 
 
 def minhash_near_duplicates(
@@ -93,20 +145,30 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (id_a < id_b, est_jaccard ≥ thresh).
 
     signature → band hashes → explode → bucket self-join → estimate jaccard
-    from full signatures (fraction of equal components)."""
+    from full signatures (fraction of equal components).
+
+    Scale guards: empty/whitespace-only texts are short-circuited out (their
+    degenerate signatures all collide — exact dedupe owns them); buckets
+    larger than ``max_bucket_size`` are dropped (see _drop_hot_buckets);
+    the band self-join ships IDS ONLY — full signatures are re-joined just
+    for the surviving candidate pairs, cutting band-shuffle bytes ~8×."""
     rows = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm, shingle_n, seed)
-    sigs = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    live = df.filter(F.trim(F.col(text_col)) != "")  # degenerate short-circuit
+    sigs = live.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
 
     band_cols = [
         F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows), F.lit(i)).alias("band_hash")
         for i in range(bands)
     ]
-    banded = sigs.select("id", "sig", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    # ids-only banding: the 64-long signature stays behind
+    banded = sigs.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    banded = _drop_hot_buckets(banded, ["band", "bh"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -116,13 +178,13 @@ def minhash_near_duplicates(
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # signatures rejoin only for surviving candidate pairs
+    pairs = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
@@ -160,15 +222,21 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming via 4×16-bit chunk
-    banding (pigeonhole guarantee for max_hamming ≤ 3) + exact verify."""
-    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    banding (pigeonhole guarantee for max_hamming ≤ 3) + exact hamming
+    verify. Same scale guards as MinHash: empty texts short-circuited
+    (simhash 0 would bucket every empty doc together), oversized chunk
+    buckets dropped (boilerplate collapse ⇒ quadratic self-join)."""
+    live = df.filter(F.trim(F.col(text_col)) != "")
+    sh = live.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash"))
     chunks = [
         F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
         for i in range(4)
     ]
     banded = sh.select("id", "simhash", F.posexplode(F.array(*chunks)).alias("band", "ch"))
+    banded = _drop_hot_buckets(banded, ["band", "ch"], max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

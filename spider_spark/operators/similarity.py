@@ -115,14 +115,29 @@ def embedding_near_duplicates(
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join + exact
-    verify — the embedding analog of minhash_near_duplicates."""
+    verify — the embedding analog of minhash_near_duplicates.
+
+    Scale guards mirror the MinHash family: zero-norm vectors are
+    short-circuited (their sign signature is degenerate — every zero vector
+    lands in one bucket), and buckets larger than ``max_bucket_size`` are
+    dropped before the self-join (hot-bucket quadratic guard; see
+    dedup._drop_hot_buckets)."""
+    from .dedup import _drop_hot_buckets
+
+    norm_sq = F.expr(f"aggregate({vec_col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)")
+    live = embeddings.filter(norm_sq > 0)
     sig_udfs = [hyperplane_signature_udf(dim, num_planes, seed=2000 + t) for t in range(num_tables)]
     cols = [sig_udfs[t](F.col(vec_col)).alias(f"b{t}") for t in range(num_tables)]
-    banded = embeddings.select(id_col, vec_col).select(
-        "*", F.posexplode(F.array(*cols)).alias("table", "bucket")
+    vecs = live.select(id_col, vec_col)
+    # ids-only banding: the dim-length vectors stay behind and rejoin only
+    # for surviving candidate pairs
+    banded = vecs.select(
+        F.col(id_col), F.posexplode(F.array(*cols)).alias("table", "bucket")
     )
+    banded = _drop_hot_buckets(banded, ["table", "bucket"], max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -134,10 +149,12 @@ def embedding_near_duplicates(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("vec_a"),
-            F.col(f"r.{vec_col}").alias("vec_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        pairs.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b")
     )
     scored = pairs.withColumn("cosine", _cosine_expr("vec_a", "vec_b"))
     return scored.filter(F.col("cosine") >= cosine_threshold).select("id_a", "id_b", "cosine")

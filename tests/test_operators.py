@@ -201,3 +201,70 @@ def test_multimodal_real_decode_is_gated(spark):
     media = multimodal.generate_media(spark, 2, kind="image")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         multimodal.extract_image_features(media, deterministic=False).collect()
+
+
+# --- LSH-family scale guards (VERDICT r01 "what's wrong" 3-5) ---------------
+
+
+def test_minhash_hot_bucket_guard_completes_without_quadratic_pairs(spark):
+    """10k identical texts collapse into one bucket per band; the guard
+    drops those buckets so the self-join never goes quadratic (identical
+    content is exact-dedupe's job)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10_000), "text": ["same boilerplate text here"] * 10_000})
+    )
+    out = dedup.minhash_near_duplicates(docs, max_bucket_size=500)
+    assert out.count() == 0  # would be ~50M pairs unguarded
+    # and the unguarded path on a SMALL clone group still finds the pairs
+    small = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": ["same boilerplate text here"] * 4})
+    )
+    assert dedup.minhash_near_duplicates(small).count() == 6
+
+
+def test_minhash_empty_text_short_circuit(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "text": ["", "  ", "", "alpha beta gamma delta", "alpha beta gamma delta", ""]})
+    )
+    out = dedup.minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    # empty docs never pair; the two real texts do
+    assert [(r.id_a, r.id_b) for r in out] == [(3, 4)]
+    sims = dedup.simhash_near_duplicates(docs).collect()
+    assert [(r.id_a, r.id_b) for r in sims] == [(3, 4)]
+
+
+def test_exact_duplicate_groups_member_cap(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(1000), "text": ["dup"] * 1000})
+    )
+    row = dedup.exact_duplicate_groups(docs, max_members=10).first()
+    assert row.dup_count == 1000  # count stays exact
+    assert row.keep_id == 0
+    assert row.member_ids == list(range(10))  # sample bounded + sorted
+
+
+def test_dedupe_exact_keep_first_groupby_form(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 3, 9, 1, 7], "text": ["a", "a", "b", "b", "c"]})
+    )
+    kept = sorted(r.doc_id for r in dedup.dedupe_exact_keep_first(docs).collect())
+    assert kept == [1, 3, 7]
+
+
+def test_embedding_near_dups_zero_vector_guard(spark):
+    import pandas as pd
+
+    rows = [{"vec_id": i, "embedding": [0.0] * 8} for i in range(5)]
+    rows += [{"vec_id": 10, "embedding": [1.0, 0.0] * 4}, {"vec_id": 11, "embedding": [1.0, 0.001] * 4}]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    out = similarity.embedding_near_duplicates(emb, dim=8, cosine_threshold=0.9)
+    got = [(r.id_a, r.id_b) for r in out.collect()]
+    assert got == [(10, 11)]  # zero vectors never pair
