@@ -157,10 +157,17 @@ def minhash_near_duplicates(
     larger than ``max_bucket_size`` are dropped (see _drop_hot_buckets);
     the band self-join ships IDS ONLY — full signatures are re-joined just
     for the surviving candidate pairs, cutting band-shuffle bytes ~8×."""
+    from pyspark import StorageLevel
+
     rows = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm, shingle_n, seed)
     live = df.filter(F.trim(F.col(text_col)) != "")  # degenerate short-circuit
-    sigs = live.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    # materialize the signature table once: it feeds the band build, the
+    # hot-bucket census, and both pair-rejoin sides — without this the
+    # shingle+permute UDF (the expensive stage) re-runs 5x per action
+    sigs = live.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     band_cols = [
         F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows), F.lit(i)).alias("band_hash")
@@ -229,8 +236,14 @@ def simhash_near_duplicates(
     verify. Same scale guards as MinHash: empty texts short-circuited
     (simhash 0 would bucket every empty doc together), oversized chunk
     buckets dropped (boilerplate collapse ⇒ quadratic self-join)."""
+    from pyspark import StorageLevel
+
     live = df.filter(F.trim(F.col(text_col)) != "")
-    sh = live.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    # one UDF evaluation: the 8-byte simhash column feeds banding, census,
+    # and both join sides
+    sh = live.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("simhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = [
         F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
         for i in range(4)

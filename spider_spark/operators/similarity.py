@@ -134,9 +134,13 @@ def embedding_near_duplicates(
     vecs = live.select(id_col, vec_col)
     # ids-only banding: the dim-length vectors stay behind and rejoin only
     # for surviving candidate pairs
+    from pyspark import StorageLevel
+
+    # ids-only band table persisted: 3 ints/row, feeds the hot-bucket
+    # census and both self-join sides — one hyperplane-matmul evaluation
     banded = vecs.select(
         F.col(id_col), F.posexplode(F.array(*cols)).alias("table", "bucket")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = _drop_hot_buckets(banded, ["table", "bucket"], max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (

@@ -83,6 +83,39 @@ def find_document_links(pages: DataFrame, extensions: list[str] | None = None,
     )
 
 
+def merge_links_keep_first(link_passes: list[DataFrame], page_col: str = "url",
+                           href_col: str = "href", pos_col: str = "pos") -> DataFrame:
+    """Keep-first union of link-extraction passes: first writer wins across
+    passes in pass order, document order within a pass — the two-pass-
+    ordinal Map/Set merge the reference applies everywhere it combines link
+    lists. Output carries ``pass_ord`` (which pass won) and preserves the
+    encounter order key (pass_ord, pos).
+
+    One window shuffle on (page, href); at scale the passes are co-
+    partitioned on page so the union is shuffle-free."""
+    tagged = [df.withColumn("pass_ord", F.lit(i)) for i, df in enumerate(link_passes)]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t, allowMissingColumns=True)
+    w = Window.partitionBy(page_col, href_col).orderBy("pass_ord", pos_col)
+    return u.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def merge_expanded_final_links(expanded: DataFrame, final: DataFrame, **kw) -> DataFrame:
+    """Crawlee expanded∪final merge (crawlee.ts:154-163): links discovered
+    during accordion expansion win over the post-expansion extraction for
+    the same href — `[...expandedLinks, ...finalLinks]` into a keep-first
+    Map."""
+    return merge_links_keep_first([expanded, final], **kw)
+
+
+def merge_internal_external_links(internal: DataFrame, external: DataFrame, **kw) -> DataFrame:
+    """crawl4ai internal+external merge (crawl4ai.ts:66-100): internal
+    links first, externals only for unseen hrefs — same keep-first Set,
+    list-ordinal internal→external."""
+    return merge_links_keep_first([internal, external], **kw)
+
+
 def _norm_download_url(url_col: Column) -> Column:
     """normalizeDownloadPageUrl (scrapeDocument.ts:129-148) as a Catalyst
     expression: append '/' to /download/ URLs with no query, no trailing

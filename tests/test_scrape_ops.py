@@ -395,3 +395,38 @@ def test_scrape_document_download_branch(spark):
     bad = out["https://site.test/download/broken.pdf"]
     assert bad.complete is False and bad.is_download is True
     assert bad.error is None if hasattr(bad, "error") else True
+
+
+# --- named link-merge operators (crawlee.ts:154-163, crawl4ai.ts:66-100) ----
+
+
+def test_merge_expanded_final_keep_first(spark):
+    """The expanded pass wins for a shared href; final-only links append."""
+    expanded = spark.createDataFrame(
+        [("p1", "https://a/x", 0, "expanded-X"), ("p1", "https://a/y", 1, "expanded-Y")],
+        "url string, href string, pos int, text string",
+    )
+    final = spark.createDataFrame(
+        [("p1", "https://a/x", 0, "final-X"), ("p1", "https://a/z", 1, "final-Z")],
+        "url string, href string, pos int, text string",
+    )
+    out = scrape.merge_expanded_final_links(expanded, final).orderBy("pass_ord", "pos")
+    got = [(r.href, r.text, r.pass_ord) for r in out.collect()]
+    assert got == [
+        ("https://a/x", "expanded-X", 0),  # first writer (expanded) wins
+        ("https://a/y", "expanded-Y", 0),
+        ("https://a/z", "final-Z", 1),
+    ]
+
+
+def test_merge_internal_external_keep_first(spark):
+    internal = spark.createDataFrame(
+        [("p", "https://s/a", 0, "int-A")], "url string, href string, pos int, text string"
+    )
+    external = spark.createDataFrame(
+        [("p", "https://s/a", 0, "ext-A"), ("p", "https://other/b", 1, "ext-B")],
+        "url string, href string, pos int, text string",
+    )
+    out = scrape.merge_internal_external_links(internal, external)
+    got = {(r.href, r.text) for r in out.collect()}
+    assert got == {("https://s/a", "int-A"), ("https://other/b", "ext-B")}
