@@ -468,17 +468,19 @@ def q_find_document_links(spark, sf_dir):
 def q_crawl_tick(spark, sf_dir):
     """One full crawl epoch over the deterministic synthetic pages table:
     seeds → politeness top-k → fetch-join → byte-identical parse → link
-    explode → keep-first → seen anti-join → checkpointed results."""
+    explode → keep-first → seen anti-join → checkpointed results.
+
+    The checkpoint lives in a fresh (non-self-deleting) temp dir so the
+    returned DataFrame reads straight from the snapshot — no driver-side
+    collect (the pattern doesn't belong anywhere near the entry contract)."""
     pages = synth.generate_pages(spark, 400, n_hosts=10)
     robots = synth.generate_robots(spark, 10)
-    with tempfile.TemporaryDirectory() as ckpt:
-        crawler = Crawler(spark, pages, ckpt, CrawlConfig(per_host_budget=6), robots=robots)
-        crawler.run(synth.seed_urls(400, 10), max_ticks=3)
-        res = crawler.results().select(
-            "tick", "url_canon", "host", "priority", "status", "title", "link_count", "seq"
-        )
-        rows = res.collect()  # materialize before the checkpoint dir vanishes
-    return spark.createDataFrame(rows, res.schema).orderBy("tick", "priority", "seq")
+    ckpt = tempfile.mkdtemp(prefix="spider-spark-entry-crawl-")
+    crawler = Crawler(spark, pages, ckpt, CrawlConfig(per_host_budget=6), robots=robots)
+    crawler.run(synth.seed_urls(400, 10), max_ticks=3)
+    return crawler.results().select(
+        "tick", "url_canon", "host", "priority", "status", "title", "link_count", "seq"
+    ).orderBy("tick", "priority", "seq")
 
 
 def q_minhash_near_dups(spark, sf_dir):

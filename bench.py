@@ -121,7 +121,11 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "lsh_topk_ann",
         "events_hourly_rollup",
         "scrape_document_text_branch",
+        "scrape_document_download_branch",
         "platform_detect",
+        "platform_fetch_items",
+        "tree_scrape_metrics",
+        "simhash_deterministic",
         "cache_read_through_misses",
     ]
     out = {}

@@ -230,6 +230,35 @@ class AdapterRegistry:
         return narrow.mapInPandas(extract, schema)
 
 
+@dataclass
+class AdapterContext:
+    """The injected I/O surface platform adapters receive
+    (src/platform/types.ts:46-55; wiring src/platform/context.ts:46-59:
+    ``fetchPage`` mirrors the spider adapter, ``scrapeIndex`` the scraper).
+
+    Spark-first translation: the context carries DataFrame-level
+    capabilities, not per-row I/O — ``fetch_page`` resolves a urls frame
+    against the engine's page store (the sandbox "network": equi-join on
+    url, exactly the fetch-stage contract of frontier.fetch_and_parse),
+    ``scrape_index`` runs the link-extraction entry point, ``log`` is
+    driver-side."""
+
+    pages: DataFrame | None = None
+    log: object = print
+
+    def fetch_page(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        if self.pages is None:
+            raise ValueError("AdapterContext has no page store bound")
+        return urls.join(self.pages, urls[url_col] == self.pages["url"], "left").select(
+            urls[url_col].alias("url"), self.pages["html"].alias("html")
+        )
+
+    def scrape_index(self, pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+        from .scrape import scrape_index
+
+        return scrape_index(pages, url_col, html_col)
+
+
 def default_registry() -> AdapterRegistry:
     """The reference's built-in platforms as declarative adapters (document
     detectors, detectors.ts:142-179), priority bands preserved."""

@@ -83,6 +83,49 @@ def find_document_links(pages: DataFrame, extensions: list[str] | None = None,
     )
 
 
+def dom_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """The DomAdapter fetch variant (dom.ts:54-163): content is the
+    happy-dom parse→re-serialize normalization (``processHtml``,
+    dom.ts:36-49 — raw string on parse failure), and — unlike simple —
+    ``Page.url`` stays the REQUEST url (dom.ts:132), so links resolve
+    against the requested address, not a redirect target.
+
+    Output: (url, content, parsed) where parsed is the standard
+    byte-identical extraction struct over the NORMALIZED html."""
+    normalized = pages.withColumn(
+        "content", udfs.normalize_html(F.col(html_col).cast("string"))
+    )
+    return normalized.withColumn(
+        "parsed", udfs.parse_page(F.col(url_col), F.col("content"))
+    ).select(url_col, "content", "parsed")
+
+
+def crawl4ai_pages(responses: DataFrame, url_col: str = "url",
+                   cleaned_html_col: str = "cleaned_html", html_col: str = "html",
+                   markdown_col: str | None = "markdown") -> DataFrame:
+    """The Crawl4aiAdapter response → Page assembly (crawl4ai.ts:130-292):
+    prefer ``cleaned_html`` over ``html`` (crawl4ai.ts:243 — a coalesce),
+    carry the markdown column (string or struct: fit_markdown else
+    raw_markdown, crawl4ai.ts:114-125), and fall back to our own link
+    extraction when the server provided none (crawl4ai.ts:60-109 cheerio
+    fallback ≙ the parse UDF).
+
+    Output: (url, content, markdown, parsed)."""
+    content = udfs.col_prefer_cleaned_html(F.col(cleaned_html_col), F.col(html_col))
+    out = responses.withColumn("content", content.cast("string"))
+    if markdown_col and markdown_col in responses.columns:
+        md = F.col(markdown_col)
+        if dict(responses.dtypes).get(markdown_col, "string").startswith("struct"):
+            # extractMarkdown: fit_markdown || raw_markdown || null
+            md = F.coalesce(md["fit_markdown"], md["raw_markdown"])
+        out = out.withColumn("markdown", md)
+    else:
+        out = out.withColumn("markdown", F.lit(None).cast("string"))
+    return out.withColumn(
+        "parsed", udfs.parse_page(F.col(url_col), F.col("content"))
+    ).select(url_col, "content", "markdown", "parsed")
+
+
 def merge_links_keep_first(link_passes: list[DataFrame], page_col: str = "url",
                            href_col: str = "href", pos_col: str = "pos") -> DataFrame:
     """Keep-first union of link-extraction passes: first writer wins across

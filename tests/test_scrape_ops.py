@@ -430,3 +430,57 @@ def test_merge_internal_external_keep_first(spark):
     out = scrape.merge_internal_external_links(internal, external)
     got = {(r.href, r.text) for r in out.collect()}
     assert got == {("https://s/a", "int-A"), ("https://other/b", "ext-B")}
+
+
+# --- adapter fetch variants (dom.ts:54-163, crawl4ai.ts:130-292) ------------
+
+
+def test_dom_fetch_pages_normalizes_and_keeps_request_url(spark):
+    html = "<HTML><Body><a href='/x' class=one>X</a></Body></HTML>"
+    out = scrape.dom_fetch_pages(_pages_df(spark, [("https://req.test/page", html)])).first()
+    assert out.content == textops.normalize_html(html)  # parser round-trip
+    assert out.url == "https://req.test/page"  # request URL preserved (dom.ts:132)
+    # links resolve against the request url
+    assert out.parsed.links[0].href == "https://req.test/x"
+
+
+def test_crawl4ai_pages_prefers_cleaned_html_and_markdown(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.test/", "<p>cleaned</p><a href='/c'>c</a>", "<p>raw</p>", "md-string"),
+            ("https://b.test/", None, "<a href='/r'>r</a>", None),
+        ],
+        "url string, cleaned_html string, html string, markdown string",
+    )
+    rows = {r.url: r for r in scrape.crawl4ai_pages(df).collect()}
+    a = rows["https://a.test/"]
+    assert "cleaned" in a.content and a.markdown == "md-string"
+    assert a.parsed.links[0].href == "https://a.test/c"
+    b = rows["https://b.test/"]
+    assert b.content == "<a href='/r'>r</a>"  # fallback to html (coalesce)
+    assert b.markdown is None
+
+
+def test_crawl4ai_markdown_struct_fit_preference(spark):
+    df = spark.createDataFrame(
+        [("https://a.test/", "<p>x</p>", "<p>x</p>", ("FIT", "RAW")),
+         ("https://b.test/", "<p>y</p>", "<p>y</p>", (None, "RAW"))],
+        "url string, cleaned_html string, html string, "
+        "markdown struct<fit_markdown:string, raw_markdown:string>",
+    )
+    rows = {r.url: r.markdown for r in scrape.crawl4ai_pages(df).collect()}
+    assert rows == {"https://a.test/": "FIT", "https://b.test/": "RAW"}
+
+
+def test_adapter_context_fetch_and_scrape(spark):
+    """AdapterContext (types.ts:46-55): the injected I/O surface — fetch
+    resolves against the page store; scrape_index extracts links."""
+    from spider_spark.platform import AdapterContext
+
+    pages = _pages_df(spark, [("https://s.test/", '<a href="/d.pdf">D</a>')])
+    ctx = AdapterContext(pages=pages)
+    urls = spark.createDataFrame([("https://s.test/",), ("https://miss.test/",)], "url string")
+    fetched = {r.url: r.html for r in ctx.fetch_page(urls).collect()}
+    assert fetched["https://s.test/"] is not None and fetched["https://miss.test/"] is None
+    links = ctx.scrape_index(pages).collect()
+    assert [r.href for r in links] == ["https://s.test/d.pdf"]
