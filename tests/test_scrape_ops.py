@@ -484,3 +484,26 @@ def test_adapter_context_fetch_and_scrape(spark):
     assert fetched["https://s.test/"] is not None and fetched["https://miss.test/"] is None
     links = ctx.scrape_index(pages).collect()
     assert [r.href for r in links] == ["https://s.test/d.pdf"]
+
+
+def test_adapter_parity_same_fixture_all_adapters(spark):
+    """index.spec.ts:70-99: the same page through every adapter yields the
+    same absolute links with consistent metadata. Here: the simple path
+    (raw html) vs the dom path (normalized html) vs crawl4ai (cleaned_html
+    = same content) must extract identical link sets and metadata."""
+    from tests.conftest import fixture_text
+
+    url = "https://docs.acme-town.org/download/budget-2026/"
+    html = fixture_text("links_page.html")
+    pages = _pages_df(spark, [(url, html)])
+
+    simple = scrape.parse_pages(pages).select("parsed").first().parsed
+    dom = scrape.dom_fetch_pages(pages).select("parsed").first().parsed
+    c4 = scrape.crawl4ai_pages(
+        pages.withColumn("cleaned_html", F.col("html").cast("string"))
+    ).select("parsed").first().parsed
+
+    for other in (dom, c4):
+        assert [l.href for l in other.links] == [l.href for l in simple.links]
+        assert [l.text for l in other.links] == [l.text for l in simple.links]
+        assert other.title == simple.title and other.description == simple.description
