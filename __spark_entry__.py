@@ -519,6 +519,61 @@ def q_simhash_md5(spark, sf_dir):
     return sums.select("doc_id", simhash.alias("simhash32"))
 
 
+_MH_PERMS = [(999983, 12345), (999979, 54321), (999961, 11111), (999959, 77777)]
+_MH_P = 2147483647
+
+
+def q_minhash_md5(spark, sf_dir):
+    """Deterministic MinHash (md5 3-gram shingle hashes, 4 fixed linear
+    permutations mod 2^31-1) — pure Catalyst array algebra, so the MinHash
+    signature/estimate semantics get a DuckDB oracle alongside the crc32
+    production operator. est_jaccard over adjacent-id pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+    )
+    hs = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    sig_cols = [
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P))).alias(f"sig{i}")
+        for i, (a, b) in enumerate(_MH_PERMS)
+    ]
+    sigs = docs.select("doc_id", *sig_cols)
+    a = sigs.select(*[F.col(c).alias(c + "_a") for c in sigs.columns])
+    b = sigs.select(*[F.col(c).alias(c + "_b") for c in sigs.columns])
+    pairs = a.join(b, F.col("doc_id_a") + 1 == F.col("doc_id_b")).filter(
+        F.col("doc_id_a") % 10 == 0
+    )
+    matches = sum(
+        F.when(F.col(f"sig{i}_a") == F.col(f"sig{i}_b"), 1).otherwise(0)
+        for i in range(len(_MH_PERMS))
+    )
+    return pairs.select(
+        F.col("doc_id_a").alias("id_a"),
+        F.col("doc_id_b").alias("id_b"),
+        (matches / F.lit(float(len(_MH_PERMS)))).alias("est_jaccard"),
+    )
+
+
+def q_winnowing_md5(spark, sf_dir):
+    """Deterministic winnowing fingerprints (char 5-grams → md5 hashes →
+    min per 4-window → distinct) in pure Catalyst array algebra — the
+    window-min fingerprint semantics with a DuckDB oracle (the production
+    operator uses a rolling Karp-Rabin UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.lower(F.trim(F.col("text")))
+    n = F.length(txt)
+    k, w = 5, 4
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    hashes = F.transform(
+        gram_idx, lambda i: F.conv(F.substring(F.md5(F.substring(txt, i, k)), 1, 8), 16, 10).cast("long")
+    )
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1)))
+    fps = F.array_distinct(F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, w))))
+    return docs.select("doc_id", F.size(fps).alias("n_fingerprints"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verify stage over adjacent-id candidate pairs."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -609,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_document_links": q_find_document_links,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash_deterministic": q_simhash_md5,
+        "minhash_deterministic": q_minhash_md5,
+        "winnowing_deterministic": q_winnowing_md5,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -844,6 +901,41 @@ def oracle_sql() -> dict[str, str]:
                                    / len(list_distinct(list_concat(a.grams, b.grams)))
                               ELSE 0 END, 4) AS jaccard_r
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 = 0
+        """,
+        "winnowing_deterministic": """
+            WITH h AS (
+              SELECT doc_id, s,
+                     list_transform(
+                       generate_series(1, greatest(length(s) - 4, 1)),
+                       i -> CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 8))::UBIGINT AS BIGINT)) AS hs
+              FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents))
+            SELECT doc_id,
+                   CAST(len(list_distinct(list_transform(
+                     generate_series(1, greatest(len(hs) - 3, 1)),
+                     i -> list_min(hs[i:i+3])))) AS INT) AS n_fingerprints
+            FROM h
+        """,
+        "minhash_deterministic": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 1)),
+                         i -> array_to_string(t[i:i+2], ' '))),
+                       s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT)) AS hs
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents)),
+            sigs AS (
+              SELECT doc_id,
+                     {", ".join(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS sig{i}"
+                                for i, (a, b) in enumerate(_MH_PERMS))}
+              FROM g)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+                                 for i in range(len(_MH_PERMS)))}) / 4.0 AS est_jaccard
+            FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 10 = 0
         """,
         "simhash_deterministic": """
