@@ -507,3 +507,22 @@ def test_adapter_parity_same_fixture_all_adapters(spark):
         assert [l.href for l in other.links] == [l.href for l in simple.links]
         assert [l.text for l in other.links] == [l.text for l in simple.links]
         assert other.title == simple.title and other.description == simple.description
+
+
+def test_registry_fetch_failure_fallback_and_unregister(spark):
+    """registry.spec.ts:161-172: when the HTML phase cannot run (fetch
+    failed ⇒ html_col=None), URL-phase misses fall to the fallback type at
+    'low'; plus unregister/has bookkeeping (registry.ts:54-66)."""
+    reg = default_registry()
+    assert reg.has("civicweb") is True
+    df = spark.createDataFrame([("https://plain.test/page",)], "url string")
+    out = reg.detect(df, html_col=None).first()
+    assert (out.detected_type, out.detected_confidence) == ("generic", "low")
+    assert reg.unregister("civicweb") is True
+    assert reg.unregister("civicweb") is False  # already gone
+    assert reg.has("civicweb") is False
+    # a civicweb URL now falls through to fallback
+    df2 = spark.createDataFrame(
+        [("https://x.civicweb.net/filepro/documents/?preview=1",)], "url string"
+    )
+    assert reg.detect(df2, html_col=None).first().detected_type == "generic"
