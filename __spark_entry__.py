@@ -607,6 +607,31 @@ def q_lsh_topk(spark, sf_dir):
     return out.select("probe_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "rank")
 
 
+def q_ppm_decode(spark, sf_dir):
+    """REAL image decode (netpbm P6 parsed by hand in the mapInPandas
+    kernel): dimensions and the red-channel mean come from actually
+    decoding the pixel bytes; the oracle reconstructs both analytically
+    from the deterministic gradient pattern."""
+    media = multimodal.generate_ppm_images(spark, 64)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("embedding", 1).cast("double"), 3).alias("red_mean"),
+    )
+
+
+def q_wav_features(spark, sf_dir):
+    """REAL audio decode (stdlib wave + numpy FFT): duration and dominant
+    frequency from actually decoding the PCM payload; oracle reconstructs
+    them from the synth parameters (sine at 200+(id%40)*50 Hz, 250 ms)."""
+    media = multimodal.generate_wav_audio(spark, 48)
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id", "duration_ms",
+        (F.round(F.col("dominant_hz") / 50) * 50).cast("int").alias("dominant_hz_bin"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → typed features via mapInPandas (decode stubbed
     deterministically; Spark-side schema/partitioning/batch shape real)."""
@@ -660,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platform_detect": q_platform_detect,
         "platform_fetch_items": q_platform_fetch_items,
         "tree_scrape_metrics": q_tree_scrape_metrics,
+        "multimodal_ppm_decode": q_ppm_decode,
+        "audio_wav_features": q_wav_features,
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -840,6 +867,22 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'low'
                      ELSE 'high' END AS detected_confidence
             FROM documents
+        """,
+        "multimodal_ppm_decode": """
+            SELECT i AS media_id,
+                   CAST(16 + i % 17 AS INT) AS width,
+                   CAST(12 + (i * 3) % 13 AS INT) AS height,
+                   ROUND((list_sum(list_transform(
+                        generate_series(0, CAST(16 + i % 17 AS INT) - 1),
+                        x -> x * 255 // (16 + i % 17 - 1)))
+                      / CAST(16 + i % 17 AS DOUBLE)) / 255.0, 3) AS red_mean
+            FROM generate_series(0, 63) t(i)
+        """,
+        "audio_wav_features": """
+            SELECT i AS media_id,
+                   CAST(250 AS INT) AS duration_ms,
+                   CAST(200 + (i % 40) * 50 AS INT) AS dominant_hz_bin
+            FROM generate_series(0, 47) t(i)
         """,
         "tree_scrape_metrics": """
             SELECT doc_id,

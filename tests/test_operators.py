@@ -268,3 +268,57 @@ def test_embedding_near_dups_zero_vector_guard(spark):
     out = similarity.embedding_near_duplicates(emb, dim=8, cosine_threshold=0.9)
     got = [(r.id_a, r.id_b) for r in out.collect()]
     assert got == [(10, 11)]  # zero vectors never pair
+
+
+# --- real multimodal codecs (netpbm P6, WAV/PCM) ----------------------------
+
+
+def test_ppm_roundtrip_and_features():
+    import numpy as np
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(arr)) == arr).all()
+    feats = multimodal.ppm_features(arr)
+    assert abs(feats[0] - arr[:, :, 0].mean() / 255.0) < 1e-6
+
+
+def test_wav_roundtrip_and_dominant_freq():
+    import numpy as np
+
+    t = np.arange(4000) / 16000
+    samples = (np.sin(2 * np.pi * 440.0 * t) * 10000).astype("<i2")
+    decoded, rate = multimodal.decode_wav(multimodal.encode_wav(samples))
+    assert rate == 16000 and (decoded == samples).all()
+
+
+def test_real_image_feature_extraction(spark):
+    media = multimodal.generate_ppm_images(spark, 8)
+    rows = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert len(rows) == 8
+    # analytic check: id 0 → w=16, h=12; red channel = x-gradient
+    r0 = rows[0]
+    assert (r0.width, r0.height) == (16, 12)
+    import numpy as np
+
+    expected_red = np.mean([x * 255 // 15 for x in range(16)]) / 255.0
+    assert abs(r0.embedding[0] - expected_red) < 1e-5
+
+
+def test_real_audio_feature_extraction(spark):
+    media = multimodal.generate_wav_audio(spark, 6)
+    rows = {r.media_id: r for r in multimodal.extract_audio_features(media).collect()}
+    assert len(rows) == 6
+    for i, r in rows.items():
+        assert r.duration_ms == 250
+        expected = 200.0 + (i % 40) * 50.0
+        assert abs(r.dominant_hz - expected) < 5.0  # within one FFT bin
+        assert r.rms > 5000
+
+
+def test_real_ppm_resize(spark):
+    media = multimodal.generate_ppm_images(spark, 4)
+    out = {r.media_id: r for r in multimodal.resize_images(media, max_px=8).collect()}
+    for i, r in out.items():
+        assert max(r.width, r.height) <= 8
+        arr = multimodal.decode_ppm(bytes(r.payload))
+        assert arr.shape == (r.height, r.width, 3)
