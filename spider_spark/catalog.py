@@ -80,6 +80,21 @@ class CrawlCatalog:
     def write_seen_delta(self, tick: int, seen_delta: DataFrame) -> None:
         seen_delta.hint("rebalance").write.mode("overwrite").parquet(self._dir("seen", tick))
 
+    def write_lineage(self, tick: int, lineage: DataFrame) -> None:
+        """Per-partition lineage rows for a tick (north rule: frontier,
+        seen shards, AND per-partition lineage/metrics are all checkpointed
+        state): which physical partition produced how many rows of which
+        status, bounded by the politeness budget — the audit trail that
+        lets a resumed run prove no partition's output was lost or
+        double-committed."""
+        lineage.write.mode("overwrite").parquet(self._dir("lineage", tick))
+
+    def load_lineage(self, spark: SparkSession, ticks: list[int] | None = None) -> DataFrame:
+        base = self.root / "lineage"
+        if ticks is None:
+            ticks = sorted(int(p.name.split("=")[1]) for p in base.glob("tick=*"))
+        return spark.read.parquet(*[str(base / f"tick={k}") for k in ticks])
+
     def write_bloom(self, tick: int, bloom: DataFrame) -> None:
         """Bloom shard snapshot entering ``tick`` — one (shard, bits) row
         per shard, checkpointed like any other tick state."""

@@ -173,6 +173,21 @@ class Crawler:
             ).observe(miss_obs, F.count(F.lit(1)).alias("missing"))
             self.catalog.append_results(tick, misses)
 
+            # per-partition lineage snapshot: a politeness-bounded agg over
+            # the written results (column-pruned read), the audit trail the
+            # north rule checkpoints alongside frontier/seen
+            self.catalog.write_lineage(
+                tick,
+                self.catalog.load_results(spark, [tick])
+                .groupBy("partition_id", "status")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
+                )
+                .withColumn("tick", F.lit(tick)),
+            )
+
             # action 3 — next frontier from the written snapshot: parquet
             # column pruning re-reads ONLY (status, seq, links)
             bloom = self.catalog.load_bloom(spark, tick) if cfg.use_bloom else None

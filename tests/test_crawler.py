@@ -267,3 +267,19 @@ def test_seen_compaction_preserves_resume_and_results(spark, tmp_path):
     dup = resumed.results().groupBy("url_canon").count().filter("count > 1").count()
     assert dup == 0
     pages.unpersist()
+
+
+def test_per_partition_lineage_checkpointed(spark, world, tmp_path):
+    """North rule: per-partition lineage/metrics are checkpointed state —
+    each tick writes (partition_id, status, n_rows, seq range), and the
+    lineage row counts reconcile exactly with the results ledger."""
+    c = _run(spark, world, str(tmp_path / "lin"), max_ticks=2)
+    lineage = c.catalog.load_lineage(spark)
+    assert {f for f in ("partition_id", "status", "n_rows", "min_seq", "max_seq", "tick")} <= set(lineage.columns)
+    by_tick_lineage = {
+        r.tick: r.total for r in lineage.groupBy("tick").agg(F.sum("n_rows").alias("total")).collect()
+    }
+    by_tick_results = {
+        r.tick: r.total for r in c.results().groupBy("tick").agg(F.count("*").alias("total")).collect()
+    }
+    assert by_tick_lineage == by_tick_results and len(by_tick_lineage) == 2
