@@ -83,6 +83,35 @@ def find_document_links(pages: DataFrame, extensions: list[str] | None = None,
     )
 
 
+def simple_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """The SimpleAdapter fetch variant (simple.ts:34-154) over already-
+    materialized page rows: raw content, standard parse struct. (The
+    redirect-following / final-url half of the simple adapter lives in the
+    crawl tick — frontier.resolve_redirects/fetch_and_parse.)
+
+    Output: (url, content, parsed)."""
+    return pages.withColumn("content", F.col(html_col).cast("string")).withColumn(
+        "parsed", udfs.parse_page(F.col(url_col), F.col("content"))
+    ).select(url_col, "content", "parsed")
+
+
+def get_fetch_adapter(adapter: str):
+    """Factory dispatch ≙ getSpider (factory.ts:79-104): adapter name →
+    the DataFrame-level fetch variant; unknown names raise, mirroring the
+    discriminated-union exhaustiveness check."""
+    registry = {
+        "simple": simple_fetch_pages,
+        "dom": dom_fetch_pages,
+        "crawl4ai": crawl4ai_pages,
+        # 'crawlee' needs a live browser per row — out of scope in a
+        # distributed engine (SURVEY §2.1); its observable semantics
+        # (expansion census, downloads, skip-links) live in scrapers.py
+    }
+    if adapter not in registry:
+        raise ValueError(f"unknown spider adapter: {adapter!r} (have {sorted(registry)})")
+    return registry[adapter]
+
+
 def dom_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
     """The DomAdapter fetch variant (dom.ts:54-163): content is the
     happy-dom parse→re-serialize normalization (``processHtml``,

@@ -526,3 +526,18 @@ def test_registry_fetch_failure_fallback_and_unregister(spark):
         [("https://x.civicweb.net/filepro/documents/?preview=1",)], "url string"
     )
     assert reg.detect(df2, html_col=None).first().detected_type == "generic"
+
+
+def test_get_fetch_adapter_factory_dispatch(spark):
+    """getSpider factory semantics (factory.ts:79-104): known adapters
+    dispatch; unknown raise."""
+    url, html = "https://f.test/", '<a href="/l">L</a>'
+    for name in ("simple", "dom", "crawl4ai"):
+        fn = scrape.get_fetch_adapter(name)
+        df = _pages_df(spark, [(url, html)])
+        if name == "crawl4ai":
+            df = df.withColumn("cleaned_html", F.col("html").cast("string"))
+        out = fn(df).first()
+        assert out.parsed.links[0].href == "https://f.test/l"
+    with pytest.raises(ValueError, match="unknown spider adapter"):
+        scrape.get_fetch_adapter("crawlee-typo")
