@@ -52,8 +52,13 @@ def main() -> None:
     from spider_spark.crawler import Crawler
     from spider_spark.frontier import CrawlConfig
 
+    import os
+
     spark = (
         SparkSession.builder.appName("spider-spark-crawl")
+        # spark-submit supplies memory on a cluster; the local smoke path
+        # otherwise runs on the 1g default and OOMs Arrow at ~1M+ pages
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
@@ -65,7 +70,13 @@ def main() -> None:
     robots = redirects = None
     if args.synth_pages:
         n_hosts = args.synth_hosts or max(16, args.synth_pages // 150)
-        pages = synth.generate_pages(spark, args.synth_pages, n_hosts=n_hosts)
+        # materialize the corpus once (hash-distributed on url — the
+        # engine's storage contract) so ticks scan files, not the generator
+        pages_dir = str(Path(args.checkpoint) / "_synth_pages")
+        synth.generate_pages(spark, args.synth_pages, n_hosts=n_hosts).repartition(
+            64, "url"
+        ).write.mode("overwrite").parquet(pages_dir)
+        pages = spark.read.parquet(pages_dir)
         robots = synth.generate_robots(spark, n_hosts)
         redirects = synth.generate_redirects(spark, args.synth_pages, n_hosts)
         seeds = synth.seed_urls(args.synth_pages, n_hosts, k=min(64, n_hosts))
