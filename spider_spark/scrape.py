@@ -129,6 +129,68 @@ def dom_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "htm
     ).select(url_col, "content", "parsed")
 
 
+# Crawl4aiResponse (crawl4ai.ts:21-33): the service's JSON result shape.
+# ``markdown`` is polymorphic in the reference (string | {fit_markdown,
+# raw_markdown}) — parsed both ways below and coalesced.
+CRAWL4AI_LINK = "array<struct<href:string, text:string, title:string>>"
+CRAWL4AI_RESPONSE_SCHEMA = (
+    "struct<success:boolean, html:string, cleaned_html:string, "
+    "status_code:int, "
+    f"links:struct<internal:{CRAWL4AI_LINK}, external:{CRAWL4AI_LINK}>>"
+)
+
+
+def parse_crawl4ai_response(json_col: Column) -> Column:
+    """Crawl4ai response JSON → typed struct (crawl4ai.ts:217-243 parse +
+    unwrap): from_json with the response schema; the polymorphic markdown
+    field is resolved to a single string (fit over raw over plain) exactly
+    like extractMarkdown (crawl4ai.ts:114-125)."""
+    base = F.from_json(json_col, CRAWL4AI_RESPONSE_SCHEMA)
+    md_struct = F.from_json(
+        json_col, "struct<markdown:struct<fit_markdown:string, raw_markdown:string>>"
+    )["markdown"]
+    md_plain = F.from_json(json_col, "struct<markdown:string>")["markdown"]
+    markdown = F.coalesce(md_struct["fit_markdown"], md_struct["raw_markdown"], md_plain)
+    return F.struct(
+        base["success"].alias("success"),
+        base["html"].alias("html"),
+        base["cleaned_html"].alias("cleaned_html"),
+        base["status_code"].alias("status_code"),
+        base["links"].alias("links"),
+        markdown.alias("markdown"),
+    )
+
+
+def crawl4ai_pages_from_json(responses: DataFrame, url_col: str = "url",
+                             json_col: str = "response_json") -> DataFrame:
+    """Raw crawl4ai JSON responses → Page rows: parse the response struct,
+    prefer cleaned_html, use server-provided links (internal first,
+    external keep-first — crawl4ai.ts:66-100) when present, else fall back
+    to our own extraction (the cheerio fallback ≙ the parse UDF).
+
+    Output: (url, content, markdown, links ARRAY<STRUCT href,text,title>,
+    link_source)."""
+    parsed = responses.withColumn("r", parse_crawl4ai_response(F.col(json_col)))
+    content = F.coalesce(F.col("r.cleaned_html"), F.col("r.html"))
+    internal = F.coalesce(F.col("r.links.internal"), F.array().cast(CRAWL4AI_LINK))
+    external = F.coalesce(F.col("r.links.external"), F.array().cast(CRAWL4AI_LINK))
+    both = F.concat(internal, external)  # internal first = list-ordinal order
+    # resolve + keep-first dedupe on the resolved href in one Arrow pass
+    server_links = udfs.resolve_link_array(both, F.col(url_col))
+    own = F.transform(
+        udfs.parse_page(F.col(url_col), content)["links"],
+        lambda l: F.struct(l["href"].alias("href"), l["text"].alias("text"), l["title"].alias("title")),
+    )
+    use_server = F.size(server_links) > 0
+    return parsed.select(
+        F.col(url_col).alias("url"),
+        content.alias("content"),
+        F.col("r.markdown").alias("markdown"),
+        F.when(use_server, server_links).otherwise(own).alias("links"),
+        F.when(use_server, F.lit("server")).otherwise(F.lit("extracted")).alias("link_source"),
+    )
+
+
 def crawl4ai_pages(responses: DataFrame, url_col: str = "url",
                    cleaned_html_col: str = "cleaned_html", html_col: str = "html",
                    markdown_col: str | None = "markdown") -> DataFrame:

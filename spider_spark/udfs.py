@@ -192,6 +192,43 @@ def infer_content_type(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield names.map(lambda n: textops.infer_content_type(None if n is None else str(n)))
 
 
+C4AI_LINK_STRUCT = StructType(
+    [
+        StructField("href", StringType()),
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+    ]
+)
+
+
+@pandas_udf(ArrayType(C4AI_LINK_STRUCT))
+def resolve_link_array(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """(links ARRAY<STRUCT href,text,title>, base) → hrefs resolved
+    against base (WHATWG, passthrough on failure), text trimmed, keep-first
+    dedupe on the RESOLVED href in array order — the crawl4ai
+    server-links normalization (crawl4ai.ts:66-100) in one Arrow pass."""
+    for links_col, bases in it:
+        out = []
+        for links, base in zip(links_col, bases):
+            if links is None:
+                out.append([])
+                continue
+            seen, rows = set(), []
+            for l in links:
+                href = l["href"] if isinstance(l, dict) else l.href
+                text = l["text"] if isinstance(l, dict) else l.text
+                title = l["title"] if isinstance(l, dict) else l.title
+                if not href:
+                    continue
+                resolved = textops.resolve_href(_to_str(href), _to_str(base))
+                if resolved in seen:
+                    continue
+                seen.add(resolved)
+                rows.append({"href": resolved, "text": textops.js_trim(_to_str(text or "")), "title": title})
+            out.append(rows)
+        yield pd.Series(out)
+
+
 # --- pure-Catalyst column helpers (no Python; JVM-side, codegen-friendly) ---
 
 

@@ -541,3 +541,46 @@ def test_get_fetch_adapter_factory_dispatch(spark):
         assert out.parsed.links[0].href == "https://f.test/l"
     with pytest.raises(ValueError, match="unknown spider adapter"):
         scrape.get_fetch_adapter("crawlee-typo")
+
+
+def test_crawl4ai_json_response_parsing(spark):
+    """Crawl4aiResponse JSON → Page (crawl4ai.ts:21-33, 60-109, 114-125,
+    217-243): cleaned_html preference, polymorphic markdown, server links
+    internal-then-external with keep-first on the resolved href, and the
+    extraction fallback when the server gives no links."""
+    import json
+
+    srv = json.dumps({
+        "success": True,
+        "html": "<p>raw</p>",
+        "cleaned_html": "<p>clean</p>",
+        "status_code": 200,
+        "markdown": {"fit_markdown": None, "raw_markdown": "RAW-MD"},
+        "links": {
+            "internal": [{"href": "/a", "text": " A ", "title": "tA"}],
+            "external": [
+                {"href": "https://s.test/a", "text": "dup-of-a", "title": None},
+                {"href": "https://other/b", "text": "B", "title": None},
+            ],
+        },
+    })
+    no_links = json.dumps({
+        "success": True, "html": "<a href='/fallback'>F</a>", "cleaned_html": None,
+        "status_code": 200, "markdown": "PLAIN-MD", "links": {"internal": [], "external": []},
+    })
+    df = spark.createDataFrame(
+        [("https://s.test/page", srv), ("https://t.test/page", no_links)],
+        "url string, response_json string",
+    )
+    rows = {r.url: r for r in scrape.crawl4ai_pages_from_json(df).collect()}
+    a = rows["https://s.test/page"]
+    assert a.content == "<p>clean</p>" and a.markdown == "RAW-MD"
+    assert a.link_source == "server"
+    # internal '/a' resolves to the same href as the external absolute dup
+    assert [(l.href, l.text) for l in a.links] == [
+        ("https://s.test/a", "A"), ("https://other/b", "B"),
+    ]
+    b = rows["https://t.test/page"]
+    assert b.content == "<a href='/fallback'>F</a>" and b.markdown == "PLAIN-MD"
+    assert b.link_source == "extracted"
+    assert [l.href for l in b.links] == ["https://t.test/fallback"]
