@@ -475,7 +475,11 @@ def q_crawl_tick(spark, sf_dir):
     collect (the pattern doesn't belong anywhere near the entry contract)."""
     pages = synth.generate_pages(spark, 400, n_hosts=10)
     robots = synth.generate_robots(spark, 10)
+    import atexit
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="spider-spark-entry-crawl-")
+    atexit.register(shutil.rmtree, ckpt, True)  # reclaim after the run exits
     crawler = Crawler(spark, pages, ckpt, CrawlConfig(per_host_budget=6), robots=robots)
     crawler.run(synth.seed_urls(400, 10), max_ticks=3)
     return crawler.results().select(

@@ -100,18 +100,30 @@ def dedupe_exact_keep_first(df: DataFrame, text_col: str = "text", order_col: st
 
     groupBy-min + semi-join instead of a row_number window: a window over a
     hot content hash serializes that group into one task; the groupBy form
-    partial-aggregates map-side and the join co-partitions on the hash."""
+    partial-aggregates map-side and the join co-partitions on the hash.
+    NULL order values sort last (min_by on a null-last struct), and ties on
+    order_col are broken by a bounded row_number over just the tied winners
+    (a handful of rows per group, never the whole hot group)."""
     h = F.sha2(F.col(text_col), 256)
-    keepers = (
-        df.select(h.alias("_ch"), F.col(order_col))
-        .groupBy("_ch")
-        .agg(F.min(order_col).alias("_keep"))
+    ordk = F.struct(
+        F.col(order_col).isNull().cast("int").alias("n"), F.col(order_col).alias("v")
     )
-    return (
+    keepers = (
+        df.select(h.alias("_ch"), ordk.alias("_ok"))
+        .groupBy("_ch")
+        .agg(F.min("_ok").alias("_keep"))
+    )
+    winners = (
         df.withColumn("_ch", h)
+        .withColumn("_ok", ordk)
         .join(keepers, ["_ch"])
-        .filter(F.col(order_col) == F.col("_keep"))
-        .drop("_ch", "_keep")
+        .filter(F.col("_ok").eqNullSafe(F.col("_keep")))
+    )
+    w = Window.partitionBy("_ch").orderBy(F.col("_ok"))
+    return (
+        winners.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_ch", "_ok", "_keep", "_rn")
     )
 
 
@@ -164,7 +176,11 @@ def minhash_near_duplicates(
     live = df.filter(F.trim(F.col(text_col)) != "")  # degenerate short-circuit
     # materialize the signature table once: it feeds the band build, the
     # hot-bucket census, and both pair-rejoin sides — without this the
-    # shingle+permute UDF (the expensive stage) re-runs 5x per action
+    # shingle+permute UDF (the expensive stage) re-runs 5x per action.
+    # Cache ownership: lives under the session's LRU (MEMORY_AND_DISK
+    # evicts under pressure); long-lived sessions calling this repeatedly
+    # should unpersist via spark.catalog.clearCache() or materialize
+    # signatures to a table, which is the at-scale deployment shape anyway.
     sigs = live.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -91,6 +91,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     parts, idx, token = [], 2, b""
     while len(parts) < 3:
         c = payload[idx : idx + 1]
+        if c == b"":  # truncated header: fail, don't spin
+            raise ValueError("truncated ppm header")
         idx += 1
         if c.isspace():
             if token:
@@ -259,7 +261,14 @@ def extract_image_features(
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
                 if payload.startswith(b"P6"):
-                    arr = decode_ppm(payload)
+                    try:
+                        arr = decode_ppm(payload)
+                    except ValueError:
+                        # corrupt/truncated image: null features, never a
+                        # task failure (decode errors don't scale row-wise)
+                        rows.append({"media_id": r["media_id"], "width": None,
+                                     "height": None, "embedding": None})
+                        continue
                     feats = ppm_features(arr)
                     emb = np.zeros(out_dim, dtype=np.float32)
                     emb[: min(out_dim, len(feats))] = feats[:out_dim]

@@ -134,8 +134,8 @@ def dom_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "htm
 # raw_markdown}) — parsed both ways below and coalesced.
 CRAWL4AI_LINK = "array<struct<href:string, text:string, title:string>>"
 CRAWL4AI_RESPONSE_SCHEMA = (
-    "struct<success:boolean, html:string, cleaned_html:string, "
-    "status_code:int, "
+    "struct<success:boolean, url:string, html:string, cleaned_html:string, "
+    "status_code:int, error_message:string, "
     f"links:struct<internal:{CRAWL4AI_LINK}, external:{CRAWL4AI_LINK}>>"
 )
 
@@ -150,12 +150,19 @@ def parse_crawl4ai_response(json_col: Column) -> Column:
         json_col, "struct<markdown:struct<fit_markdown:string, raw_markdown:string>>"
     )["markdown"]
     md_plain = F.from_json(json_col, "struct<markdown:string>")["markdown"]
-    markdown = F.coalesce(md_struct["fit_markdown"], md_struct["raw_markdown"], md_plain)
+    # extractMarkdown uses JS `||`: empty fit_markdown falls to raw
+    markdown = F.coalesce(
+        F.nullif(md_struct["fit_markdown"], F.lit("")),
+        F.nullif(md_struct["raw_markdown"], F.lit("")),
+        F.nullif(md_plain, F.lit("")),
+    )
     return F.struct(
         base["success"].alias("success"),
+        base["url"].alias("url"),
         base["html"].alias("html"),
         base["cleaned_html"].alias("cleaned_html"),
         base["status_code"].alias("status_code"),
+        base["error_message"].alias("error_message"),
         base["links"].alias("links"),
         markdown.alias("markdown"),
     )
@@ -168,26 +175,44 @@ def crawl4ai_pages_from_json(responses: DataFrame, url_col: str = "url",
     external keep-first — crawl4ai.ts:66-100) when present, else fall back
     to our own extraction (the cheerio fallback ≙ the parse UDF).
 
-    Output: (url, content, markdown, links ARRAY<STRUCT href,text,title>,
-    link_source)."""
+    A failed response (success=false, crawl4ai.ts:235-241's NetworkError
+    throw made row-wise) yields an error row: null content/links, the
+    error message carried in ``fetch_error`` — failed fetches never leak
+    into the corpus as normal pages. ``Page.url`` is the response's final
+    URL when present (``crawl4aiResult.url || url``, crawl4ai.ts:246), and
+    links resolve against it.
+
+    Output: (url, final_url, content, markdown,
+    links ARRAY<STRUCT href,text,title>, link_source, fetch_error)."""
     parsed = responses.withColumn("r", parse_crawl4ai_response(F.col(json_col)))
-    content = F.coalesce(F.col("r.cleaned_html"), F.col("r.html"))
+    ok = F.coalesce(F.col("r.success"), F.lit(False))
+    final_url = F.coalesce(F.nullif(F.col("r.url"), F.lit("")), F.col(url_col))
+    content = udfs.col_prefer_cleaned_html(F.col("r.cleaned_html"), F.col("r.html"))
     internal = F.coalesce(F.col("r.links.internal"), F.array().cast(CRAWL4AI_LINK))
     external = F.coalesce(F.col("r.links.external"), F.array().cast(CRAWL4AI_LINK))
     both = F.concat(internal, external)  # internal first = list-ordinal order
-    # resolve + keep-first dedupe on the resolved href in one Arrow pass
-    server_links = udfs.resolve_link_array(both, F.col(url_col))
+    # resolve against the FINAL url + keep-first dedupe in one Arrow pass
+    server_links = udfs.resolve_link_array(both, final_url)
     own = F.transform(
-        udfs.parse_page(F.col(url_col), content)["links"],
+        udfs.parse_page(final_url, content)["links"],
         lambda l: F.struct(l["href"].alias("href"), l["text"].alias("text"), l["title"].alias("title")),
     )
     use_server = F.size(server_links) > 0
+    empty_links = F.array().cast("array<struct<href:string,text:string,title:string>>")
     return parsed.select(
         F.col(url_col).alias("url"),
-        content.alias("content"),
-        F.col("r.markdown").alias("markdown"),
-        F.when(use_server, server_links).otherwise(own).alias("links"),
-        F.when(use_server, F.lit("server")).otherwise(F.lit("extracted")).alias("link_source"),
+        F.when(ok, final_url).alias("final_url"),
+        F.when(ok, content).alias("content"),
+        F.when(ok, F.col("r.markdown")).alias("markdown"),
+        F.when(ok, F.when(use_server, server_links).otherwise(own)).otherwise(empty_links).alias("links"),
+        F.when(~ok, F.lit(None))
+        .when(use_server, F.lit("server"))
+        .otherwise(F.lit("extracted"))
+        .alias("link_source"),
+        F.when(
+            ~ok,
+            F.coalesce(F.col("r.error_message"), F.lit("Crawl4ai request failed")),
+        ).alias("fetch_error"),
     )
 
 

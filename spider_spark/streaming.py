@@ -75,7 +75,12 @@ def stream_first_seen(links: DataFrame, num_shards: int = 32) -> DataFrame:
     engine's left_anti against url_seen (links.ts:31-35 keep-first,
     crawl-wide). Identity is the (url_hash, url_canon) PAIR, matching the
     batch anti-join — a 64-bit hash alone would silently drop colliding
-    never-seen URLs."""
+    never-seen URLs.
+
+    STATE SCHEMA v2 (hashes + urls arrays): checkpoints written by the v1
+    hash-only schema cannot be resumed — Structured Streaming state
+    schemas are not migratable in place; drain the old query and start a
+    fresh checkpoint (deliberate breaking change for collision-proofness)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -543,10 +543,20 @@ def stable_stringify(value) -> str:
         return "[" + ",".join(stable_stringify(v) for v in value) + "]"
     if isinstance(value, dict):
         entries = sorted(
-            ((k, v) for k, v in value.items() if v is not UNDEFINED), key=lambda kv: kv[0]
+            ((k, v) for k, v in value.items() if v is not UNDEFINED),
+            key=lambda kv: _locale_key(kv[0]),
         )
         return "{" + ",".join(f"{_js_json_str(k)}:{stable_stringify(v)}" for k, v in entries) + "}"
     return _js_json_str(str(value))
+
+
+def _locale_key(s: str):
+    """Sort key approximating JS ``a.localeCompare(b)`` (ICU root collation)
+    for the ASCII config keys cache keys actually contain: primary strength
+    is case-insensitive alphabetic ('accept' < 'DNT', unlike codepoint
+    order), tertiary prefers lowercase ('a' < 'A'). Verified against Node
+    in tests/test_fuzz_differential.py."""
+    return (s.casefold(), tuple(1 if c.isupper() else 0 for c in s), s)
 
 
 def normalize_cache_key_part(part) -> str | None:
@@ -600,6 +610,16 @@ def adapter_cache_key(adapter: str, url: str, config: dict | None = None) -> str
                                                        crawlee.ts:46-66
     - crawl4ai: (serverUrl, headless, UA, waitUntil)   crawl4ai.ts:168-173
     - tree:     all expansion knobs + headers + timeout tree.ts:97-122
+
+    Per-knob default fidelity matters: a knob the reference resolves with a
+    default before keying (crawlee/crawl4ai headless, crawl4ai
+    serverUrl/waitUntil, tree maxIterations/clickDelay/rateLimit) keeps
+    that default here; a knob passed through RAW (tree headless/stealth,
+    every userAgent, cloak fields…) maps to UNDEFINED when absent, which
+    createCacheKey drops — injecting a default there would hash different
+    bytes than the reference for the same config. (The reference's
+    resolveBrowserExecutablePath environment probe is not reproduced —
+    executablePath is keyed raw; document-level divergence.)
     """
     c = config or {}
     get = lambda k, d=UNDEFINED: c.get(k, d)
@@ -607,29 +627,34 @@ def adapter_cache_key(adapter: str, url: str, config: dict | None = None) -> str
         parts = [default_headers(c.get("userAgent"), c.get("headers"))]
     elif adapter == "crawlee":
         parts = [
-            get("headless", True),
+            get("headless", True),  # options.headless !== false (crawlee.ts:39)
             get("userAgent"),
             get("headers", {}),
-            get("stealth", False),
+            get("stealth"),
             get("executablePath"),
             get("cloakHumanize"),
             get("cloakExecutablePath"),
             get("cloakAutoUpdate"),
         ]
     elif adapter == "crawl4ai":
-        parts = [get("serverUrl"), get("headless", True), get("userAgent"), get("waitUntil", "networkidle")]
+        parts = [
+            get("serverUrl", "http://localhost:11235"),  # crawl4ai.ts:51,154
+            get("headless", True),  # crawl4ai.ts:52
+            get("userAgent"),
+            get("waitUntil", "networkidle"),  # crawl4ai.ts:54
+        ]
     elif adapter == "tree":
         parts = [
-            get("maxIterations", 10),
+            get("maxIterations", 10),  # tree.ts:98 (?? DEFAULT)
             get("clickDelay", 100),
             get("rateLimit", 1000),
             get("customSelectors"),
             get("handleExclusive"),
-            get("headless", True),
+            get("headless"),  # tree.ts:112 — RAW, no default
             get("userAgent"),
             get("headers"),
             get("timeout"),
-            get("stealth", False),
+            get("stealth"),  # tree.ts:117 — RAW
             get("executablePath"),
             get("cloakHumanize"),
             get("cloakExecutablePath"),

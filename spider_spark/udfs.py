@@ -327,8 +327,13 @@ def col_filter_links_predicate(href_col, text_col, config: dict):
 
 def col_prefer_cleaned_html(cleaned_col, html_col):
     """The crawl4ai 'prefer cleaned_html, fall back to html' rule
-    (crawl4ai.ts:243) — a plain coalesce."""
-    return F.coalesce(cleaned_col, html_col)
+    (crawl4ai.ts:243, `cleaned_html || html || ''`): JS `||` is FALSY
+    fallback, so an empty-string cleaned_html (common when cleaning strips
+    everything) falls through to the raw html — nullif('') before the
+    coalesce, not a plain null-only coalesce."""
+    return F.coalesce(
+        F.nullif(cleaned_col, F.lit("")), F.nullif(html_col, F.lit("")), F.lit("")
+    )
 
 
 def col_skip_link_predicate(href_col, text_col):

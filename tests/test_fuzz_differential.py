@@ -115,3 +115,20 @@ def test_cache_key_matches_js_reference_semantics():
     expected = js_oracle("cache_key", cases)
     for (ns, url, parts), exp in zip(cases, expected):
         assert textops.create_cache_key(ns, url, parts) == exp, (ns, url, parts)
+
+
+def test_cache_key_locale_compare_key_ordering():
+    """cache.ts:92-94 sorts object keys with localeCompare (ICU: 'accept'
+    < 'DNT', 'a' < 'A'), NOT codepoint order — mixed-case header dicts
+    must serialize in the same byte order as Node."""
+    from spider_spark import textops
+
+    cases = [
+        ["simple", "http://h/x", [{"DNT": "1", "accept": "x"}]],
+        ["simple", "http://h/x", [{"a": 1, "A": 2, "b": 3, "B": 4}]],
+        ["simple", "http://h/x", [textops.default_headers(None, {"x-custom": "1", "Authorization": "t"})]],
+        ["simple", "http://h/x", [{"Upgrade-Insecure-Requests": "1", "user-agent": "u", "User-Agent2": "v"}]],
+    ]
+    expected = js_oracle("cache_key", cases)
+    for (ns, url, parts), exp in zip(cases, expected):
+        assert textops.create_cache_key(ns, url, parts) == exp, parts

@@ -322,3 +322,45 @@ def test_real_ppm_resize(spark):
         assert max(r.width, r.height) <= 8
         arr = multimodal.decode_ppm(bytes(r.payload))
         assert arr.shape == (r.height, r.width, 3)
+
+
+def test_decode_ppm_truncated_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n16")
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 4\n255\nxx")  # pixel data too short
+
+
+def test_image_features_corrupt_ppm_yields_null_row(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"media_id": 1, "url": "u", "kind": "image", "content_type": "image/x-portable-pixmap",
+             "payload": b"P6\n16", "meta_width": None, "meta_height": None, "meta_duration_ms": None},
+        ]), schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_image_features(df).first()
+    assert row.width is None and row.embedding is None
+
+
+def test_dedupe_keep_first_ties_and_nulls(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": pd.array([7, 7, 2, None, None], dtype="Int64"),
+            "text": ["a", "a", "a", "b", "b"],
+        })
+    )
+    kept = dedup.dedupe_exact_keep_first(docs).collect()
+    by_text = {}
+    for r in kept:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    assert by_text["a"] == [2]        # min wins, tie would keep only one
+    assert by_text["b"] == [None] and len(by_text["b"]) == 1  # all-null keeps ONE
+    # pure tie group
+    ties = spark.createDataFrame(pd.DataFrame({"doc_id": [5, 5, 5], "text": ["t"] * 3}))
+    assert dedup.dedupe_exact_keep_first(ties).count() == 1

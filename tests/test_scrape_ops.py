@@ -584,3 +584,41 @@ def test_crawl4ai_json_response_parsing(spark):
     assert b.content == "<a href='/fallback'>F</a>" and b.markdown == "PLAIN-MD"
     assert b.link_source == "extracted"
     assert [l.href for l in b.links] == ["https://t.test/fallback"]
+
+
+def test_crawl4ai_empty_cleaned_html_falls_back(spark):
+    """crawl4ai.ts:243 is JS `||`: empty-string cleaned_html falls through
+    to the raw html (falsy fallback, not null-only coalesce)."""
+    df = spark.createDataFrame(
+        [("https://e.test/", "", "<a href='/x'>x</a>", None)],
+        "url string, cleaned_html string, html string, markdown string",
+    )
+    row = scrape.crawl4ai_pages(df).first()
+    assert row.content == "<a href='/x'>x</a>"
+    assert row.parsed.links[0].href == "https://e.test/x"
+
+
+def test_crawl4ai_json_failed_fetch_and_final_url(spark):
+    """success=false → error row, never a normal page (crawl4ai.ts:235-241);
+    success=true uses the response's final url as the link base
+    (crawl4ai.ts:246)."""
+    import json
+
+    bad = json.dumps({"success": False, "html": "<a href='/err'>err</a>",
+                      "error_message": "boom", "links": {"internal": [], "external": []}})
+    redirected = json.dumps({
+        "success": True, "url": "https://final.test/landed",
+        "html": "<a href='/rel'>R</a>", "cleaned_html": "",
+        "links": {"internal": [], "external": []},
+    })
+    df = spark.createDataFrame(
+        [("https://req.test/a", bad), ("https://req.test/b", redirected)],
+        "url string, response_json string",
+    )
+    rows = {r.url: r for r in scrape.crawl4ai_pages_from_json(df).collect()}
+    b = rows["https://req.test/a"]
+    assert b.fetch_error == "boom" and b.content is None and b.links == []
+    g = rows["https://req.test/b"]
+    assert g.fetch_error is None and g.final_url == "https://final.test/landed"
+    # empty cleaned_html fell back to html; links resolve against final url
+    assert [l.href for l in g.links] == ["https://final.test/rel"]
