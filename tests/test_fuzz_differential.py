@@ -132,3 +132,28 @@ def test_cache_key_locale_compare_key_ordering():
     expected = js_oracle("cache_key", cases)
     for (ns, url, parts), exp in zip(cases, expected):
         assert textops.create_cache_key(ns, url, parts) == exp, parts
+
+
+def test_stable_stringify_fuzz_vs_node(  ):
+    """Seeded random nested structures through create_cache_key vs Node's
+    verbatim createCacheKey — locks the whole stableStringify recursion
+    (key collation, double-encoding, null/bool/number formatting)."""
+    import random
+
+    from spider_spark import textops
+
+    rng = random.Random(20260817)
+    keys = ["a", "A", "b2", "DNT", "accept", "Accept", "user-agent", "X", "zz", "_k"]
+
+    def rand_value(depth=0):
+        r = rng.random()
+        if depth > 2 or r < 0.25:
+            return rng.choice([None, True, False, 0, 7, 0.5, -3, "s", 'q"uo', "back\\sl", ""])
+        if r < 0.55:
+            return [rand_value(depth + 1) for _ in range(rng.randrange(0, 4))]
+        return {rng.choice(keys): rand_value(depth + 1) for _ in range(rng.randrange(0, 5))}
+
+    cases = [["ns", f"http://h/{i}", [rand_value() for _ in range(rng.randrange(0, 3))]] for i in range(60)]
+    expected = js_oracle("cache_key", cases)
+    for (ns, url, parts), exp in zip(cases, expected):
+        assert textops.create_cache_key(ns, url, parts) == exp, parts
