@@ -113,14 +113,24 @@ def filter_unseen_with_bloom(
     """Exact unseen-filter accelerated by the bloom prefilter when given.
     Result is identical to the plain left_anti (tested in test_bloom.py).
 
-    The exact backstop joins on (url_hash, url_canon) — hash for shuffle
-    locality, string for equality — so a 64-bit hash collision between a new
-    URL and a seen one costs only a wasted bloom maybe-hit, never a dropped
-    URL. Bloom probes stay hash-only (a colliding new URL lands in
-    ``maybe_seen`` and survives the exact check)."""
-    seen_keys = seen.select("url_hash", "url_canon")
+    The exact backstop joins on (url_hash, fp128) — hash for shuffle
+    locality, a 128-bit md5 fingerprint for equality (computed in
+    projection, so the shuffle ships 24 B/row, not the url string) — a
+    64-bit hash collision between a new URL and a seen one costs only a
+    wasted bloom maybe-hit, never a dropped URL. Bloom probes stay
+    hash-only (a colliding new URL lands in ``maybe_seen`` and survives
+    the exact check)."""
+    fp = F.unhex(F.md5(F.col("url_canon")))
+    seen_keys = seen.select("url_hash", fp.alias("url_fp"))
+
+    def exact_unseen(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("url_fp", fp)
+            .join(seen_keys, ["url_hash", "url_fp"], "left_anti")
+            .drop("url_fp")
+        )
+
     if bloom is None:
-        return candidates.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
+        return exact_unseen(candidates)
     new, maybe = split_by_bloom(candidates, bloom, **bloom_kw)
-    checked = maybe.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
-    return new.unionByName(checked)
+    return new.unionByName(exact_unseen(maybe))

@@ -299,6 +299,16 @@ def col_url_hash(url_col):
     return F.xxhash64(url_col)
 
 
+def col_url_fp128(url_col):
+    """128-bit url fingerprint (md5 bytes) — the seen-filter's EQUALITY
+    payload. Identity is (xxhash64, fp128) = 192 independent bits: birthday
+    collisions at 10^10 URLs ≈ 10^20/2^193 ≈ 10^-38 — structurally zero,
+    while the anti-join shuffle ships 24 bytes/row instead of the full
+    canonical string (~70 B). Computed in projection BEFORE the exchange,
+    so only the scan (local, column-pruned) ever touches the strings."""
+    return F.unhex(F.md5(url_col))
+
+
 def col_host_shard(host_col, num_shards: int):
     """Deterministic shard id from host — the politeness/skew partitioner."""
     return F.pmod(F.xxhash64(host_col), F.lit(num_shards))

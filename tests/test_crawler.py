@@ -283,3 +283,50 @@ def test_per_partition_lineage_checkpointed(spark, world, tmp_path):
         r.tick: r.total for r in c.results().groupBy("tick").agg(F.count("*").alias("total")).collect()
     }
     assert by_tick_lineage == by_tick_results and len(by_tick_lineage) == 2
+
+
+def test_crawl_delay_shrinks_host_budget(spark):
+    """politeness_tag: a robots crawl_delay shrinks the per-host budget to
+    tick_ms/delay (floor, min 1) — delay-compliant fetch pacing expressed
+    as a batch budget."""
+    from spider_spark.frontier import CrawlConfig, politeness_tag
+
+    cfg = CrawlConfig(per_host_budget=8, tick_ms=10_000, respect_robots=True)
+    frontier = spark.createDataFrame(
+        [(f"https://h{h}.test/p{i}", 1000 + h * 100 + i, f"h{h}.test", 200, 0, f"{h:06x}{i:06x}")
+         for h in range(2) for i in range(8)],
+        "url_canon string, url_hash long, host string, priority int, discovered_tick int, seq string",
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", [], 5000), ("h1.test", [], None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    tagged = politeness_tag(frontier, cfg, robots)
+    sel = {h: n for h, n in tagged.filter("is_selected").groupBy("host").count().collect()}
+    assert sel["h0.test"] == 2   # 10000ms / 5000ms delay = 2 fetches/tick
+    assert sel["h1.test"] == 8   # no delay: full budget
+
+
+def test_blocked_rows_never_displace_crawlable(spark):
+    """politeness_tag ranks robots-blocked rows last, so a disallowed URL
+    never consumes a slot a crawlable URL could use."""
+    from spider_spark.frontier import CrawlConfig, politeness_tag
+
+    cfg = CrawlConfig(per_host_budget=2, respect_robots=True)
+    frontier = spark.createDataFrame(
+        [("https://h.test/private/a", 1, "h.test", 100, 0, "000001"),
+         ("https://h.test/private/b", 2, "h.test", 100, 0, "000002"),
+         ("https://h.test/ok/c", 3, "h.test", 200, 0, "000003"),
+         ("https://h.test/ok/d", 4, "h.test", 200, 0, "000004")],
+        "url_canon string, url_hash long, host string, priority int, discovered_tick int, seq string",
+    )
+    robots = spark.createDataFrame(
+        [("h.test", ["/private/"], None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    tagged = politeness_tag(frontier, cfg, robots)
+    selected = sorted(r.url_canon for r in tagged.filter("is_selected").collect())
+    # both /ok/ urls selected despite the higher-priority blocked pair
+    assert selected == ["https://h.test/ok/c", "https://h.test/ok/d"]
+    blocked = sorted(r.url_canon for r in tagged.filter("is_blocked").collect())
+    assert blocked == ["https://h.test/private/a", "https://h.test/private/b"]
