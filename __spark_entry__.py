@@ -192,6 +192,50 @@ def q_host_shard(spark, sf_dir):
     )
 
 
+def q_robots_parse(spark, sf_dir):
+    """robots.txt ingestion (RFC 9309; first-class per the north rule —
+    reference defers robots to the caller, SPEC.md:254-255): synthesize a
+    raw robots.txt body per doc_id (comments, mixed-case directives, a
+    greedybot group that must NOT apply, and for doc_id%3==0 a
+    more-specific spiderbot group), parse for UA 'spiderbot' with the
+    vectorized parser, and emit the governing rules. The oracle derives
+    the expected rules arithmetically — group selection, merging, comment
+    stripping, and Crawl-delay math are all differential here."""
+    from spider_spark.robots import robots_rules_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    star_group = F.concat(
+        F.lit("# synth robots\nUser-agent: greedybot\nDisallow: /\n\nUSER-AGENT: *\ndisallow: /private/"),
+        F.pmod(d, F.lit(7)).cast("string"),
+        F.lit("/   # trailing comment\nCrawl-delay: "),
+        (F.pmod(d, F.lit(4)) + 1).cast("string"),
+        F.lit("\n"),
+    )
+    spider_group = F.when(
+        F.pmod(d, F.lit(3)) == 0,
+        F.concat(
+            F.lit("\nUser-agent: spiderbot\nDisallow: /only/"),
+            F.pmod(d, F.lit(5)).cast("string"),
+            F.lit("/\nAllow: /only/"),
+            F.pmod(d, F.lit(5)).cast("string"),
+            F.lit("/pub/\nCrawl-delay: 2\n"),
+        ),
+    ).otherwise(F.lit(""))
+    bodies = docs.select(d.alias("doc_id"), F.concat(star_group, spider_group).alias("robots_txt"))
+    parsed = bodies.select(
+        "doc_id", robots_rules_udf("spiderbot")(F.col("robots_txt")).alias("r")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("r.matched_ua").alias("matched_ua"),
+        F.size("r.disallow_prefixes").alias("n_disallow"),
+        F.element_at("r.disallow_prefixes", 1).alias("first_disallow"),
+        F.size("r.allow_prefixes").alias("n_allow"),
+        F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
+    )
+
+
 def q_metrics_rollup(spark, sf_dir):
     """ScrapeMetrics-style aggregation (§2.7) at TPC-H Q1 shape: exact
     DECIMAL partial-agg sums (order-independent), cast to DOUBLE at the end."""
@@ -687,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrape_document_text_branch": q_scrape_document,
         "scrape_document_download_branch": q_scrape_document_downloads,
         "platform_detect": q_platform_detect,
+        "robots_parse": q_robots_parse,
         "platform_fetch_items": q_platform_fetch_items,
         "tree_scrape_metrics": q_tree_scrape_metrics,
         "multimodal_ppm_decode": q_ppm_decode,
@@ -856,6 +901,18 @@ def oracle_sql() -> dict[str, str]:
                    'direct-download' AS strategy,
                    CASE WHEN doc_id % 3 = 1 THEN sha256('')
                         ELSE sha256('bytes-' || doc_id) END AS content_sha
+            FROM documents
+        """,
+        "robots_parse": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'spiderbot' ELSE '*' END AS matched_ua,
+                   1 AS n_disallow,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '/only/' || (doc_id % 5) || '/'
+                        ELSE '/private/' || (doc_id % 7) || '/' END AS first_disallow,
+                   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_allow,
+                   CASE WHEN doc_id % 3 = 0 THEN 2000
+                        ELSE ((doc_id % 4) + 1) * 1000 END AS crawl_delay_ms
             FROM documents
         """,
         "platform_detect": """

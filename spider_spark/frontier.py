@@ -137,10 +137,25 @@ def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | No
     if robots is not None and cfg.respect_robots:
         f = f.join(F.broadcast(robots), "host", "left")
         path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
-        disallowed = F.exists(
-            F.coalesce(F.col("disallow_prefixes"), F.array()),
-            lambda p: path.startswith(p),
-        )
+        if "allow_prefixes" in robots.columns:
+            # Full RFC 9309 evaluation (rules parsed from robots.txt bodies
+            # by spider_spark.robots): longest-match with '*'/'$' wildcards,
+            # Allow overrides, matched against path?query. Pure Catalyst.
+            from .robots import col_robots_allowed
+
+            query = F.parse_url(F.col("url_canon"), F.lit("QUERY"))
+            path_q = F.concat(
+                path, F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit(""))
+            )
+            disallowed = ~col_robots_allowed(
+                path_q, F.col("allow_prefixes"), F.col("disallow_prefixes")
+            )
+        else:
+            # legacy pre-parsed rules table: literal prefix semantics
+            disallowed = F.exists(
+                F.coalesce(F.col("disallow_prefixes"), F.array()),
+                lambda p: path.startswith(p),
+            )
         # crawl_delay shrinks the per-host budget: at most tick_ms/delay
         # fetches fit in a politeness-compliant tick
         budget = F.when(

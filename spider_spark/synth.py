@@ -313,6 +313,30 @@ def generate_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 
+def generate_robots_txt(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """Raw ``(host, robots_txt)`` bodies whose RFC 9309 parse (for UA ``*``)
+    equals ``generate_robots``'s pre-parsed rules exactly — the ingestion
+    path a real crawl uses. Bodies deliberately include comments, blank
+    lines, case-mixed directives, and a more-specific ``greedybot`` group
+    (ignored when parsing for ``*``) so the parser earns its keep."""
+    rows = []
+    for i in range(n_hosts):
+        lines = ["# synthetic robots fixture", f"# host {i}", ""]
+        lines += ["User-agent: greedybot", "Disallow: /", "Crawl-delay: 60", ""]
+        lines += ["User-Agent: *"]
+        if i % 7 == 3:
+            lines.append("disallow: /private/")
+        if i % 13 == 5:
+            lines.append("Disallow: /files/  # keep binaries out")
+        delay_s = (500 + (i % 5) * 250) / 1000
+        lines.append(f"Crawl-delay: {delay_s}")
+        rows.append((host_name(i), "\n".join(lines) + "\n"))
+    schema = StructType(
+        [StructField("host", StringType(), False), StructField("robots_txt", StringType(), False)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def seed_urls(
     n_pages: int,
     n_hosts: int | None = None,
