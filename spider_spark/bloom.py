@@ -120,7 +120,9 @@ def filter_unseen_with_bloom(
     wasted bloom maybe-hit, never a dropped URL. Bloom probes stay
     hash-only (a colliding new URL lands in ``maybe_seen`` and survives
     the exact check)."""
-    fp = F.unhex(F.md5(F.col("url_canon")))
+    from .udfs import col_url_fp128
+
+    fp = col_url_fp128(F.col("url_canon"))
     seen_keys = seen.select("url_hash", fp.alias("url_fp"))
 
     def exact_unseen(cand: DataFrame) -> DataFrame:

@@ -132,7 +132,16 @@ def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | No
     caller — SPEC.md:254-255). Two-phase ranking kills hot-host skew: the
     phase-1 window partitions on (host, salt) so no single task ever ranks a
     mega-host alone; phase 2 ranks only phase-1 survivors (≤ salt·budget
-    rows per host, bounded regardless of host size)."""
+    rows per host, bounded regardless of host size).
+
+    Robots-table contract (two explicit schemas, not a heuristic): a table
+    WITH ``allow_prefixes`` (produced by ``robots.rules_from_bodies``)
+    carries RFC 9309 pattern semantics — ``*``/``$`` wildcards,
+    longest-match, Allow overrides, matched against path?query. A table
+    WITHOUT it (``synth.ROBOTS_SCHEMA``-shaped) carries literal
+    path-prefix semantics. Callers who hand-build a table with an
+    ``allow_prefixes`` column are opting into RFC pattern interpretation
+    of their disallow strings."""
     f = frontier
     if robots is not None and cfg.respect_robots:
         f = f.join(F.broadcast(robots), "host", "left")

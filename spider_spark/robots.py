@@ -53,6 +53,7 @@ from pyspark.sql.types import (
 
 MAX_BYTES = 512_000  # RFC 9309 §2.5: must process ≥500 KiB; ignore the rest
 MAX_RULES = 1000  # bound broadcast-side memory per host
+MAX_DELAY_MS = 2**31 - 1  # clamp: survives hostile 'Crawl-delay: 1e306', fits Int32
 
 _LINE_SPLIT = re.compile(r"\r\n|\r|\n")
 _RECORD = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
@@ -97,8 +98,10 @@ def parse_robots_txt(body: str | None, user_agent: str = "*") -> RobotsRules:
         line = raw.split("#", 1)[0]
         m = _RECORD.match(line)
         if not m:
-            # blank/garbage lines end a UA run but not the group's rules
-            in_ua_run = False
+            # Blank, comment-only, and unparseable lines are ignored
+            # entirely — RFC 9309's ABNF allows emptylines between
+            # startgrouplines, so they must NOT end a UA run (a comment
+            # between two User-agent lines would otherwise split the group).
             continue
         key, value = m.group(1).lower(), m.group(2)
         if key == "user-agent":
@@ -106,11 +109,11 @@ def parse_robots_txt(body: str | None, user_agent: str = "*") -> RobotsRules:
                 current = []
                 in_ua_run = True
             tok = value.strip().lower()
-            if tok:
+            if tok and tok not in current:  # repeated token ≠ doubled rules
                 current.append(tok)
                 groups.setdefault(tok, RobotsRules(matched_ua=tok))
             continue
-        in_ua_run = False
+        in_ua_run = False  # only a rule line ends a UA run
         if not current:
             continue  # rules before any group: ignored
         for tok in current:
@@ -123,8 +126,8 @@ def parse_robots_txt(body: str | None, user_agent: str = "*") -> RobotsRules:
                     g.allow.append(_normalize_pattern(value))
             elif key == "crawl-delay":
                 try:
-                    ms = int(float(value) * 1000)
-                except ValueError:
+                    ms = int(min(float(value), MAX_DELAY_MS / 1000) * 1000)
+                except (ValueError, OverflowError):  # 'soon', 'inf', 'nan', 1e306
                     continue
                 if ms >= 0 and (g.crawl_delay_ms is None or ms < g.crawl_delay_ms):
                     g.crawl_delay_ms = ms

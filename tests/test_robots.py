@@ -90,6 +90,28 @@ def test_no_matching_group_allows_everything():
     assert robots_allowed("/anything", r.allow, r.disallow)
 
 
+def test_hostile_crawl_delay_values_survive():
+    # overflow / inf / nan must not crash the parse (one hostile robots.txt
+    # among 10^7 hosts must not kill the ingestion job)
+    for v in ("inf", "-inf", "nan", "1e306", "9999999999", "soon"):
+        r = parse_robots_txt(f"User-agent: *\nCrawl-delay: {v}\n", "x")
+        assert r.crawl_delay_ms is None or 0 <= r.crawl_delay_ms <= 2**31 - 1, v
+    big = parse_robots_txt("User-agent: *\nCrawl-delay: 9999999999\n", "x")
+    assert big.crawl_delay_ms == 2**31 - 1  # clamped, Int32-safe
+
+
+def test_comment_between_ua_lines_keeps_one_group():
+    # RFC 9309 ABNF: emptylines/comments may sit between startgrouplines
+    body = "User-agent: abot\n# friendly\n\nUser-agent: bbot\nDisallow: /q\n"
+    assert parse_robots_txt(body, "abot").disallow == ["/q"]
+    assert parse_robots_txt(body, "bbot").disallow == ["/q"]
+
+
+def test_repeated_ua_token_does_not_double_rules():
+    body = "User-agent: *\nUser-Agent: *\nDisallow: /private/\n"
+    assert parse_robots_txt(body, "x").disallow == ["/private/"]
+
+
 def test_byte_cap():
     huge = "User-agent: *\n" + ("# pad\n" * (MAX_BYTES // 6)) + "Disallow: /late/\n"
     r = parse_robots_txt(huge, "x")
