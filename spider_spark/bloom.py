@@ -107,32 +107,33 @@ def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("shard").applyInPandas(orr, BLOOM_SCHEMA)
 
 
-def filter_unseen_with_bloom(
-    candidates: DataFrame, seen: DataFrame, bloom: DataFrame | None, **bloom_kw
-) -> DataFrame:
-    """Exact unseen-filter accelerated by the bloom prefilter when given.
-    Result is identical to the plain left_anti (tested in test_bloom.py).
-
-    The exact backstop joins on (url_hash, fp128) — hash for shuffle
+def exact_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """The exact unseen backstop shared by the bloom and cuckoo
+    accelerators: anti-join on (url_hash, fp128) — hash for shuffle
     locality, a 128-bit md5 fingerprint for equality (computed in
     projection, so the shuffle ships 24 B/row, not the url string) — a
     64-bit hash collision between a new URL and a seen one costs only a
-    wasted bloom maybe-hit, never a dropped URL. Bloom probes stay
+    wasted maybe-hit, never a dropped URL. Accelerator probes stay
     hash-only (a colliding new URL lands in ``maybe_seen`` and survives
-    the exact check)."""
+    this exact check)."""
     from .udfs import col_url_fp128
 
     fp = col_url_fp128(F.col("url_canon"))
     seen_keys = seen.select("url_hash", fp.alias("url_fp"))
+    return (
+        candidates.withColumn("url_fp", fp)
+        .join(seen_keys, ["url_hash", "url_fp"], "left_anti")
+        .drop("url_fp")
+    )
 
-    def exact_unseen(cand: DataFrame) -> DataFrame:
-        return (
-            cand.withColumn("url_fp", fp)
-            .join(seen_keys, ["url_hash", "url_fp"], "left_anti")
-            .drop("url_fp")
-        )
 
+def filter_unseen_with_bloom(
+    candidates: DataFrame, seen: DataFrame, bloom: DataFrame | None, **bloom_kw
+) -> DataFrame:
+    """Exact unseen-filter accelerated by the bloom prefilter when given.
+    Result is identical to the plain left_anti (tested in test_bloom.py);
+    see ``exact_unseen`` for the identity rationale."""
     if bloom is None:
-        return exact_unseen(candidates)
+        return exact_unseen(candidates, seen)
     new, maybe = split_by_bloom(candidates, bloom, **bloom_kw)
-    return new.unionByName(exact_unseen(maybe))
+    return new.unionByName(exact_unseen(maybe, seen))

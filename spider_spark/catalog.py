@@ -95,16 +95,25 @@ class CrawlCatalog:
             ticks = sorted(int(p.name.split("=")[1]) for p in base.glob("tick=*"))
         return spark.read.parquet(*[str(base / f"tick={k}") for k in ticks])
 
-    def write_bloom(self, tick: int, bloom: DataFrame) -> None:
-        """Bloom shard snapshot entering ``tick`` — one (shard, bits) row
-        per shard, checkpointed like any other tick state."""
-        bloom.write.mode("overwrite").parquet(self._dir("bloom", tick))
+    def write_accel(self, kind: str, tick: int, shards: DataFrame) -> None:
+        """Seen-accelerator shard snapshot entering ``tick`` — one
+        (shard, payload) row per shard, checkpointed like any other tick
+        state. ``kind`` is "bloom" or "cuckoo" (separate dirs, so a run
+        that switches accelerator kinds never reads the wrong blob
+        format)."""
+        shards.write.mode("overwrite").parquet(self._dir(kind, tick))
 
-    def load_bloom(self, spark: SparkSession, tick: int) -> DataFrame | None:
-        p = self.root / "bloom" / f"tick={tick}"
+    def load_accel(self, spark: SparkSession, kind: str, tick: int) -> DataFrame | None:
+        p = self.root / kind / f"tick={tick}"
         if not p.exists():
             return None
         return spark.read.parquet(str(p))
+
+    def write_bloom(self, tick: int, bloom: DataFrame) -> None:
+        self.write_accel("bloom", tick, bloom)
+
+    def load_bloom(self, spark: SparkSession, tick: int) -> DataFrame | None:
+        return self.load_accel(spark, "bloom", tick)
 
     def write_tick_data(
         self,

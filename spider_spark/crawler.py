@@ -62,6 +62,8 @@ class Crawler:
         self.robots = robots
         self.redirects = redirects
         self.catalog = CrawlCatalog(checkpoint_dir)
+        if self.cfg.use_bloom and self.cfg.use_cuckoo:
+            raise ValueError("use_bloom and use_cuckoo are mutually exclusive")
         # size-gate the redirect broadcast ONCE per run: a limit-bounded
         # count (scan stops early), so deciding costs O(threshold) not O(table)
         if redirects is not None:
@@ -78,18 +80,48 @@ class Crawler:
             dead_letter_path=str(self.catalog.root / "dead_letter" / "tick=0"),
         )
         self.catalog.write_bootstrap(frontier, frontier.select("url_hash", "url_canon", "seq"))
+        if self._accel_kind:
+            seen0 = self.catalog.load_seen(self.spark, 0)
+            self.catalog.write_accel(
+                self._accel_kind, 0, self._build_accel(seen0.select("url_hash"))
+            )
+
+    # --- seen-accelerator plumbing (bloom OR cuckoo; same contract) --------
+
+    @property
+    def _accel_kind(self) -> str | None:
+        if self.cfg.use_bloom:
+            return "bloom"
+        if self.cfg.use_cuckoo:
+            return "cuckoo"
+        return None
+
+    def _build_accel(self, url_hashes: DataFrame) -> DataFrame:
         if self.cfg.use_bloom:
             from .bloom import build_bloom_shards
 
-            seen0 = self.catalog.load_seen(self.spark, 0)
-            self.catalog.write_bloom(
-                0,
-                build_bloom_shards(
-                    seen0.select("url_hash"),
-                    num_shards=self.cfg.bloom_shards,
-                    bits_per_shard=self.cfg.bloom_bits_per_shard,
-                ),
+            return build_bloom_shards(
+                url_hashes,
+                num_shards=self.cfg.bloom_shards,
+                bits_per_shard=self.cfg.bloom_bits_per_shard,
             )
+        from .cuckoo import build_cuckoo_shards
+
+        return build_cuckoo_shards(
+            url_hashes,
+            num_shards=self.cfg.cuckoo_shards,
+            buckets_per_shard=self.cfg.cuckoo_buckets_per_shard,
+            slots=self.cfg.cuckoo_slots,
+        )
+
+    def _merge_accel(self, prev: DataFrame, delta: DataFrame) -> DataFrame:
+        if self.cfg.use_bloom:
+            from .bloom import merge_bloom_shards
+
+            return merge_bloom_shards(prev, delta)
+        from .cuckoo import merge_cuckoo_shards
+
+        return merge_cuckoo_shards(prev, delta)
 
     def run(self, seed_urls: list[str] | None = None, max_ticks: int | None = None) -> list[TickStats]:
         """Run (or resume) the crawl. Returns per-tick stats. Total fetch
@@ -190,8 +222,13 @@ class Crawler:
 
             # action 3 — next frontier from the written snapshot: parquet
             # column pruning re-reads ONLY (status, seq, links)
-            bloom = self.catalog.load_bloom(spark, tick) if cfg.use_bloom else None
-            new = extract_new_links(results_back, seen, cfg, tick, bloom=bloom).persist()
+            kind = self._accel_kind
+            accel = self.catalog.load_accel(spark, kind, tick) if kind else None
+            new = extract_new_links(
+                results_back, seen, cfg, tick,
+                bloom=accel if cfg.use_bloom else None,
+                cuckoo=accel if cfg.use_cuckoo else None,
+            ).persist()
             next_frontier = finalize_frontier(new, deferred, cfg)
             fr_obs = Observation()
             next_frontier = next_frontier.observe(
@@ -204,27 +241,21 @@ class Crawler:
             # action 4 — seen delta from the (small, persisted) new set
             self.catalog.write_seen_delta(tick + 1, new.select("url_hash", "url_canon", "seq"))
 
-            # bloom maintenance: next tick's shards = this tick's ∪ delta.
-            # If this tick had NO bloom snapshot (e.g. resuming a checkpoint
-            # created with use_bloom=False), the next bloom must be built
-            # from the FULL next seen set, not the delta alone — a
-            # delta-only bloom is not a superset of seen, and bloom misses
+            # accelerator maintenance: next tick's shards = this tick's ∪
+            # delta. If this tick had NO accelerator snapshot (e.g. resuming
+            # a checkpoint created without one), the next filter must be
+            # built from the FULL next seen set, not the delta alone — a
+            # delta-only filter is not a superset of seen, and filter misses
             # skip the exact anti-join, so seen URLs would be re-enqueued.
-            if cfg.use_bloom:
-                from .bloom import build_bloom_shards, merge_bloom_shards
-
+            if kind:
                 src = (
                     new.select("url_hash")
-                    if bloom is not None
+                    if accel is not None
                     else self.catalog.load_seen(spark, tick + 1).select("url_hash")
                 )
-                shards = build_bloom_shards(
-                    src,
-                    num_shards=cfg.bloom_shards,
-                    bits_per_shard=cfg.bloom_bits_per_shard,
-                )
-                merged = shards if bloom is None else merge_bloom_shards(bloom, shards)
-                self.catalog.write_bloom(tick + 1, merged)
+                shards = self._build_accel(src)
+                merged = shards if accel is None else self._merge_accel(accel, shards)
+                self.catalog.write_accel(kind, tick + 1, merged)
 
             rm, mm, fm = res_obs.get, miss_obs.get, fr_obs.get
             st = TickStats(

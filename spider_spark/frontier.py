@@ -66,6 +66,13 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20
+    # cuckoo alternative to the bloom (cuckoo.py): same exactness contract,
+    # plus deletion (recrawl policies can evict URLs). Mutually exclusive
+    # with use_bloom.
+    use_cuckoo: bool = False
+    cuckoo_shards: int = 64
+    cuckoo_buckets_per_shard: int = 1 << 14
+    cuckoo_slots: int = 4
     politeness_salt: int = 16  # phase-1 salt buckets for the top-k window
     # fold seen deltas into one snapshot every M ticks (None = never):
     # keeps the anti-join reading O(M) dirs instead of O(ticks)
@@ -338,6 +345,7 @@ def extract_new_links(
     cfg: CrawlConfig,
     tick: int,
     bloom: DataFrame | None = None,
+    cuckoo: DataFrame | None = None,
 ) -> DataFrame:
     """Explode links, keep-first dedupe, drop already-seen.
 
@@ -387,6 +395,12 @@ def extract_new_links(
             bloom,
             num_shards=cfg.bloom_shards,
             bits_per_shard=cfg.bloom_bits_per_shard,
+        )
+    if cuckoo is not None:
+        from .cuckoo import filter_unseen_with_cuckoo
+
+        return filter_unseen_with_cuckoo(
+            firsts, seen, cuckoo, num_shards=cfg.cuckoo_shards
         )
     # anti-join on (url_hash, fp128): the hash gives shuffle locality, the
     # 128-bit fingerprint gives equality — a 64-bit hash alone silently
