@@ -77,6 +77,12 @@ class CrawlCatalog:
         small-files death at 10^10-URL scale)."""
         frontier.hint("rebalance").write.mode("overwrite").parquet(self._dir("frontier", tick))
 
+    def append_frontier(self, tick: int, rows: DataFrame) -> None:
+        """Second writer into a tick's frontier dir (e.g. a recrawl
+        policy's requeued URLs) — append-mode, so the committed frontier
+        snapshot is untouched."""
+        rows.write.mode("append").parquet(self._dir("frontier", tick))
+
     def write_seen_delta(self, tick: int, seen_delta: DataFrame) -> None:
         seen_delta.hint("rebalance").write.mode("overwrite").parquet(self._dir("seen", tick))
 
@@ -108,6 +114,20 @@ class CrawlCatalog:
         if not p.exists():
             return None
         return spark.read.parquet(str(p))
+
+    def replace_accel(self, kind: str, tick: int, shards: DataFrame) -> None:
+        """Rewrite an accelerator snapshot whose own dir feeds ``shards``'s
+        plan (e.g. in-place cuckoo deletion): write to a side dir first,
+        then swap via rmtree + atomic rename. Kill-safe because the
+        accelerator is reconstructible cache state — a kill after the
+        rmtree leaves no dir, which the crawler treats as "rebuild from
+        the full seen set"; a kill before it leaves the stale snapshot,
+        whose over-claiming maybe-hits the exact anti-join resolves."""
+        target = Path(self._dir(kind, tick))
+        side = target.with_name(target.name + "__new")
+        shards.write.mode("overwrite").parquet(str(side))
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(side, target)
 
     def write_bloom(self, tick: int, bloom: DataFrame) -> None:
         self.write_accel("bloom", tick, bloom)
@@ -161,7 +181,7 @@ class CrawlCatalog:
         dirs: list[str] = []
         c = self.seen_compacted_at()
         if c >= 0 and c <= up_to_tick:
-            dirs.append(str(self.root / "seen_compact" / f"tick={c}"))
+            dirs.append(str(self.root / "seen_compact" / self._compact_dir_name()))
             lo = c + 1
         else:
             lo = 0
@@ -181,20 +201,43 @@ class CrawlCatalog:
         pointer flips atomically, and only then are the folded delta dirs
         garbage-collected — a kill at any point resumes correctly (either
         pointer state reads a complete set)."""
-        snap = self.load_seen(spark, up_to_tick)
-        out = self.root / "seen_compact" / f"tick={up_to_tick}"
-        snap.hint("rebalance").write.mode("overwrite").parquet(str(out))
-        prev = self.seen_compacted_at()
+        self.rewrite_seen(spark, up_to_tick, self.load_seen(spark, up_to_tick))
+
+    def _compact_dir_name(self) -> str | None:
+        """Current compact snapshot dir name (generation-suffixed so a
+        rewrite at the SAME tick never overwrites the dir its own input
+        plan is lazily reading from)."""
+        m = self.manifest()
+        c = m.get("seen_compacted_at", -1)
+        if c < 0:
+            return None
+        gen = m.get("seen_compact_gen", 0)
+        return f"tick={c}" if gen == 0 else f"tick={c}.g{gen}"
+
+    def rewrite_seen(self, spark: SparkSession, up_to_tick: int, snap: DataFrame) -> None:
+        """Replace the cumulative seen set ≤ up_to_tick with ``snap`` (the
+        compaction primitive, also used by ``Crawler.forget_urls`` to
+        remove URLs). Crash-safe: the new snapshot dir (a fresh,
+        generation-suffixed path — never the dir ``snap`` reads from) is
+        written FIRST, the manifest pointer flips atomically, and only then
+        are superseded dirs garbage-collected."""
+        prev_dir = self._compact_dir_name()
+        gen = self.manifest().get("seen_compact_gen", 0) + 1
+        new_dir = f"tick={up_to_tick}.g{gen}"
+        snap.hint("rebalance").write.mode("overwrite").parquet(
+            str(self.root / "seen_compact" / new_dir)
+        )
         m = self.manifest()
         m["seen_compacted_at"] = up_to_tick
+        m["seen_compact_gen"] = gen
         tmp = self._manifest_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(m, indent=1))
         os.replace(tmp, self._manifest_path)
         # gc: folded delta dirs and the superseded compact snapshot
         for k in range(up_to_tick + 1):
             shutil.rmtree(self.root / "seen" / f"tick={k}", ignore_errors=True)
-        if 0 <= prev < up_to_tick:
-            shutil.rmtree(self.root / "seen_compact" / f"tick={prev}", ignore_errors=True)
+        if prev_dir is not None and prev_dir != new_dir:
+            shutil.rmtree(self.root / "seen_compact" / prev_dir, ignore_errors=True)
 
     def load_results(self, spark: SparkSession, ticks: list[int] | None = None) -> DataFrame:
         base = self.root / "results"

@@ -285,6 +285,88 @@ class Crawler:
                 new.unpersist()
             tagged.unpersist()
 
+    # --- recrawl policies ---------------------------------------------------
+
+    def requeue_urls(self, urls: DataFrame) -> int:
+        """Immediate recrawl: re-enqueue already-crawled URLs into the next
+        tick's frontier so they are fetched again on resume. ``urls`` needs
+        a ``url_canon`` column. The seen set is untouched (links to these
+        URLs stay filtered — exactly one extra fetch each), requeued rows
+        reuse their original ``seq`` so the deterministic crawl order is
+        stable, and URLs already waiting in the frontier are skipped.
+        Returns the number of URLs enqueued."""
+        from pyspark.sql import functions as F
+
+        from . import udfs
+
+        spark, cfg = self.spark, self.cfg
+        t = self.catalog.committed_tick() + 1
+        targets = urls.select(
+            udfs.col_url_hash(F.col("url_canon")).alias("url_hash"), "url_canon"
+        )
+        seen = self.catalog.load_seen(spark, t)
+        rows = (
+            seen.join(targets, ["url_hash", "url_canon"], "left_semi")
+            .join(self.catalog.load_frontier(spark, t), "url_hash", "left_anti")
+            .select(
+                "url_canon",
+                "url_hash",
+                F.parse_url(F.col("url_canon"), F.lit("HOST")).alias("host"),
+                F.expr(cfg.priority_expr).cast("int").alias("priority"),
+                F.lit(t).cast("int").alias("discovered_tick"),
+                "seq",
+            )
+            .persist()
+        )
+        n = rows.count()
+        if n:
+            self.catalog.append_frontier(t, rows)
+        rows.unpersist()
+        return n
+
+    def forget_urls(self, urls: DataFrame) -> None:
+        """Organic recrawl: remove URLs from the url_seen set (and the seen
+        accelerator) so the next page that links to them re-enqueues them.
+        ``urls`` needs a ``url_canon`` column.
+
+        Kill-safety ordering: the seen set shrinks FIRST (atomic snapshot
+        swap), the accelerator second — a kill in between leaves the
+        accelerator over-claiming maybe-seen, which the exact anti-join
+        resolves correctly; the reverse order would let still-seen URLs
+        probe definitely-new and be double-enqueued. With ``use_cuckoo``
+        the accelerator is pruned in place (``delete_from_cuckoo``); a
+        bloom cannot unset bits, so ``use_bloom`` pays a full rebuild from
+        the kept set — the deletion asymmetry that motivates the cuckoo."""
+        from pyspark.sql import functions as F
+
+        from . import udfs
+
+        spark, cfg = self.spark, self.cfg
+        t = self.catalog.committed_tick() + 1
+        targets = urls.select(
+            udfs.col_url_hash(F.col("url_canon")).alias("url_hash"), "url_canon"
+        )
+        kept = self.catalog.load_seen(spark, t).join(
+            targets, ["url_hash", "url_canon"], "left_anti"
+        )
+        self.catalog.rewrite_seen(spark, t, kept)
+        kind = self._accel_kind
+        if kind:
+            accel = self.catalog.load_accel(spark, kind, t)
+            if accel is not None:
+                if cfg.use_cuckoo:
+                    from .cuckoo import delete_from_cuckoo
+
+                    pruned = delete_from_cuckoo(
+                        accel, targets.select("url_hash"), num_shards=cfg.cuckoo_shards
+                    )
+                else:
+                    pruned = self._build_accel(
+                        self.catalog.load_seen(spark, t).select("url_hash")
+                    )
+                # pruned's plan reads the dir being replaced → atomic swap
+                self.catalog.replace_accel(kind, t, pruned)
+
     # --- inspection helpers -------------------------------------------------
 
     def results(self) -> DataFrame:
