@@ -95,21 +95,35 @@ def simple_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "
     ).select(url_col, "content", "parsed")
 
 
+#: mutable fetch-adapter registry — the ``SpiderAdapter`` extension point
+#: (src/types.ts:SpiderAdapter, src/factory.ts:79-104): a user plugs a
+#: custom DataFrame-level fetch variant ``(pages, ...) -> DataFrame`` under
+#: a new name and the factory dispatches to it like a built-in.
+_FETCH_ADAPTERS = {}
+
+
+def register_fetch_adapter(name: str, fn, replace: bool = False) -> None:
+    """Register a custom fetch adapter. Duplicate names are rejected
+    unless ``replace=True`` — the same dup-reject discipline as the
+    platform ``AdapterRegistry`` (src/platform/registry.ts:64-69)."""
+    if name in _FETCH_ADAPTERS and not replace:
+        raise ValueError(f"fetch adapter already registered: {name!r}")
+    _FETCH_ADAPTERS[name] = fn
+
+
+def unregister_fetch_adapter(name: str) -> None:
+    _FETCH_ADAPTERS.pop(name, None)
+
+
 def get_fetch_adapter(adapter: str):
     """Factory dispatch ≙ getSpider (factory.ts:79-104): adapter name →
     the DataFrame-level fetch variant; unknown names raise, mirroring the
     discriminated-union exhaustiveness check."""
-    registry = {
-        "simple": simple_fetch_pages,
-        "dom": dom_fetch_pages,
-        "crawl4ai": crawl4ai_pages,
-        # 'crawlee' needs a live browser per row — out of scope in a
-        # distributed engine (SURVEY §2.1); its observable semantics
-        # (expansion census, downloads, skip-links) live in scrapers.py
-    }
-    if adapter not in registry:
-        raise ValueError(f"unknown spider adapter: {adapter!r} (have {sorted(registry)})")
-    return registry[adapter]
+    if adapter not in _FETCH_ADAPTERS:
+        raise ValueError(
+            f"unknown spider adapter: {adapter!r} (have {sorted(_FETCH_ADAPTERS)})"
+        )
+    return _FETCH_ADAPTERS[adapter]
 
 
 def dom_fetch_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
@@ -394,3 +408,16 @@ def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "htm
         complete.alias("complete"),
         strategy.alias("strategy"),
     )
+
+
+# built-in adapters (registered at import; 'crawlee' needs a live browser
+# per row — out of scope in a distributed engine (SURVEY §2.1); its
+# observable semantics (expansion census, downloads, skip-links) live in
+# scrapers.py)
+_FETCH_ADAPTERS.update(
+    {
+        "simple": simple_fetch_pages,
+        "dom": dom_fetch_pages,
+        "crawl4ai": crawl4ai_pages,
+    }
+)

@@ -622,3 +622,27 @@ def test_crawl4ai_json_failed_fetch_and_final_url(spark):
     assert g.fetch_error is None and g.final_url == "https://final.test/landed"
     # empty cleaned_html fell back to html; links resolve against final url
     assert [l.href for l in g.links] == ["https://final.test/rel"]
+
+
+def test_fetch_adapter_registry_extension_point(spark):
+    """SpiderAdapter extension point: a custom fetch variant registers
+    under a new name, dispatches like a built-in, rejects duplicates
+    (registry.ts:64-69 discipline), and unregisters cleanly."""
+
+    def archive_fetch(pages, url_col="url", html_col="html"):
+        return pages.withColumn("content", F.upper(F.col(html_col).cast("string"))).select(
+            url_col, "content"
+        )
+
+    scrape.register_fetch_adapter("archive", archive_fetch)
+    try:
+        with pytest.raises(ValueError, match="already registered"):
+            scrape.register_fetch_adapter("archive", archive_fetch)
+        scrape.register_fetch_adapter("archive", archive_fetch, replace=True)
+        df = _pages_df(spark, [("https://f.test/", "<p>hi</p>")])
+        out = scrape.get_fetch_adapter("archive")(df).first()
+        assert out.content == "<P>HI</P>"
+    finally:
+        scrape.unregister_fetch_adapter("archive")
+    with pytest.raises(ValueError, match="unknown spider adapter"):
+        scrape.get_fetch_adapter("archive")
