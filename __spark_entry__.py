@@ -704,6 +704,146 @@ def q_winnowing(spark, sf_dir):
     return docs.select("doc_id", F.size(fp(F.col("text"))).alias("n_fingerprints")).orderBy("doc_id")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (inverted-list scale path): centroid assignment is a
+    map-only codegen fold over an inlined centroid literal (corpus never
+    shuffles), probes visit only the 4 nearest of 16 lists, exact cosine
+    re-rank within candidates. Default deterministic centroids (smallest
+    corpus ids) make the whole plan DuckDB-expressible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 4), probes, k=5, n_centroids=16, n_probe=4
+    )
+    return out.select("probe_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "rank")
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (arXiv:2112.11446 §A1.1):
+    in-doc word/bigram repetition fractions (pure codegen) + modal-bigram
+    occupancy (explode→partial-agg, never per-doc Python)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textqc.repetition_signals(docs).orderBy("doc_id")
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate census (CCNet/C4 shared-shingle idea):
+    3-grams appearing in ≥5 distinct docs are boilerplate; each doc reports
+    the fraction of its gram occurrences that are boilerplate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textqc.boilerplate_ngrams(docs, ngram_n=3, min_docs=5).orderBy("doc_id")
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source connector (Common Crawl's interchange format,
+    ISO 28500): pages → WARC response records → parsed back, entirely
+    inside executors (one blob per Arrow batch; no driver collect, no
+    filesystem). Output proves byte-framing fidelity (payload octet
+    length) and content fidelity (title re-extracted from the
+    roundtripped HTML)."""
+    from spider_spark import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://warc.test/doc/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id"),
+                F.lit("</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    back = warc_mod.roundtrip_pages(pages, compress=True)
+    return back.select(
+        "url",
+        F.length("html").cast("bigint").alias("n_bytes"),
+        F.regexp_extract(F.col("html").cast("string"), "<title[^>]*>([^<]+)</title>", 1).alias(
+            "title"
+        ),
+    )
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap protocol extraction (sitemaps.org), pure Catalyst: urlset
+    blocks → (loc, lastmod, priority) rows with XML entities unescaped
+    (&amp; last — no double-decode)."""
+    from spider_spark import sitemap as sitemap_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>'
+              "https://site.test/p/"),
+        F.col("doc_id"),
+        F.lit("?a=1&amp;b="),
+        F.col("doc_id"),
+        F.lit("</loc><lastmod>2024-03-0"),
+        F.col("doc_id") % 9 + 1,
+        F.lit("</lastmod><priority>0."),
+        F.col("doc_id") % 10,
+        F.lit("</priority></url><url><loc>https://site.test/alt/"),
+        F.col("doc_id"),
+        F.lit("</loc></url></urlset>"),
+    )
+    sitemaps = docs.select(
+        F.concat(F.lit("https://site.test/sm/"), F.col("doc_id")).alias("url"),
+        xml.alias("xml"),
+    )
+    return sitemap_mod.sitemap_entries(sitemaps, "xml").select(
+        "url", "pos", "loc", "lastmod", "priority"
+    )
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap directive extraction from robots.txt bodies (RFC 9309 §2.3
+    non-group record) — how a crawl discovers a host's sitemaps. Pure
+    Catalyst (regexp_extract_all + keep-first array_distinct)."""
+    from spider_spark import robots as robots_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    bodies = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nSitemap: https://h"),
+            F.col("doc_id"),
+            F.lit(".test/sitemap.xml\nsitemap: https://h"),
+            F.col("doc_id"),
+            F.lit(".test/sitemap-news.xml\nSitemap: https://h"),
+            F.col("doc_id"),
+            F.lit(".test/sitemap.xml\n"),  # duplicate → keep-first
+        ).alias("robots_txt"),
+    )
+    return robots_mod.sitemap_urls_from_bodies(bodies)
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX-style archive index (the WARC companion artifact): SURT key
+    (reversed host labels + sorted query), 14-digit timestamp, sha256
+    digest — sorted by (surt, ts) so each output file holds a contiguous
+    SURT range at scale."""
+    from spider_spark import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://www.ex"),
+            F.col("doc_id") % 50,
+            F.lit(".example.com/p/"),
+            F.col("doc_id"),
+            F.lit("?b=2&a=1"),
+        ).alias("url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    return warc_mod.cdx_index(pages)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -742,6 +882,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "winnowing_deterministic": q_winnowing_md5,
+        "ivf_topk_ann": q_ivf_topk,
+        "repetition_signals": q_repetition_signals,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "warc_roundtrip": q_warc_roundtrip,
+        "sitemap_extract": q_sitemap_extract,
+        "robots_sitemaps": q_robots_sitemaps,
+        "cdx_surt_index": q_cdx_index,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1075,6 +1222,137 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) p
               WHERE e.vec_id >= 4)
             WHERE rank <= 5
+        """,
+        "ivf_topk_ann": """
+            WITH cents AS (
+              SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 4 ORDER BY vec_id LIMIT 16),
+            corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id >= 4),
+            assign AS (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT c.vec_id, c.v, t.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.v, t.cv) DESC, t.cent_id) AS rn
+                FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+              FROM embeddings WHERE vec_id < 4),
+            probed AS (
+              SELECT probe_id, pv, cent_id FROM (
+                SELECT p.probe_id, p.pv, t.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                         ORDER BY list_cosine_similarity(p.pv, t.cv) DESC, t.cent_id) AS rn
+                FROM probes p CROSS JOIN cents t) WHERE rn <= 4),
+            cand AS (
+              SELECT pr.probe_id, pr.pv, a.vec_id, a.v
+              FROM probed pr JOIN assign a USING (cent_id))
+            SELECT probe_id, vec_id, ROUND(cosine, 4) AS cosine_r, rank FROM (
+              SELECT probe_id, vec_id,
+                     list_cosine_similarity(v, pv) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY list_cosine_similarity(v, pv) DESC, vec_id) AS rank
+              FROM cand)
+            WHERE rank <= 5
+        """,
+        "repetition_signals": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE [] END AS grams
+              FROM t),
+            gc AS (
+              SELECT doc_id, gram, count(*) AS c
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              GROUP BY doc_id, gram),
+            gm AS (SELECT doc_id, max(c) AS topc, sum(c) AS total FROM gc GROUP BY doc_id)
+            SELECT g.doc_id,
+                   len(toks) AS n_words,
+                   ROUND(CASE WHEN len(toks) > 0
+                              THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                              ELSE 0 END, 4) AS dup_word_frac,
+                   ROUND(CASE WHEN len(grams) > 0
+                              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                              ELSE 0 END, 4) AS dup_ngram_frac,
+                   ROUND(CASE WHEN coalesce(gm.total, 0) > 0
+                              THEN CAST(gm.topc AS DOUBLE) / gm.total
+                              ELSE 0 END, 4) AS top_ngram_frac
+            FROM g LEFT JOIN gm ON g.doc_id = gm.doc_id
+        """,
+        "boilerplate_ngrams": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(generate_series(1, len(toks) - 2),
+                                              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                          ELSE [] END AS grams
+              FROM t),
+            occ AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            boiler AS (
+              SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+              GROUP BY gram HAVING count(*) >= 5),
+            bc AS (
+              SELECT o.doc_id, count(*) AS nb
+              FROM occ o JOIN boiler b ON o.gram = b.gram
+              GROUP BY o.doc_id)
+            SELECT g.doc_id, len(grams) AS n_grams,
+                   ROUND(CASE WHEN len(grams) > 0
+                              THEN CAST(coalesce(bc.nb, 0) AS DOUBLE) / len(grams)
+                              ELSE 0 END, 4) AS boilerplate_frac
+            FROM g LEFT JOIN bc ON g.doc_id = bc.doc_id
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://warc.test/doc/' || doc_id AS url,
+                   CAST(strlen('<html><head><title>Doc ' || doc_id
+                               || '</title></head><body><p>' || text
+                               || '</p></body></html>') AS BIGINT) AS n_bytes,
+                   'Doc ' || doc_id AS title
+            FROM documents
+        """,
+        "sitemap_extract": """
+            SELECT 'https://site.test/sm/' || doc_id AS url,
+                   CAST(0 AS INT) AS pos,
+                   'https://site.test/p/' || doc_id || '?a=1&b=' || doc_id AS loc,
+                   '2024-03-0' || (doc_id % 9 + 1) AS lastmod,
+                   CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority
+            FROM documents
+            UNION ALL
+            SELECT 'https://site.test/sm/' || doc_id,
+                   CAST(1 AS INT),
+                   'https://site.test/alt/' || doc_id,
+                   NULL, NULL
+            FROM documents
+        """,
+        "robots_sitemaps": """
+            SELECT 'h' || doc_id || '.test' AS host, CAST(0 AS INT) AS pos,
+                   'https://h' || doc_id || '.test/sitemap.xml' AS sitemap_url
+            FROM documents
+            UNION ALL
+            SELECT 'h' || doc_id || '.test', CAST(1 AS INT),
+                   'https://h' || doc_id || '.test/sitemap-news.xml'
+            FROM documents
+        """,
+        "cdx_surt_index": """
+            SELECT 'com,example,ex' || (doc_id % 50) || ',www)/p/' || doc_id
+                     || '?a=1&b=2' AS surt,
+                   strftime(epoch_ms(doc_id * 1000), '%Y%m%d%H%M%S') AS cdx_ts,
+                   'https://www.ex' || (doc_id % 50) || '.example.com/p/' || doc_id
+                     || '?b=2&a=1' AS url,
+                   sha256(text) AS digest
+            FROM documents
         """,
     }
 

@@ -127,6 +127,11 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "tree_scrape_metrics",
         "simhash_deterministic",
         "cache_read_through_misses",
+        "ivf_topk_ann",
+        "repetition_signals",
+        "boilerplate_ngrams",
+        "warc_roundtrip",
+        "sitemap_extract",
     ]
     out = {}
     for name in names:

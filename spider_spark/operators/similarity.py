@@ -107,6 +107,92 @@ def lsh_topk(
     )
 
 
+def _centroid_literal(centroids, id_col: str, vec_col: str) -> str:
+    """Render a collected centroid table as a SQL array<struct> literal.
+
+    The centroid set is tiny by contract (≤ a few thousand rows — IVF lists
+    are trained offline at any scale), so inlining it into the plan keeps
+    the assignment pass in whole-stage codegen with ZERO shuffle and zero
+    row inflation on the corpus side — the property that matters at 100 TB,
+    where a crossJoin+window assignment would shuffle the whole corpus."""
+    rows = centroids.orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("ivf_topk needs a non-empty centroid table")
+    parts = []
+    for r in rows:
+        vec = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in r[vec_col])
+        parts.append(f"named_struct('cid', {int(r[id_col])}, 'cv', array({vec}))")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest centroid
+    (inverted list), probe only the ``n_probe`` nearest lists per probe,
+    exact cosine re-rank within the probed candidates.
+
+    ``centroids`` is any (id, vector) table — real deployments train
+    k-means offline and pass it in; the default picks the ``n_centroids``
+    corpus vectors with the smallest ids (deterministic, oracle-checkable).
+
+    Physical shape: centroids are inlined as a literal array, so both the
+    corpus assignment and the probe-list selection are map-only codegen
+    expressions (each cosine computed once via ``transform``; ties broken
+    toward the smallest centroid id by ``array_max`` over
+    ``struct(cos, -cid)``). The only shuffles are the candidate hash join
+    on ``cent_id`` (probe side broadcast) and the per-probe top-k window
+    over candidates — never the corpus."""
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+    cents = _centroid_literal(centroids, "cent_id", "cent_vec")
+
+    def cos_to(vcol: str) -> str:
+        # cosine(vcol, c.cv) with the same fold shape as _cosine_expr
+        dot = f"aggregate(zip_with({vcol}, c.cv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        nv = f"sqrt(aggregate({vcol}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+        nc = "sqrt(aggregate(c.cv, 0D, (acc, v) -> acc + v * v))"
+        return f"IF({nv} > 0D AND {nc} > 0D, {dot} / ({nv} * {nc}), 0D)"
+
+    scored_cents = f"transform({cents}, c -> named_struct('cos', {cos_to(vec_col)}, 'ncid', -c.cid))"
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-F.expr(f"array_max({scored_cents})").getField("ncid")).alias("cent_id"),
+    )
+
+    scored_p = f"transform({cents}, c -> named_struct('negcos', -({cos_to(probe_vec_col)}), 'cid', c.cid))"
+    probed = probes.select(
+        F.col(probe_id_col),
+        F.col(probe_vec_col),
+        F.explode(
+            F.expr(f"slice(array_sort({scored_p}), 1, {int(n_probe)})")
+        ).alias("pc"),
+    ).select(probe_id_col, probe_vec_col, F.col("pc.cid").alias("cent_id"))
+
+    cand = assigned.join(F.broadcast(probed), "cent_id").dropDuplicates([probe_id_col, id_col])
+    scored = cand.withColumn("cosine", _cosine_expr(vec_col, probe_vec_col))
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

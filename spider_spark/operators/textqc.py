@@ -145,6 +145,132 @@ def winnowing_fingerprints_udf(k: int = 5, window: int = 4):
     return fp
 
 
+def col_ngrams(text_col: str | Column, n: int = 2) -> Column:
+    """Word n-gram array (space-joined), pure Catalyst. Empty array when the
+    document has fewer than ``n`` tokens — ``sequence`` must be guarded
+    because Spark's sequence(1, 0) counts DOWN instead of returning []."""
+    toks = col_tokens(text_col)
+    lower = F.transform(toks, lambda t: F.lower(t))
+    gram = lambda i: F.array_join(F.slice(lower, i, n), " ")  # noqa: E731
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram_n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (arXiv:2112.11446 §A1.1 — the public repetition-filter recipe):
+
+    - ``n_words``            token count
+    - ``dup_word_frac``      1 − distinct/total words (in-doc word repetition)
+    - ``dup_ngram_frac``     1 − distinct/total n-grams
+    - ``top_ngram_frac``     occurrences of the most frequent n-gram / total
+
+    The distinct-ratio signals are pure codegen expressions (no shuffle).
+    ``top_ngram_frac`` needs the modal n-gram count, computed the
+    scale-right way: explode → partial-agg groupBy(doc, gram) → groupBy(doc)
+    max — two map-side-combining shuffles keyed by (doc, gram), never a
+    per-doc Python pass, so a 10k-token doc costs O(n) not O(n²)."""
+    toks = col_tokens(text_col)
+    lower = F.transform(toks, lambda t: F.lower(t))
+    grams = col_ngrams(text_col, ngram_n)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(lower)).alias("n_distinct_words"),
+        grams.alias("_grams"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4
+    )
+    top = (
+        base.select(id_col, F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top"), F.sum("count").alias("_total"))
+    )
+    return (
+        base.select(
+            id_col,
+            "n_words",
+            frac(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")).alias(
+                "dup_word_frac"
+            ),
+            F.size("_grams").alias("_n_grams"),
+            F.size(F.array_distinct("_grams")).alias("_n_distinct_grams"),
+        )
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            frac(F.col("_n_grams") - F.col("_n_distinct_grams"), F.col("_n_grams")).alias(
+                "dup_ngram_frac"
+            ),
+            frac(F.coalesce(F.col("_top"), F.lit(0)), F.coalesce(F.col("_total"), F.lit(0))).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate census (the CCNet/C4 shared-shingle idea):
+    an n-gram appearing in ≥ ``min_docs`` DISTINCT documents is boilerplate;
+    each document reports what fraction of its n-gram occurrences are
+    boilerplate (high fraction ⇒ template/nav page, drop before training).
+
+    Scale shape: per-doc-distinct grams (array_distinct BEFORE the explode,
+    so the cross-doc census shuffles each (doc, gram) once, not per
+    occurrence) → groupBy(gram) count ⇒ the boilerplate set → semi-join
+    back against per-doc occurrences keyed on the gram string. At 100 TB
+    the gram key would be xxhash64(gram) to cut shuffle width — semantics
+    identical, kept as the string here for oracle parity."""
+    grams = col_ngrams(text_col, ngram_n)
+    base = df.select(F.col(id_col), grams.alias("_grams")).persist()
+    per_doc_distinct = base.select(
+        id_col, F.explode(F.array_distinct("_grams")).alias("gram")
+    )
+    boiler = (
+        per_doc_distinct.groupBy("gram")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("gram")
+    )
+    occurrences = base.select(id_col, F.explode("_grams").alias("gram"))
+    boiler_counts = (
+        occurrences.join(boiler, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_boiler"))
+    )
+    out = (
+        base.select(F.col(id_col), F.size("_grams").alias("n_grams"))
+        .join(boiler_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("_boiler"), F.lit(0)).cast("double") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("boilerplate_frac"),
+        )
+    )
+    return out
+
+
 def quality_report(df: DataFrame, text_col: str = "text", lang_col: str | None = None) -> DataFrame:
     """Per-document QC columns, one codegen stage, no shuffle."""
     lang = F.col(lang_col) if lang_col else col_lang_id(text_col)

@@ -259,3 +259,44 @@ def rules_from_bodies(
         F.col("r.allow_prefixes").alias("allow_prefixes"),
         F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
     )
+
+
+# --- Sitemap directive (RFC 9309 §2.3: a non-group record — applies to the
+# whole file regardless of user-agent groups) ------------------------------
+
+_SITEMAP_LINE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def sitemap_urls(body: str | None) -> list[str]:
+    """Scalar: ordered, keep-first-deduped Sitemap URLs from a robots.txt
+    body (same MAX_BYTES truncation as the rule parser)."""
+    if not body:
+        return []
+    out: list[str] = []
+    for m in re.finditer(_SITEMAP_LINE, body[:MAX_BYTES]):
+        u = m.group(1)
+        if u not in out:
+            out.append(u)
+    return out
+
+
+def col_sitemap_urls(body: Column) -> Column:
+    """Pure-Catalyst form of ``sitemap_urls`` (``array_distinct`` keeps the
+    first occurrence in order, matching the scalar's keep-first)."""
+    truncated = F.substring(body, 1, MAX_BYTES)
+    return F.array_distinct(
+        F.regexp_extract_all(truncated, F.lit(_SITEMAP_LINE), F.lit(1))
+    )
+
+
+def sitemap_urls_from_bodies(
+    bodies: DataFrame, body_col: str = "robots_txt", host_col: str = "host"
+) -> DataFrame:
+    """(host, robots_txt) → one row per declared sitemap URL, document
+    order, keep-first per host. Feed the ``loc`` output of
+    ``sitemap.sitemap_entries`` after fetching these URLs — robots.txt is
+    how a crawl discovers the sitemaps in the first place."""
+    return bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(col_sitemap_urls(F.col(body_col))).alias("pos", "sitemap_url"),
+    )

@@ -1,0 +1,95 @@
+"""Sitemap ingestion (sitemaps.org protocol): ``<urlset>`` /
+``<sitemapindex>`` XML → seed rows for the frontier, pure Catalyst.
+
+The reference discovers URLs only by extracting links from fetched pages
+(src/shared/links.ts); a crawl engine at Common-Crawl scale also ingests
+the hosts' declared URL inventories. Sitemaps are simple, rigid XML, so
+extraction stays entirely in whole-stage codegen (``regexp_extract_all``
+over ``<url>``/``<sitemap>`` blocks, per-block field regexes, the 5
+predefined XML entities unescaped with ``&amp;`` last) — no Python in the
+path, scan-speed over any number of sitemap bodies.
+
+A ``sitemapindex`` row's ``loc`` is itself a sitemap URL — the caller
+enqueues those for fetching (the sitemap analog of a frontier tick) while
+``urlset`` locs go straight to ``seeds_to_frontier``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_URL_BLOCK = r"(?s)<url[\s>](.*?)</url>"
+_SITEMAP_BLOCK = r"(?s)<sitemap[\s>](.*?)</sitemap>"
+
+
+def xml_unescape(c: Column) -> Column:
+    """Decode the 5 predefined XML entities. ``&amp;`` is decoded LAST —
+    the inverse of escape order — so ``&amp;lt;`` yields the literal
+    ``&lt;`` instead of double-decoding to ``<``. (Deliberately NOT the
+    reference's HTML 5-entity chain, which decodes ``&#039;`` and runs in
+    source order — this is the XML spec's entity set.)"""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _field(block: Column, tag: str) -> Column:
+    raw = F.regexp_extract(block, rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1)
+    return F.nullif(xml_unescape(raw), F.lit(""))
+
+
+def sitemap_entries(df: DataFrame, xml_col: str = "xml", id_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Explode sitemap XML bodies into one row per declared URL.
+
+    Output columns: ``*id_cols, sitemap_kind ('urlset'|'sitemapindex'),
+    pos (document order), loc, lastmod, changefreq, priority (double)``.
+    Rows without a ``<loc>`` are dropped (spec: loc is required); documents
+    that are not sitemaps produce no rows."""
+    xml = F.col(xml_col)
+    kind = (
+        F.when(xml.rlike(r"(?s)<urlset[\s>]"), F.lit("urlset"))
+        .when(xml.rlike(r"(?s)<sitemapindex[\s>]"), F.lit("sitemapindex"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    blocks = (
+        F.when(kind == "urlset", F.regexp_extract_all(xml, F.lit(_URL_BLOCK), F.lit(1)))
+        .when(kind == "sitemapindex", F.regexp_extract_all(xml, F.lit(_SITEMAP_BLOCK), F.lit(1)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    b = df.select(
+        *id_cols,
+        kind.alias("sitemap_kind"),
+        F.posexplode(blocks).alias("pos", "_block"),
+    )
+    blk = F.col("_block")
+    return (
+        b.select(
+            *id_cols,
+            "sitemap_kind",
+            "pos",
+            _field(blk, "loc").alias("loc"),
+            _field(blk, "lastmod").alias("lastmod"),
+            _field(blk, "changefreq").alias("changefreq"),
+            _field(blk, "priority").cast("double").alias("priority"),
+        )
+        .filter(F.col("loc").isNotNull())
+    )
+
+
+def urlset_seed_urls(entries: DataFrame) -> DataFrame:
+    """Frontier-ready seeds from extracted entries: ``urlset`` locs only,
+    highest sitemap priority first (spec default 0.5), keep-first on loc.
+    Returns (url, sitemap_priority) — feed ``url`` to
+    ``frontier.seeds_to_frontier`` (which canonicalizes, hashes, and
+    dead-letters invalid rows)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("loc").orderBy(F.desc("priority"), "pos")
+    return (
+        entries.filter(F.col("sitemap_kind") == "urlset")
+        .withColumn("priority", F.coalesce(F.col("priority"), F.lit(0.5)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("loc").alias("url"), F.col("priority").alias("sitemap_priority"))
+    )

@@ -1,0 +1,132 @@
+"""Tests for round-2 additions: IVF ANN, Gopher-style repetition signals,
+corpus-level boilerplate n-gram census."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators import similarity, textqc
+
+
+def _clustered_vectors(n_clusters=4, per_cluster=15, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 5
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = centers[c] + rng.standard_normal(dim) * 0.3
+            rows.append((c * per_cluster + j, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<float>"
+    ).persist()
+
+
+def test_ivf_matches_brute_force_on_clustered_data(emb_df):
+    """With centroids per true cluster and n_probe covering the probe's
+    cluster, IVF top-k must equal the exact brute-force answer."""
+    probes = emb_df.filter(F.col("vec_id").isin(0, 15, 30)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb_df.filter(~F.col("vec_id").isin(0, 15, 30))
+    # one representative per cluster as the centroid table
+    cents = emb_df.filter(F.col("vec_id").isin(1, 16, 31, 46)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    exact = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in similarity.brute_force_topk(corpus, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in similarity.ivf_topk(corpus, probes, k=5, n_probe=1, centroids=cents).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_default_centroids_recall(emb_df):
+    """Default (smallest-id) centroids with n_probe=4 of 8 lists: recall@5
+    vs brute force should be high on clustered data."""
+    probes = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb_df.filter(F.col("vec_id") >= 2)
+    exact = similarity.brute_force_topk(corpus, probes, k=5).collect()
+    approx = similarity.ivf_topk(corpus, probes, k=5, n_centroids=8, n_probe=4).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    approx_set = {(r.probe_id, r.vec_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.8
+
+
+def test_ivf_empty_centroids_raises(spark, emb_df):
+    empty = emb_df.filter("vec_id < 0").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    probes = emb_df.limit(1).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(emb_df, probes, centroids=empty)
+
+
+def test_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b"),          # words 3/2 distinct; bigrams [a a, a b]
+            (1, "x y x y x"),      # words 5/2; bigrams [x y, y x, x y, y x]
+            (2, "solo"),           # 1 word, no bigrams
+            (3, "all different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textqc.repetition_signals(docs).collect()}
+    assert out[0].n_words == 3
+    assert out[0].dup_word_frac == pytest.approx(1 / 3, abs=1e-4)
+    assert out[0].dup_ngram_frac == 0.0
+    assert out[0].top_ngram_frac == 0.5
+    assert out[1].dup_word_frac == 0.6
+    assert out[1].dup_ngram_frac == 0.5  # 4 bigrams, 2 distinct
+    assert out[1].top_ngram_frac == 0.5
+    assert out[2].n_words == 1 and out[2].top_ngram_frac == 0.0
+    assert out[3].dup_word_frac == 0.0 and out[3].dup_ngram_frac == 0.0
+
+
+def test_repetition_case_insensitive_tokens(spark):
+    docs = spark.createDataFrame([(0, "The THE the")], "doc_id long, text string")
+    row = textqc.repetition_signals(docs).collect()[0]
+    assert row.dup_word_frac == pytest.approx(2 / 3, abs=1e-4)
+    assert row.top_ngram_frac == 1.0  # both bigrams are 'the the'
+
+
+def test_boilerplate_ngrams_census(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown cat"),
+            (2, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textqc.boilerplate_ngrams(docs, ngram_n=3, min_docs=2).collect()}
+    # 'the quick brown' appears in docs 0 and 1 → boilerplate
+    assert out[0].n_grams == 2 and out[0].boilerplate_frac == 0.5
+    assert out[1].boilerplate_frac == 0.5
+    assert out[2].boilerplate_frac == 0.0
+
+
+def test_boilerplate_counts_occurrences_not_types(spark):
+    # doc 0 repeats the shared gram twice → 2 of its 4 grams are boilerplate
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b c unrelated")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textqc.boilerplate_ngrams(docs, ngram_n=3, min_docs=2).collect()}
+    assert out[0].n_grams == 4
+    assert out[0].boilerplate_frac == 0.5  # positions 1 and 4 are 'a b c'
+    assert out[1].boilerplate_frac == 0.5  # 1 of its 2 grams

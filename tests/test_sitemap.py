@@ -1,0 +1,112 @@
+"""Sitemap protocol extraction (sitemaps.org): urlset/sitemapindex blocks,
+XML entity unescape ordering, seed derivation, crawler composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark import sitemap
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://s.test/page?a=1&amp;b=2</loc>
+    <lastmod>2024-01-05</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc> https://s.test/bare </loc></url>
+  <url><lastmod>2024-01-06</lastmod></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://s.test/sitemap-a.xml</loc><lastmod>2024-02-01</lastmod></sitemap>
+  <sitemap><loc>https://s.test/sitemap-b.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def _df(spark, *bodies):
+    return spark.createDataFrame(
+        [(f"https://s.test/sm{i}.xml", b) for i, b in enumerate(bodies)],
+        "url string, xml string",
+    )
+
+
+def test_urlset_entries(spark):
+    rows = sitemap.sitemap_entries(_df(spark, URLSET), "xml").orderBy("pos").collect()
+    assert [r.loc for r in rows] == ["https://s.test/page?a=1&b=2", "https://s.test/bare"]
+    assert rows[0].sitemap_kind == "urlset"
+    assert rows[0].lastmod == "2024-01-05"
+    assert rows[0].changefreq == "daily"
+    assert rows[0].priority == 0.8
+    assert rows[1].lastmod is None and rows[1].priority is None
+    # the loc-less third block was dropped (loc is required by spec)
+
+
+def test_sitemapindex_entries(spark):
+    rows = sitemap.sitemap_entries(_df(spark, INDEX), "xml").orderBy("pos").collect()
+    assert [r.loc for r in rows] == [
+        "https://s.test/sitemap-a.xml",
+        "https://s.test/sitemap-b.xml",
+    ]
+    assert all(r.sitemap_kind == "sitemapindex" for r in rows)
+
+
+def test_non_sitemap_yields_no_rows(spark):
+    assert sitemap.sitemap_entries(_df(spark, "<html><body>hi</body></html>"), "xml").count() == 0
+
+
+def test_xml_unescape_amp_last(spark):
+    # '&amp;lt;' must decode to the literal '&lt;', not double-decode to '<'
+    df = spark.range(1).select(sitemap.xml_unescape(F.lit("x &amp;lt; y &apos;q&apos;")).alias("v"))
+    assert df.collect()[0].v == "x &lt; y 'q'"
+
+
+def test_urlset_seed_urls_keep_first_and_default_priority(spark):
+    dup = """<urlset>
+      <url><loc>https://s.test/dup</loc><priority>0.2</priority></url>
+      <url><loc>https://s.test/dup</loc><priority>0.9</priority></url>
+      <url><loc>https://s.test/other</loc></url>
+    </urlset>"""
+    seeds = {
+        r.url: r.sitemap_priority
+        for r in sitemap.urlset_seed_urls(
+            sitemap.sitemap_entries(_df(spark, dup), "xml")
+        ).collect()
+    }
+    assert seeds == {"https://s.test/dup": 0.9, "https://s.test/other": 0.5}
+
+
+def test_robots_sitemap_directive(spark):
+    from spider_spark import robots
+
+    body = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://s.test/sitemap.xml\n"
+        "sitemap:https://s.test/sitemap2.xml\n"
+        "Sitemap: https://s.test/sitemap.xml\n"  # dupe → keep-first
+    )
+    # scalar
+    assert robots.sitemap_urls(body) == [
+        "https://s.test/sitemap.xml",
+        "https://s.test/sitemap2.xml",
+    ]
+    assert robots.sitemap_urls(None) == []
+    # Catalyst parity
+    df = spark.createDataFrame([("s.test", body), ("empty.test", "User-agent: *\n")],
+                               "host string, robots_txt string")
+    rows = robots.sitemap_urls_from_bodies(df).orderBy("host", "pos").collect()
+    assert [(r.host, r.pos, r.sitemap_url) for r in rows] == [
+        ("s.test", 0, "https://s.test/sitemap.xml"),
+        ("s.test", 1, "https://s.test/sitemap2.xml"),
+    ]
+
+
+def test_sitemap_seeds_feed_the_frontier(spark):
+    from spider_spark.frontier import CrawlConfig, seeds_to_frontier
+
+    entries = sitemap.sitemap_entries(_df(spark, URLSET), "xml")
+    urls = [r.url for r in sitemap.urlset_seed_urls(entries).collect()]
+    fr = seeds_to_frontier(spark, sorted(urls), CrawlConfig())
+    got = {r.url_canon for r in fr.collect()}
+    assert "https://s.test/bare" in got and any("a=1" in u for u in got)
