@@ -43,6 +43,41 @@ def _sql_list(words) -> str:
     return "[" + ", ".join("'" + w + "'" for w in words) + "]"
 
 
+# DuckDB mirror of textqc.repetition_signals — shared by the
+# repetition_signals oracle and (as a subquery) the clean_corpus oracle.
+_REPETITION_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS grams
+      FROM t),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+      GROUP BY doc_id, gram),
+    gm AS (SELECT doc_id, max(c) AS topc, sum(c) AS total FROM gc GROUP BY doc_id)
+    SELECT g.doc_id,
+           len(toks) AS n_words,
+           ROUND(CASE WHEN len(toks) > 0
+                      THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0 END, 4) AS dup_word_frac,
+           ROUND(CASE WHEN len(grams) > 0
+                      THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                      ELSE 0 END, 4) AS dup_ngram_frac,
+           ROUND(CASE WHEN coalesce(gm.total, 0) > 0
+                      THEN CAST(gm.topc AS DOUBLE) / gm.total
+                      ELSE 0 END, 4) AS top_ngram_frac
+    FROM g LEFT JOIN gm ON g.doc_id = gm.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -844,6 +879,47 @@ def q_cdx_index(spark, sf_dir):
     return warc_mod.cdx_index(pages)
 
 
+def q_clean_corpus(spark, sf_dir):
+    """C4/Gopher-style cleaning disposition: first-match-wins drop-reason
+    chain (too_short → lang → repetition → duplicate) composing the
+    token-count, language-ID, repetition, and exact-dup operators into a
+    per-doc keep/drop ledger."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textqc.clean_corpus(docs).orderBy("doc_id")
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate CLUSTERS via min-label-propagation
+    connected components (the step after minhash/simhash pair generation:
+    keep one doc per component). Deterministic synthetic pair graph over
+    doc ids; oracle = recursive reachability closure in DuckDB."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    )
+    return graph_ops.connected_components(edges).orderBy("node")
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-2-iteration PageRank over a deterministic link graph — the
+    frontier-prioritization signal (OPIC/PageRank-ordered crawling).
+    Iterations are unrolled identically in the DuckDB oracle."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 7) % 200).alias("dst")
+    )
+    e2 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 29 + 1) % 200).alias("dst")
+    )
+    ranks = graph_ops.pagerank(e1.unionByName(e2), iters=2)
+    return ranks.select("node", F.round("rank", 6).alias("rank_r")).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -889,6 +965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "robots_sitemaps": q_robots_sitemaps,
         "cdx_surt_index": q_cdx_index,
+        "dup_clusters": q_dup_clusters,
+        "pagerank_2iter": q_pagerank,
+        "clean_corpus": q_clean_corpus,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1256,37 +1335,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             WHERE rank <= 5
         """,
-        "repetition_signals": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents),
-            g AS (
-              SELECT doc_id, toks,
-                     CASE WHEN len(toks) >= 2
-                          THEN list_transform(generate_series(1, len(toks) - 1),
-                                              i -> toks[i] || ' ' || toks[i + 1])
-                          ELSE [] END AS grams
-              FROM t),
-            gc AS (
-              SELECT doc_id, gram, count(*) AS c
-              FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
-              GROUP BY doc_id, gram),
-            gm AS (SELECT doc_id, max(c) AS topc, sum(c) AS total FROM gc GROUP BY doc_id)
-            SELECT g.doc_id,
-                   len(toks) AS n_words,
-                   ROUND(CASE WHEN len(toks) > 0
-                              THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                              ELSE 0 END, 4) AS dup_word_frac,
-                   ROUND(CASE WHEN len(grams) > 0
-                              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
-                              ELSE 0 END, 4) AS dup_ngram_frac,
-                   ROUND(CASE WHEN coalesce(gm.total, 0) > 0
-                              THEN CAST(gm.topc AS DOUBLE) / gm.total
-                              ELSE 0 END, 4) AS top_ngram_frac
-            FROM g LEFT JOIN gm ON g.doc_id = gm.doc_id
-        """,
+        "repetition_signals": _REPETITION_SQL,
         "boilerplate_ngrams": """
             WITH t AS (
               SELECT doc_id,
@@ -1353,6 +1402,66 @@ def oracle_sql() -> dict[str, str]:
                      || '?b=2&a=1' AS url,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "clean_corpus": f"""
+            WITH rep AS ({_REPETITION_SQL}),
+            lang AS ({_lang_id_oracle()}),
+            dups AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, reason IS NULL AS keep, reason AS drop_reason
+            FROM (
+              SELECT rep.doc_id,
+                     CASE WHEN rep.n_words < 20 THEN 'too_short'
+                          WHEN lang.lang_pred <> 'en' THEN 'lang'
+                          WHEN rep.dup_word_frac > 0.6
+                               OR rep.top_ngram_frac > 0.1 THEN 'repetition'
+                          WHEN dups.rn > 1 THEN 'duplicate' END AS reason
+              FROM rep JOIN lang USING (doc_id) JOIN dups USING (doc_id))
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE sym AS (
+              SELECT doc_id AS a, (doc_id * 7 + 3) % 101 AS b
+              FROM documents WHERE doc_id % 5 = 0
+              UNION
+              SELECT (doc_id * 7 + 3) % 101, doc_id
+              FROM documents WHERE doc_id % 5 = 0),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+            SELECT a AS node, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        """,
+        "pagerank_2iter": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 13 + 7) % 200 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 29 + 1) % 200 FROM documents WHERE doc_id % 2 = 0),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+            od AS (SELECT s AS node, count(*) AS outdeg FROM e GROUP BY s),
+            r0 AS (
+              SELECT n.node, CAST(1.0 AS DOUBLE) AS rank, od.outdeg
+              FROM nodes n LEFT JOIN od USING (node)),
+            c1 AS (
+              SELECT e.d AS node, SUM(r.rank / r.outdeg) AS in_sum
+              FROM e JOIN r0 r ON r.node = e.s GROUP BY e.d),
+            r1 AS (
+              SELECT r0.node,
+                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(c1.in_sum, 0) AS rank,
+                     r0.outdeg
+              FROM r0 LEFT JOIN c1 USING (node)),
+            c2 AS (
+              SELECT e.d AS node, SUM(r.rank / r.outdeg) AS in_sum
+              FROM e JOIN r1 r ON r.node = e.s GROUP BY e.d),
+            r2 AS (
+              SELECT r1.node,
+                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(c2.in_sum, 0) AS rank
+              FROM r1 LEFT JOIN c2 USING (node))
+            SELECT node, ROUND(rank, 6) AS rank_r FROM r2
         """,
     }
 

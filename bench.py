@@ -132,6 +132,9 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "boilerplate_ngrams",
         "warc_roundtrip",
         "sitemap_extract",
+        "dup_clusters",
+        "pagerank_2iter",
+        "clean_corpus",
     ]
     out = {}
     for name in names:

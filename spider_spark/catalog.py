@@ -171,7 +171,32 @@ class CrawlCatalog:
         self.commit(tick, metrics)
 
     def load_frontier(self, spark: SparkSession, tick: int) -> DataFrame:
-        return spark.read.parquet(self._dir("frontier", tick))
+        p = Path(self._dir("frontier", tick))
+        if not p.exists():
+            # recover from a kill inside replace_frontier's swap window:
+            # the backup IS the pre-replace frontier, losing only the
+            # optimization that was being applied
+            bak = p.with_name(p.name + "__bak")
+            if bak.exists():
+                os.rename(bak, p)
+        return spark.read.parquet(str(p))
+
+    def replace_frontier(self, tick: int, frontier: DataFrame) -> None:
+        """Rewrite a pending frontier snapshot whose own dir feeds
+        ``frontier``'s plan (e.g. a priority rerank). Unlike the
+        accelerator (reconstructible cache), the frontier is PRIMARY state
+        — so the swap writes the side dir first, keeps the old snapshot as
+        ``__bak`` until the new one is renamed into place, and
+        ``load_frontier`` falls back to the backup if a kill lands between
+        the two renames. Every window leaves a complete snapshot readable."""
+        target = Path(self._dir("frontier", tick))
+        side = target.with_name(target.name + "__new")
+        bak = target.with_name(target.name + "__bak")
+        frontier.write.mode("overwrite").parquet(str(side))
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(target, bak)
+        os.rename(side, target)
+        shutil.rmtree(bak)
 
     def load_seen(self, spark: SparkSession, up_to_tick: int) -> DataFrame:
         """Cumulative url_seen = compacted snapshot (deltas ≤ C folded into

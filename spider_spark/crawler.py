@@ -367,6 +367,37 @@ class Crawler:
                 # pruned's plan reads the dir being replaced → atomic swap
                 self.catalog.replace_accel(kind, t, pruned)
 
+    def rerank_frontier(self, iters: int = 2) -> int:
+        """PageRank-ordered crawling: recompute the pending frontier's
+        priorities from the already-crawled link graph (results snapshots
+        carry the full ``links`` arrays — the edge source is free). Higher
+        in-link rank ⇒ earlier fetch, clamped inside the reference's
+        priority bands (100-999). Call between ticks, any number of times;
+        crawl determinism is preserved because priority is itself part of
+        the ordering key. The swap is kill-safe (``replace_frontier``
+        keeps a backup until the new snapshot is in place)."""
+        from pyspark.sql import functions as F
+
+        from .frontier import FRONTIER_SCHEMA
+        from .operators.graph import frontier_rank_priority, pagerank
+
+        spark = self.spark
+        t = self.catalog.committed_tick() + 1
+        results = self.catalog.load_results(spark)
+        edges = (
+            results.filter(F.col("status") == 200)
+            .select(F.col("url_canon").alias("src"), F.explode(F.col("links")).alias("l"))
+            .select("src", F.col("l.href_canon").alias("dst"))
+            .filter(F.col("dst").isNotNull())
+        )
+        ranks = pagerank(edges, iters=iters)
+        fr = self.catalog.load_frontier(spark, t)
+        new_fr = frontier_rank_priority(fr, ranks).select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
+        )
+        self.catalog.replace_frontier(t, new_fr)
+        return self.catalog.load_frontier(spark, t).count()
+
     # --- inspection helpers -------------------------------------------------
 
     def results(self) -> DataFrame:

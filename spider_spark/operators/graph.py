@@ -1,0 +1,162 @@
+"""Graph operators over crawl/dedup outputs: connected components and
+PageRank-style link ranking.
+
+Why these live in a crawl engine:
+- The near-dup family (minhash/simhash/embedding) emits PAIRS; training-data
+  dedup needs CLUSTERS (keep one doc per component). ``connected_components``
+  closes that gap.
+- A frontier at 10^10 URLs needs a better priority than FIFO; link-graph
+  rank over the already-crawled edge set (results snapshots carry the full
+  ``links`` arrays) is the classic signal (OPIC/PageRank-ordered crawling).
+
+Both are iterative: a driver-side loop over hash joins + partial aggs —
+the Pregel-without-Pregel shape. Each iteration is one shuffle keyed by
+node id; lineage is cut per iteration (persist + count) so plans don't
+deepen. Iteration counts are small by construction: dedup components are
+star-like (diameter ≤ 2-3), and rank needs a fixed handful of sweeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation: every node
+    ends with ``component`` = the smallest node id reachable from it.
+
+    Each sweep: label(u) ← min(label(u), min over neighbors label(v)) — one
+    hash-join edges⋈labels + one partial-agg groupBy(node), both keyed on
+    node id, so a sweep costs O(|E|) shuffle with map-side combine.
+    Converges in O(component diameter) sweeps; near-dup graphs are
+    star-like so 2-3 in practice. The loop stops when the changed-count
+    hits zero (one cheap agg per sweep over the labels — label tables are
+    O(|V|), far smaller than the corpus).
+
+    Lineage discipline: ``labels`` feeds TWO operators per sweep (the
+    neighbor-min join and the merge), so without a cut the logical plan
+    doubles every sweep — exponential analysis time by ~iteration 10. Each
+    sweep therefore materializes via ``localCheckpoint`` (the driver loop
+    already forces an action for the convergence count; a production run
+    over an unreliable cluster would use a reliable checkpoint dir, same
+    shape)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("b"), "component"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nbr_comp") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_keep_one_per_component(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster-level dedup: keep the doc whose id equals its component's
+    min (the component label itself) — the cluster representative; every
+    other member is dropped. One broadcast-or-hash semi-join."""
+    keep = components.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    dup_members = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(dup_members, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set: rank = (1−d) +
+    d·Σ rank(in)/outdeg(in), starting from rank=1. No dangling-mass
+    redistribution (documented simplification — crawl frontiers use the
+    rank as a relative priority, not a probability).
+
+    Per iteration: one join edges⋈ranks on src + one partial-agg
+    groupBy(dst) — O(|E|) shuffle each, same physical shape as the
+    components sweep. Returns (node, rank) for every node appearing as a
+    src or dst."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("outdeg"))
+    base = nodes.join(outdeg, "node", "left").persist()
+    ranks = base.select("node", F.lit(1.0).alias("rank"), "outdeg")
+    for i in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("s"), "rank", "outdeg"), "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+                "outdeg",
+            )
+        )
+        # rank depth grows linearly (ranks feeds one join per sweep), but
+        # cut lineage every few sweeps so deep runs stay cheap to plan
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", "rank")
+    return out
+
+
+def frontier_rank_priority(
+    frontier: DataFrame, ranks: DataFrame, base_priority: int = 200, scale: int = 100
+) -> DataFrame:
+    """Fold a link-graph rank into frontier priority: higher rank ⇒ lower
+    (= earlier) priority number, clamped to stay inside the reference's
+    adapter band structure (100-999, src/platform/types.ts:61-66). Rows
+    without a rank keep their current priority. Broadcast-joinable: the
+    rank table is O(crawled URLs), the frontier side stays put."""
+    adj = ranks.select(
+        F.col("node").alias("url_canon"),
+        F.greatest(
+            F.lit(100),
+            (F.lit(base_priority) - F.least(F.col("rank"), F.lit(1.0)) * scale).cast("int"),
+        ).alias("_rank_priority"),
+    )
+    return frontier.join(adj, "url_canon", "left").withColumn(
+        "priority", F.coalesce(F.col("_rank_priority"), F.col("priority"))
+    ).drop("_rank_priority")

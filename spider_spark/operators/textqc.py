@@ -271,6 +271,52 @@ def boilerplate_ngrams(
     return out
 
 
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    allowed_langs: tuple[str, ...] = ("en",),
+    max_dup_word_frac: float = 0.6,
+    max_top_ngram_frac: float = 0.1,
+) -> DataFrame:
+    """C4/Gopher-style corpus-cleaning disposition: every document gets a
+    keep/drop verdict with a FIRST-MATCH-WINS drop reason (the detector-
+    chain pattern of §2.6, applied to data curation):
+
+        too_short → lang → repetition → duplicate → keep
+
+    Returns ``(id, keep BOOLEAN, drop_reason STRING nullable)`` — a
+    disposition ledger rather than a filtered table, so pipelines can audit
+    drop rates per reason before discarding anything.
+
+    Thresholds compare the ROUNDED signals from ``repetition_signals``
+    (stable across summation orders); exact-dup keep-first is a window
+    over md5(text) ordered by id — the same keep-first-by-encounter-order
+    rule the crawl uses for links."""
+    from pyspark.sql import Window
+
+    rep = repetition_signals(df, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(F.md5(F.encode(F.col(text_col), "utf-8"))).orderBy(id_col)
+    base = df.select(
+        F.col(id_col),
+        col_lang_id(text_col).alias("_lang"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    j = base.join(rep, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_tokens, F.lit("too_short"))
+        .when(~F.col("_lang").isin(*allowed_langs), F.lit("lang"))
+        .when(
+            (F.col("dup_word_frac") > max_dup_word_frac)
+            | (F.col("top_ngram_frac") > max_top_ngram_frac),
+            F.lit("repetition"),
+        )
+        .when(F.col("_rn") > 1, F.lit("duplicate"))
+    )
+    return j.select(F.col(id_col), reason.isNull().alias("keep"), reason.alias("drop_reason"))
+
+
 def quality_report(df: DataFrame, text_col: str = "text", lang_col: str | None = None) -> DataFrame:
     """Per-document QC columns, one codegen stage, no shuffle."""
     lang = F.col(lang_col) if lang_col else col_lang_id(text_col)

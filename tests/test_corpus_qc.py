@@ -120,6 +120,29 @@ def test_boilerplate_ngrams_census(spark):
     assert out[2].boilerplate_frac == 0.0
 
 
+def test_clean_corpus_first_match_wins_reason_chain(spark):
+    keep_text = (
+        "the and of to in is for on with that alpha beta gamma delta epsilon "
+        "zeta eta theta iota kappa lambda mu nu xi omicron"
+    )  # 25 distinct en words: passes every gate
+    docs = spark.createDataFrame(
+        [
+            (0, "short doc"),  # 2 words → too_short
+            (1, "the and of to in is for on with that " * 3),  # 30 words, dup 0.667 → repetition
+            (2, "der die und das ist nicht mit ein für auf " + keep_text[40:]),  # de → lang
+            (3, keep_text),  # keep
+            (4, keep_text),  # exact dup of 3 → duplicate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.keep, r.drop_reason) for r in textqc.clean_corpus(docs).collect()}
+    assert out[0] == (False, "too_short")
+    assert out[1] == (False, "repetition")
+    assert out[2] == (False, "lang")
+    assert out[3] == (True, None)
+    assert out[4] == (False, "duplicate")
+
+
 def test_boilerplate_counts_occurrences_not_types(spark):
     # doc 0 repeats the shared gram twice → 2 of its 4 grams are boilerplate
     docs = spark.createDataFrame(

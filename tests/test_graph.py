@@ -1,0 +1,129 @@
+"""Graph operators: connected components (dedup clusters), PageRank,
+frontier rank-priority folding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_components_chain_and_island(spark):
+    # chain 0-1-2 plus island 10-11; labels = min reachable id
+    comp = {
+        r.node: r.component
+        for r in graph.connected_components(_edges(spark, [(0, 1), (1, 2), (10, 11)])).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+
+def test_components_cycle_and_self_loop(spark):
+    comp = {
+        r.node: r.component
+        for r in graph.connected_components(
+            _edges(spark, [(5, 6), (6, 7), (7, 5), (9, 9)])
+        ).collect()
+    }
+    assert comp == {5: 5, 6: 5, 7: 5, 9: 9}
+
+
+def test_components_long_path_converges(spark):
+    # path of length 12 needs multiple sweeps — exercises the loop
+    comp = graph.connected_components(_edges(spark, [(i, i + 1) for i in range(12)]))
+    assert {r.component for r in comp.collect()} == {0}
+
+
+def test_dedup_keep_one_per_component(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(5)], "doc_id long, text string")
+    comp = graph.connected_components(_edges(spark, [(0, 3), (1, 4)]))
+    kept = sorted(
+        r.doc_id for r in graph.dedup_keep_one_per_component(docs, comp).collect()
+    )
+    # components {0,3} and {1,4} keep their min member; 2 untouched
+    assert kept == [0, 1, 2]
+
+
+def test_pagerank_hand_computed(spark):
+    # 1→2, 1→3, 2→3, 3→1 ; two iterations from rank=1
+    ranks = {
+        r.node: r.rank
+        for r in graph.pagerank(_edges(spark, [(1, 2), (1, 3), (2, 3), (3, 1)]), iters=2).collect()
+    }
+    assert ranks[2] == pytest.approx(0.575, abs=1e-9)
+    assert ranks[3] == pytest.approx(0.15 + 0.85 * (0.5 + 0.575), abs=1e-9)
+    assert ranks[1] == pytest.approx(0.15 + 0.85 * 1.425, abs=1e-9)
+
+
+def test_pagerank_sink_gets_base_rank(spark):
+    # node with no in-edges keeps (1-d); sink accumulates
+    ranks = {r.node: r.rank for r in graph.pagerank(_edges(spark, [(1, 2)]), iters=1).collect()}
+    assert ranks[1] == pytest.approx(0.15, abs=1e-9)
+    assert ranks[2] == pytest.approx(1.0, abs=1e-9)  # 0.15 + 0.85·(1/1)
+
+
+def test_frontier_rank_priority_clamps_and_preserves(spark):
+    frontier = spark.createDataFrame(
+        [("https://a.test/x", 200), ("https://a.test/y", 150), ("https://a.test/z", 200)],
+        "url_canon string, priority int",
+    )
+    ranks = spark.createDataFrame(
+        [("https://a.test/x", 0.9), ("https://a.test/y", 5.0)], "node string, rank double"
+    )
+    out = {r.url_canon: r.priority for r in graph.frontier_rank_priority(frontier, ranks).collect()}
+    assert out["https://a.test/x"] == 200 - 90   # rank 0.9 → priority 110
+    assert out["https://a.test/y"] == 100        # clamped at band floor
+    assert out["https://a.test/z"] == 200        # unranked: unchanged
+
+
+def test_rerank_frontier_composes_with_crawl(spark, tmp_path):
+    """PageRank-ordered crawling end-to-end: rerank between ticks boosts
+    in-linked frontier rows, stays inside the priority bands, and the
+    crawl resumes over the swapped snapshot."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    pages = synth.generate_pages(spark, 200, n_hosts=8)
+    cfg = CrawlConfig(per_host_budget=4, respect_robots=False)
+    c = Crawler(spark, pages, str(tmp_path / "ck"), cfg)
+    c.run(synth.seed_urls(200, 8), max_ticks=2)
+    t = c.catalog.committed_tick() + 1
+    before = {r.url_canon: r.priority for r in c.catalog.load_frontier(spark, t).collect()}
+    n = c.rerank_frontier()
+    after = {r.url_canon: r.priority for r in c.catalog.load_frontier(spark, t).collect()}
+    assert n == len(before) == len(after)
+    assert set(before) == set(after)
+    assert any(after[u] != before[u] for u in after)  # in-linked rows boosted
+    assert all(100 <= p <= 999 for p in after.values())
+    stats = c.run(max_ticks=3)
+    assert stats and stats[-1].tick >= 2
+
+
+def test_replace_frontier_kill_recovery(spark, tmp_path):
+    """A kill between replace_frontier's two renames leaves only the
+    __bak dir; load_frontier must recover the pre-replace snapshot."""
+    import os
+
+    from spider_spark.catalog import CrawlCatalog
+
+    cat = CrawlCatalog(str(tmp_path / "ck2"))
+    spark.range(5).select(F.col("id").alias("x")).write.parquet(cat._dir("frontier", 3))
+    target = cat._dir("frontier", 3)
+    os.rename(target, target + "__bak")
+    assert cat.load_frontier(spark, 3).count() == 5
+
+
+def test_components_cluster_minhash_pairs(spark):
+    """Near-dup pairs → clusters: the intended composition with the
+    dedup family (pairs share a member ⇒ one cluster)."""
+    pairs = _edges(spark, [(100, 101), (101, 102), (200, 201)])
+    comp = graph.connected_components(pairs)
+    sizes = sorted(
+        r.n for r in comp.groupBy("component").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [2, 3]
