@@ -42,6 +42,13 @@ def main() -> None:
     p.add_argument("--tick-ms", type=int, default=60_000)
     p.add_argument("--max-requests", type=int, default=None)
     p.add_argument("--use-bloom", action="store_true")
+    p.add_argument(
+        "--rerank-every",
+        type=int,
+        default=None,
+        help="PageRank-rerank frontier priorities every N ticks (priority "
+        "scheduling from the crawled link graph; Crawler.rerank_frontier)",
+    )
     p.add_argument("--synth-pages", type=int, help="generate a synthetic corpus of N pages instead of --pages")
     p.add_argument("--synth-hosts", type=int, default=None)
     args = p.parse_args()
@@ -105,7 +112,23 @@ def main() -> None:
     )
     crawler = Crawler(spark, pages, args.checkpoint, cfg, robots=robots, redirects=redirects)
     t0 = time.monotonic()
-    stats = crawler.run(seeds, max_ticks=args.ticks)
+    if args.rerank_every:
+        # run in chunks, reranking the pending frontier between them; the
+        # 2-empty-tick early exit applies per chunk (each chunk that
+        # fetches nothing ends the loop below anyway)
+        stats = []
+        while True:
+            start = crawler.catalog.committed_tick() + 1
+            if start >= args.ticks:
+                break
+            chunk = crawler.run(seeds, max_ticks=min(args.ticks, start + args.rerank_every))
+            stats.extend(chunk)
+            if not chunk or sum(s.fetched for s in chunk) == 0:
+                break
+            if crawler.catalog.committed_tick() + 1 < args.ticks:
+                crawler.rerank_frontier()
+    else:
+        stats = crawler.run(seeds, max_ticks=args.ticks)
     dt = time.monotonic() - t0
     fetched = sum(s.fetched for s in stats)
     print(
