@@ -879,6 +879,26 @@ def q_cdx_index(spark, sf_dir):
     return warc_mod.cdx_index(pages)
 
 
+def q_strip_tracking(spark, sf_dir):
+    """Tracking-param stripping (utm_*, gclid, fbclid, …) as a pure-Catalyst
+    canonicalization step ahead of the seen-filter — per-campaign aliases of
+    one page collapse to one frontier identity."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://t.test/p/"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("?utm_source=news&id="), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?id="), F.col("doc_id"), F.lit("&gclid=x")))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.concat(F.lit("?fbclid=f"), F.col("doc_id"))),
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("url"),
+        udfs.col_strip_tracking_params(raw).alias("stripped"),
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     """C4/Gopher-style cleaning disposition: first-match-wins drop-reason
     chain (too_short → lang → repetition → duplicate) composing the
@@ -968,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "pagerank_2iter": q_pagerank,
         "clean_corpus": q_clean_corpus,
+        "strip_tracking_params": q_strip_tracking,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1401,6 +1422,19 @@ def oracle_sql() -> dict[str, str]:
                    'https://www.ex' || (doc_id % 50) || '.example.com/p/' || doc_id
                      || '?b=2&a=1' AS url,
                    sha256(text) AS digest
+            FROM documents
+        """,
+        "strip_tracking_params": """
+            SELECT doc_id,
+                   'https://t.test/p/' || doc_id ||
+                     CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&id=' || doc_id
+                          WHEN doc_id % 4 = 1 THEN '?id=' || doc_id || '&gclid=x'
+                          WHEN doc_id % 4 = 2 THEN ''
+                          ELSE '?fbclid=f' || doc_id END AS url,
+                   'https://t.test/p/' || doc_id ||
+                     CASE WHEN doc_id % 4 = 0 THEN '?id=' || doc_id
+                          WHEN doc_id % 4 = 1 THEN '?id=' || doc_id
+                          ELSE '' END AS stripped
             FROM documents
         """,
         "clean_corpus": f"""

@@ -32,46 +32,75 @@ def connected_components(
     ends with ``component`` = the smallest node id reachable from it.
 
     Each sweep: label(u) ← min(label(u), min over neighbors label(v)) — one
-    hash-join edges⋈labels + one partial-agg groupBy(node), both keyed on
-    node id, so a sweep costs O(|E|) shuffle with map-side combine.
-    Converges in O(component diameter) sweeps; near-dup graphs are
-    star-like so 2-3 in practice. The loop stops when the changed-count
-    hits zero (one cheap agg per sweep over the labels — label tables are
-    O(|V|), far smaller than the corpus).
+    hash-join edges⋈labels + one partial-agg groupBy(node) — followed by a
+    POINTER-DOUBLING hop (label(u) ← label(label(u))), so the distance a
+    minimum travels roughly doubles per sweep: convergence is
+    O(log diameter), not O(diameter) — a 1000-link chain of gradually
+    mutating boilerplate pages resolves in ~10 sweeps. All shuffles are
+    keyed on node id with map-side combine, O(|E|) each. The loop stops
+    when the neighbor-min step changes nothing (at that fixpoint the hop
+    is idempotent too); exhausting ``max_iters`` without converging
+    RAISES rather than silently returning split components — a wrong
+    dedup clustering is worse than a failed job.
 
-    Lineage discipline: ``labels`` feeds TWO operators per sweep (the
-    neighbor-min join and the merge), so without a cut the logical plan
-    doubles every sweep — exponential analysis time by ~iteration 10. Each
-    sweep therefore materializes via ``localCheckpoint`` (the driver loop
-    already forces an action for the convergence count; a production run
-    over an unreliable cluster would use a reliable checkpoint dir, same
-    shape)."""
+    Lineage discipline: ``labels`` feeds multiple operators per sweep, so
+    without a cut the logical plan doubles every sweep — exponential
+    analysis time by ~iteration 10. Each sweep therefore materializes via
+    ``localCheckpoint`` (the driver loop already forces an action for the
+    convergence count; a production run over an unreliable cluster would
+    use a reliable checkpoint dir, same shape)."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("b"), "component"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
                 (F.col("nbr_comp") < F.col("component")).alias("_changed"),
             )
+            .persist()  # feeds both the hop lookup and the merge below
+        )
+        # pointer doubling: follow the label one more hop (component's own
+        # current label) — costs one extra node-keyed join per sweep and
+        # turns linear label travel into exponential
+        hop = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("_hop")
+        )
+        new_labels = (
+            stepped.join(hop, "component", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("_hop"), F.col("component"))).alias(
+                    "component"
+                ),
+                "_changed",
+            )
         ).localCheckpoint(eager=True)
+        stepped.unpersist()
         changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} sweeps; "
+            "raise max_iters (components deeper than 2^max_iters are implausible "
+            "for dedup graphs — check the edge set)"
+        )
     return labels
 
 
@@ -105,13 +134,15 @@ def pagerank(
     Per iteration: one join edges⋈ranks on src + one partial-agg
     groupBy(dst) — O(|E|) shuffle each, same physical shape as the
     components sweep. Returns (node, rank) for every node appearing as a
-    src or dst."""
+    src or dst, materialized via ``localCheckpoint`` so the intermediate
+    caches this function pins (``base``, reused every iteration) can be
+    released before returning — repeated calls (e.g. ``rerank_frontier``
+    every N ticks) must not leak cached partitions."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
-        .persist()
     )
     outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("outdeg"))
     base = nodes.join(outdeg, "node", "left").persist()
@@ -138,7 +169,8 @@ def pagerank(
         # cut lineage every few sweeps so deep runs stay cheap to plan
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select("node", "rank")
+    out = ranks.select("node", "rank").localCheckpoint(eager=True)
+    base.unpersist()
     return out
 
 

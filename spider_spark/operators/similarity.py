@@ -136,14 +136,17 @@ def ivf_topk(
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
     centroids: DataFrame | None = None,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
 ) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest centroid
     (inverted list), probe only the ``n_probe`` nearest lists per probe,
     exact cosine re-rank within the probed candidates.
 
     ``centroids`` is any (id, vector) table — real deployments train
-    k-means offline and pass it in; the default picks the ``n_centroids``
-    corpus vectors with the smallest ids (deterministic, oracle-checkable).
+    k-means offline and pass it in (name its columns via ``cent_id_col``/
+    ``cent_vec_col``); the default picks the ``n_centroids`` corpus
+    vectors with the smallest ids (deterministic, oracle-checkable).
 
     Physical shape: centroids are inlined as a literal array, so both the
     corpus assignment and the probe-list selection are map-only codegen
@@ -158,7 +161,8 @@ def ivf_topk(
             .limit(n_centroids)
             .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         )
-    cents = _centroid_literal(centroids, "cent_id", "cent_vec")
+        cent_id_col, cent_vec_col = "cent_id", "cent_vec"
+    cents = _centroid_literal(centroids, cent_id_col, cent_vec_col)
 
     def cos_to(vcol: str) -> str:
         # cosine(vcol, c.cv) with the same fold shape as _cosine_expr
@@ -183,7 +187,11 @@ def ivf_topk(
         ).alias("pc"),
     ).select(probe_id_col, probe_vec_col, F.col("pc.cid").alias("cent_id"))
 
-    cand = assigned.join(F.broadcast(probed), "cent_id").dropDuplicates([probe_id_col, id_col])
+    # no dedup needed: each corpus vector has exactly ONE assigned centroid
+    # and each probe's probed cent_ids are distinct, so a (probe, vec) pair
+    # can meet at most once — a dropDuplicates here would be a pure extra
+    # shuffle over the candidate set
+    cand = assigned.join(F.broadcast(probed), "cent_id")
     scored = cand.withColumn("cosine", _cosine_expr(vec_col, probe_vec_col))
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

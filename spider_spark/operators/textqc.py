@@ -173,7 +173,12 @@ def repetition_signals(
     ``top_ngram_frac`` needs the modal n-gram count, computed the
     scale-right way: explode → partial-agg groupBy(doc, gram) → groupBy(doc)
     max — two map-side-combining shuffles keyed by (doc, gram), never a
-    per-doc Python pass, so a 10k-token doc costs O(n) not O(n²)."""
+    per-doc Python pass, so a 10k-token doc costs O(n) not O(n²).
+
+    ``base`` deliberately feeds two branches UNPERSISTED: the gram arrays
+    are corpus-sized, so caching them would pin ~the whole corpus in
+    executor storage at 100 TB — recomputing the tokenize+gram expressions
+    on a second scan is map-side-cheap and caches nothing."""
     toks = col_tokens(text_col)
     lower = F.transform(toks, lambda t: F.lower(t))
     grams = col_ngrams(text_col, ngram_n)
@@ -235,9 +240,13 @@ def boilerplate_ngrams(
     occurrence) → groupBy(gram) count ⇒ the boilerplate set → semi-join
     back against per-doc occurrences keyed on the gram string. At 100 TB
     the gram key would be xxhash64(gram) to cut shuffle width — semantics
-    identical, kept as the string here for oracle parity."""
+    identical, kept as the string here for oracle parity. Like
+    ``repetition_signals``, the gram table feeds its three branches
+    UNPERSISTED: caching corpus-sized gram arrays would pin ~the corpus in
+    executor storage (and leak it past the call), while re-scanning is
+    map-side-cheap."""
     grams = col_ngrams(text_col, ngram_n)
-    base = df.select(F.col(id_col), grams.alias("_grams")).persist()
+    base = df.select(F.col(id_col), grams.alias("_grams"))
     per_doc_distinct = base.select(
         id_col, F.explode(F.array_distinct("_grams")).alias("gram")
     )

@@ -71,7 +71,10 @@ def sitemap_entries(df: DataFrame, xml_col: str = "xml", id_cols: tuple[str, ...
             _field(blk, "loc").alias("loc"),
             _field(blk, "lastmod").alias("lastmod"),
             _field(blk, "changefreq").alias("changefreq"),
-            _field(blk, "priority").cast("double").alias("priority"),
+            # try_cast: real-world sitemaps contain garbage priorities, and
+            # Spark 4 runs ANSI by default — a plain cast would abort the
+            # whole extraction job on one bad row instead of yielding NULL
+            _field(blk, "priority").try_cast("double").alias("priority"),
         )
         .filter(F.col("loc").isNotNull())
     )

@@ -314,6 +314,32 @@ def col_host_shard(host_col, num_shards: int):
     return F.pmod(F.xxhash64(host_col), F.lit(num_shards))
 
 
+# click-tracking / analytics query params that never change page content —
+# stripping them before the seen-filter collapses per-campaign URL aliases
+# of the same page into one frontier entry
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid|ref_src|yclid|_hsenc|_hsmi)="
+
+
+def col_strip_tracking_params(url_col):
+    """Remove tracking query params (utm_*, gclid, fbclid, …) from a
+    canonical URL — pure Catalyst (split → filter → rejoin), order of the
+    surviving params preserved. An optional extra canonicalization step
+    ahead of ``col_url_hash``: per-campaign aliases of one page then share
+    one seen-filter identity. Expects fragment-free canonical URLs (the
+    ``canon_and_host`` output); a URL without a query passes through."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    query = F.parse_url(u, F.lit("QUERY"))
+    base = F.substring_index(u, "?", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(TRACKING_PARAM_RE),
+    )
+    rebuilt = F.when(F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        base
+    )
+    return F.when(query.isNull() | (query == ""), u).otherwise(rebuilt)
+
+
 def col_filter_links_predicate(href_col, text_col, config: dict):
     """filterLinks (link-filter.ts:24-66) as a pure Catalyst predicate:
     include-union over urlContains/textContains, then excludes. Case folded

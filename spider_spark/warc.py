@@ -37,7 +37,21 @@ _CRLF = b"\r\n"
 
 
 def _warc_date(ts: _dt.datetime) -> str:
+    # WARC 1.1 allows fractional seconds; emit them when present so the
+    # roundtrip is fidelity-preserving for sub-second timestamps
+    if ts.microsecond:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
     return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_warc_date(value: str) -> _dt.datetime:
+    # accept second and fractional-second forms (warcio/wget/Heritrix all
+    # emit fractional); unparseable dates degrade to epoch rather than
+    # killing the ingestion task for the whole file
+    try:
+        return _dt.datetime.fromisoformat(value.rstrip("Z"))
+    except ValueError:
+        return _dt.datetime(1970, 1, 1)
 
 
 def build_record(url: str, warc_ts: _dt.datetime, html: bytes, status: int = 200) -> bytes:
@@ -100,15 +114,19 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, _dt.datetime, bytes]]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            # a corrupt Content-Length makes the rest of the file
+            # unframeable — stop parsing this file (yielding what we have)
+            # instead of raising and killing the whole ingestion task
+            break
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
-        ts = _dt.datetime.strptime(
-            headers.get("warc-date", "1970-01-01T00:00:00Z"), "%Y-%m-%dT%H:%M:%SZ"
-        )
+        ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
         http_end = payload.find(_CRLF + _CRLF)
         html = payload[http_end + 4 :] if http_end >= 0 else payload
         yield url, ts, html

@@ -64,6 +64,23 @@ def test_ivf_default_centroids_recall(emb_df):
     assert len(exact_set & approx_set) / len(exact_set) >= 0.8
 
 
+def test_ivf_custom_centroid_column_names(emb_df):
+    from pyspark.sql import functions as F2
+
+    probes = emb_df.filter(F2.col("vec_id") < 2).select(
+        F2.col("vec_id").alias("probe_id"), F2.col("embedding").alias("probe_vec")
+    )
+    corpus = emb_df.filter(F2.col("vec_id") >= 2)
+    cents = emb_df.filter(F2.col("vec_id").isin(1, 16, 31, 46)).select(
+        F2.col("vec_id").alias("centroid_id"), F2.col("embedding").alias("vec")
+    )
+    out = similarity.ivf_topk(
+        corpus, probes, k=3, n_probe=2,
+        centroids=cents, cent_id_col="centroid_id", cent_vec_col="vec",
+    )
+    assert out.count() == 6  # 2 probes × top-3
+
+
 def test_ivf_empty_centroids_raises(spark, emb_df):
     empty = emb_df.filter("vec_id < 0").select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")

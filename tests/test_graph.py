@@ -33,9 +33,19 @@ def test_components_cycle_and_self_loop(spark):
 
 
 def test_components_long_path_converges(spark):
-    # path of length 12 needs multiple sweeps — exercises the loop
-    comp = graph.connected_components(_edges(spark, [(i, i + 1) for i in range(12)]))
+    # a 60-link chain under plain min-propagation needs 60 sweeps; pointer
+    # doubling must resolve it within 10
+    comp = graph.connected_components(
+        _edges(spark, [(i, i + 1) for i in range(60)]), max_iters=10
+    )
     assert {r.component for r in comp.collect()} == {0}
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(_edges(spark, [(i, i + 1) for i in range(30)]), max_iters=1)
 
 
 def test_dedup_keep_one_per_component(spark):

@@ -52,6 +52,14 @@ def test_sitemapindex_entries(spark):
     assert all(r.sitemap_kind == "sitemapindex" for r in rows)
 
 
+def test_garbage_priority_yields_null_not_crash(spark):
+    # Spark 4 runs ANSI by default: a plain cast would abort the job on
+    # <priority>high</priority>; try_cast must yield NULL instead
+    bad = "<urlset><url><loc>https://s.test/x</loc><priority>high</priority></url></urlset>"
+    rows = sitemap.sitemap_entries(_df(spark, bad), "xml").collect()
+    assert len(rows) == 1 and rows[0].priority is None
+
+
 def test_non_sitemap_yields_no_rows(spark):
     assert sitemap.sitemap_entries(_df(spark, "<html><body>hi</body></html>"), "xml").count() == 0
 

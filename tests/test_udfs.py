@@ -98,3 +98,19 @@ def test_pure_expr_helpers(spark):
         udfs.col_is_pdf_page(F.col("url"), F.col("content")).alias("p"),
     ).collect()
     assert [(r.f, r.p) for r in rows] == [(True, True), (False, False)]
+
+
+def test_strip_tracking_params(spark):
+    from spider_spark import udfs
+
+    cases = [
+        ("https://a.test/p?utm_source=x&id=5&utm_campaign=y", "https://a.test/p?id=5"),
+        ("https://a.test/p?utm_source=x", "https://a.test/p"),
+        ("https://a.test/p?id=5", "https://a.test/p?id=5"),
+        ("https://a.test/p", "https://a.test/p"),
+        ("https://a.test/p?gclid=abc&fbclid=z&a=1&b=2", "https://a.test/p?a=1&b=2"),
+        ("https://a.test/p?_hsenc=q&mc_eid=m&utm_medium=e", "https://a.test/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.s for r in df.select(udfs.col_strip_tracking_params("url").alias("s")).collect()]
+    assert got == [want for _, want in cases]

@@ -48,6 +48,37 @@ def test_payload_containing_warc_magic_does_not_desync():
     assert list(warc.parse_warc(warc.build_warc(recs))) == recs
 
 
+def test_fractional_second_warc_date_roundtrip():
+    # WARC 1.1 fractional seconds (warcio/wget/Heritrix emit these)
+    recs = [("https://w.test/f", TS + dt.timedelta(microseconds=123456), b"<html>f</html>")]
+    assert list(warc.parse_warc(warc.build_warc(recs))) == recs
+    # foreign fractional form parses even when we didn't write it
+    foreign = warc.build_record(recs[0][0], recs[0][1], recs[0][2])
+    assert b"2024-01-01T12:00:00.123456Z" in foreign
+
+
+def test_unparseable_warc_date_degrades_to_epoch():
+    rec = warc.build_record("https://w.test/x", TS, b"<html></html>")
+    broken = rec.replace(b"WARC-Date: 2024-01-01T12:00:00Z", b"WARC-Date: not-a-date\x00\x00\x00\x00\x00\x00")
+    [(url, ts, html)] = list(warc.parse_warc(broken))
+    assert ts == dt.datetime(1970, 1, 1)
+
+
+def test_corrupt_content_length_stops_file_not_job():
+    import re
+
+    good = warc.build_warc(_sample_records()[:1])
+    bad = re.sub(
+        rb"Content-Length: (\d+)\r\n\r\nHTTP",
+        rb"Content-Length: \1zz\r\n\r\nHTTP",
+        warc.build_record("https://w.test/bad", TS, b"x"),
+    )
+    assert b"zz\r\n" in bad  # the WARC-level length is now non-numeric
+    # the good prefix parses; the corrupt record ends the file gracefully
+    out = list(warc.parse_warc(good + bad))
+    assert [u for u, _, _ in out] == ["https://w.test/page/0"]
+
+
 def test_read_warc_file(spark, tmp_path):
     recs = _sample_records()
     plain, gz = tmp_path / "a.warc", tmp_path / "b.warc.gz"
