@@ -671,10 +671,24 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, dim=64, cosine_threshold=0.9).orderBy(
-        "id_a", "id_b"
+    """LSH self-join + exact-cosine verify for embedding near-duplicates.
+
+    Random embeddings in high dimension are nearly orthogonal, so at small
+    SF the raw table has no pairs above 0.9 — union in deterministic
+    perturbed copies of the first 8 corpus vectors (vec_id + 10^6, first
+    component nudged by +0.01) so the operator provably recovers exactly
+    those planted near-duplicates end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(v AS FLOAT)"
+            " + CASE WHEN i = 0 THEN CAST(0.01 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)"
+        ).alias("embedding"),
     )
+    return similarity.embedding_near_duplicates(
+        emb.unionByName(planted), dim=64, cosine_threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 def q_lsh_topk(spark, sf_dir):
