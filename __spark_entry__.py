@@ -937,6 +937,76 @@ def q_dup_clusters(spark, sf_dir):
     return graph_ops.connected_components(edges).orderBy("node")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C / Gopher-style n-gram
+    overlap): documents sharing any word 3-gram with a small 'benchmark'
+    set (docs 0-9), with matched-gram counts. Benchmark grams broadcast;
+    only matching (id, gram) rows reach the aggregation."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    grams = curation.benchmark_ngrams(bench, n=3)
+    return curation.decontaminate(corpus, grams, n=3).orderBy("doc_id")
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment from an engine-
+    portable md5 hash bucket (seed-free, stable across recomputation and
+    cluster size — the property a training split actually needs)."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.assign_splits(docs).select("doc_id", "lang", "bucket", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified subsample (en 50%, de 20%,
+    zh 10%, others dropped) via the same portable hash bucket — a pure
+    map-side filter at any scale."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.stratified_hash_sample(docs, "lang", {"en": 50, "de": 20, "zh": 10})
+    return out.select("doc_id", "lang")
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source quota curation: cap each source at its 5 'best' docs
+    (longest, id tiebreak) via the two-phase salted top-k window — the
+    politeness-window skew discipline applied to corpus mixing."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.per_source_quota(
+        docs, k=5, order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return out.select("source", "doc_id", "quota_rank")
+
+
+def q_change_rate(spark, sf_dir):
+    """Adaptive recrawl scheduling: Cho & Garcia-Molina change-rate
+    estimator over a capture log (events ≙ captures: user_id ≙ url,
+    event_type ≙ content fingerprint), plus the clamped refresh interval.
+    One url-keyed window + one reusable groupBy — a single pass over the
+    capture history at any scale."""
+    from spider_spark.operators import recrawl
+
+    ev = _t(spark, sf_dir, "events")
+    rates = recrawl.change_rate(
+        ev, url_col="user_id", ts_col="ts", fp_col="event_type", tiebreak_col="event_id"
+    )
+    out = recrawl.recrawl_intervals(rates, min_interval_s=600, max_interval_s=864000)
+    return out.select(
+        "user_id",
+        "n_captures",
+        "n_changes",
+        F.round(F.col("lambda_per_s") * 86400, 6).alias("lambda_per_day_r"),
+        F.round("interval_s", 2).alias("interval_s_r"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-2-iteration PageRank over a deterministic link graph — the
     frontier-prioritization signal (OPIC/PageRank-ordered crawling).
@@ -1003,6 +1073,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_2iter": q_pagerank,
         "clean_corpus": q_clean_corpus,
         "strip_tracking_params": q_strip_tracking,
+        "decontaminate_benchmark_overlap": q_decontaminate,
+        "recrawl_change_rate": q_change_rate,
+        "split_assign_deterministic": q_split_assign,
+        "stratified_hash_sample": q_stratified_sample,
+        "per_source_quota_topk": q_source_quota,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1437,6 +1512,80 @@ def oracle_sql() -> dict[str, str]:
                      || '?b=2&a=1' AS url,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "decontaminate_benchmark_overlap": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                              for i in generate_series(1, len(toks)-2)])
+                          ELSE [] END AS grams
+              FROM tok),
+            bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10)
+            SELECT doc_id, count(*) AS n_matched_grams
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 10) d
+            JOIN bench USING (gram)
+            GROUP BY doc_id
+        """,
+        "recrawl_change_rate": """
+            WITH lagged AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_type AS fp,
+                     LAG(epoch_us(ts)) OVER w AS prev_ts,
+                     LAG(event_type) OVER w AS prev_fp
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            per AS (
+              SELECT user_id,
+                     count(*) AS n_captures,
+                     CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     count(prev_ts) AS n_int,
+                     AVG(CAST(ts_us - prev_ts AS DOUBLE)) / 1000000.0 AS mean_dt
+              FROM lagged GROUP BY user_id),
+            lam AS (
+              SELECT user_id, n_captures, n_changes,
+                     CASE WHEN n_int > 0 AND mean_dt > 0
+                          THEN -ln((n_int - n_changes + 0.5) / (n_int + 0.5)) / mean_dt
+                               + 0.0
+                          END AS lambda_per_s
+              FROM per)
+            SELECT user_id, n_captures, n_changes,
+                   ROUND(lambda_per_s * 86400, 6) AS lambda_per_day_r,
+                   ROUND(LEAST(GREATEST(
+                     CASE WHEN lambda_per_s > 0 THEN 1.0 / lambda_per_s
+                          ELSE 864000.0 END, 600.0), 864000.0), 2) AS interval_s_r
+            FROM lam
+        """,
+        "split_assign_deterministic": """
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 5 THEN 'test'
+                        WHEN bucket < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          % 100 AS INT) AS bucket
+              FROM documents)
+        """,
+        "stratified_hash_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          % 100 AS INT) AS bucket
+              FROM documents)
+            WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                                     WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "per_source_quota_topk": """
+            SELECT source, doc_id, CAST(rk AS INT) AS quota_rank FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents) WHERE rk <= 5
         """,
         "strip_tracking_params": """
             SELECT doc_id,

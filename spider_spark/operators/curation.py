@@ -1,0 +1,203 @@
+"""Training-corpus curation operators: benchmark decontamination,
+deterministic train/val/test splits, stratified hash sampling, and
+per-source quota selection.
+
+These are the selection/partitioning stages a large-scale training-data
+pipeline runs after QC (textqc.py) and dedup (dedup.py):
+
+- **Decontamination** — drop/flag training documents that share word
+  n-grams with an evaluation benchmark (the GPT-3 appendix-C /
+  Gopher-style 13-gram overlap check). The benchmark side is tiny
+  relative to the corpus, so the join broadcasts; the corpus side never
+  shuffles its text — only (id, gram) rows for *matching* grams reach
+  the aggregation.
+- **Split assignment** — deterministic, seed-free train/val/test
+  assignment from a content-stable hash of the document id, so the
+  split survives recomputation, backfills, and engine changes (md5 is
+  portable across Spark/DuckDB/Python — no xxhash64 dependency).
+- **Stratified sampling** — per-stratum deterministic subsample by the
+  same hash-bucket trick (e.g. "20% of every language").
+- **Per-source quota** — cap each source's contribution, keeping the
+  top-k by a quality ordering; two-phase (salted partial top-k, then
+  exact top-k over survivors) so one mega-source cannot serialize a
+  task — the same skew discipline as the frontier's politeness window
+  (frontier.politeness_tag).
+
+Reference: the reference library has no corpus-curation stage (it is a
+fetch/extract library); these operators extend the engine for the
+training-data pipeline the crawl feeds, per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_ngrams",
+    "benchmark_ngrams",
+    "decontaminate",
+    "col_hash_bucket",
+    "assign_splits",
+    "stratified_hash_sample",
+    "per_source_quota",
+]
+
+# Above this many distinct benchmark grams we stop broadcasting and let the
+# planner shuffle — mirrors frontier.redirect_broadcast_rows' size gate.
+BENCH_BROADCAST_ROWS = 5_000_000
+
+
+def word_ngrams(text_col: str | Column, n: int) -> Column:
+    """Distinct lowercase word ``n``-grams of a text column as an array —
+    pure Catalyst (split → sequence → transform → array_distinct), no
+    Python in the hot path. Distinct-per-doc BEFORE any explode/join is
+    the scale lever: a 10^5-token page emits each boilerplate gram once."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit(""))
+    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]); short texts must yield []
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of an evaluation benchmark: one `gram` column,
+    globally deduplicated. This is the small side of the contamination
+    join."""
+    return (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Benchmark-overlap contamination check: documents sharing ≥1 word
+    ``n``-gram with the benchmark, with the matched-gram count per doc.
+
+    Output: (id_col, n_matched_grams), one row per contaminated document.
+    Compose with a left_anti join to drop them, or keep the ledger for
+    threshold tuning (e.g. Gopher drops on ≥80% 13-gram overlap).
+
+    Scale shape (100 TB corpus, ~10^6-gram benchmark):
+    - corpus side: scan → per-doc distinct grams → explode. Map-only.
+    - join: broadcast hash join on `gram` (benchmark side deduped +
+      broadcast under BENCH_BROADCAST_ROWS; above it, or with
+      broadcast=False, the planner shuffle-joins instead — same gate
+      discipline as frontier.resolve_redirects).
+    - only MATCHING (id, gram) rows survive to the groupBy — the shuffle
+      is proportional to contamination, not corpus size.
+    """
+    grams = benchmark_grams.select("gram").distinct()
+    if broadcast is None:
+        broadcast = True  # caller passes False when the benchmark is huge
+    small = F.broadcast(grams) if broadcast else grams
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(small, "gram")
+        .groupBy(id_col)
+        .agg(F.count("gram").alias("n_matched_grams"))
+    )
+
+
+def col_hash_bucket(id_col: str | Column, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable hash bucket in [0, n_buckets):
+    first 8 hex chars of md5(id as string) → int → mod. md5 (not
+    xxhash64) so DuckDB/Python reproduce the same assignment bit-for-bit
+    — a split must never depend on one engine's private hash."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % F.lit(n_buckets)).cast("int")
+
+
+def assign_splits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5-hash of the
+    id mod 100; test = [0, test_pct), val = [test_pct, test_pct+val_pct),
+    train = rest. Pure projection — no shuffle, no RNG, stable across
+    recomputation and cluster size (the property a training pipeline
+    actually needs from its split)."""
+    b = col_hash_bucket(id_col, 100)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("bucket", b).withColumn("split", split)
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rate_pct: int | dict[str, int],
+    id_col: str = "doc_id",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep rows whose hash bucket
+    falls below the stratum's rate. ``rate_pct`` is either one int for
+    every stratum or a {stratum: pct} dict (missing strata → 0, i.e.
+    dropped). Pure filter — map-only at any scale, and the same rows are
+    kept on every rerun (reservoir/df.sample would not be)."""
+    b = col_hash_bucket(id_col, n_buckets)
+    if isinstance(rate_pct, dict):
+        mapping = F.create_map(
+            *[F.lit(x) for kv in rate_pct.items() for x in kv]
+        )
+        thresh = F.coalesce(mapping[F.col(strata_col)], F.lit(0))
+    else:
+        thresh = F.lit(int(rate_pct))
+    return docs.filter(b < thresh)
+
+
+def per_source_quota(
+    docs: DataFrame,
+    k: int,
+    source_col: str = "source",
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+    salt: int = 32,
+) -> DataFrame:
+    """Cap each source's contribution at ``k`` documents, keeping the best
+    by ``order_by`` (default: longest first, id tiebreak — callers pass a
+    quality score). Adds a ``quota_rank`` column (1-based).
+
+    Two-phase top-k so a mega-source (one domain contributing 10^9 docs
+    at 100 TB) never serializes one window task:
+    phase 1 ranks within (source, salt) partitions and keeps ≤k per salt
+    bucket (map-side-bounded); phase 2 ranks the ≤k·salt survivors
+    exactly. Same discipline as frontier.politeness_tag's host window."""
+    if order_by is None:
+        order_by = [F.length("text").desc(), F.col(id_col).asc()]
+    salted = docs.withColumn(
+        "_qsalt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    )
+    w1 = Window.partitionBy(source_col, "_qsalt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_qsalt")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order_by)
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= k)
+    )

@@ -1,0 +1,125 @@
+"""Curation operators: decontamination, deterministic splits, stratified
+sampling, per-source quota (operators/curation.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from spider_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def test_word_ngrams_short_text_yields_empty(spark):
+    # Guards the Spark sequence(1, 0)-descends pitfall: texts shorter than
+    # n must produce [] — not a bogus gram from a [1, 0] index sequence.
+    df = _docs(
+        spark,
+        [
+            {"doc_id": 1, "text": "one two"},
+            {"doc_id": 2, "text": "one two three"},
+            {"doc_id": 3, "text": "   "},
+        ],
+    ).select("doc_id", curation.word_ngrams("text", 3).alias("g"))
+    got = {r.doc_id: r.g for r in df.collect()}
+    assert got[1] == []
+    assert got[2] == ["one two three"]
+    assert got[3] == []
+
+
+def test_decontaminate_counts_distinct_matched_grams(spark):
+    bench = _docs(spark, [{"doc_id": 0, "text": "alpha beta gamma delta"}])
+    docs = _docs(
+        spark,
+        [
+            # shares "alpha beta gamma" and "beta gamma delta" → 2 matches
+            {"doc_id": 10, "text": "alpha beta gamma delta epsilon"},
+            # repeated occurrences of one gram still count once (distinct per doc)
+            {"doc_id": 11, "text": "alpha beta gamma zz alpha beta gamma"},
+            {"doc_id": 12, "text": "totally unrelated words here"},
+        ],
+    )
+    grams = curation.benchmark_ngrams(bench, n=3)
+    out = {
+        r.doc_id: r.n_matched_grams
+        for r in curation.decontaminate(docs, grams, n=3).collect()
+    }
+    assert out == {10: 2, 11: 1}
+
+
+def test_decontaminate_shuffle_join_matches_broadcast(spark):
+    bench = _docs(spark, [{"doc_id": 0, "text": "a b c d e f"}])
+    docs = _docs(
+        spark,
+        [{"doc_id": i, "text": f"a b c pad{i} d e f"} for i in range(10, 20)],
+    )
+    grams = curation.benchmark_ngrams(bench, n=3)
+    bc = sorted(curation.decontaminate(docs, grams, n=3, broadcast=True).collect())
+    sj = sorted(curation.decontaminate(docs, grams, n=3, broadcast=False).collect())
+    assert bc == sj and len(bc) == 10
+
+
+def _py_bucket(key, n=100):
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % n
+
+
+def test_assign_splits_matches_portable_md5_and_is_exhaustive(spark):
+    docs = _docs(spark, [{"doc_id": i, "text": "x"} for i in range(200)])
+    rows = curation.assign_splits(docs, val_pct=5, test_pct=5).collect()
+    assert len(rows) == 200
+    for r in rows:
+        b = _py_bucket(r.doc_id)
+        assert r.bucket == b
+        expect = "test" if b < 5 else ("val" if b < 10 else "train")
+        assert r.split == expect
+
+
+def test_stratified_sample_rates_and_missing_stratum(spark):
+    docs = _docs(
+        spark,
+        [{"doc_id": i, "lang": ["en", "de", "xx"][i % 3], "text": "x"} for i in range(300)],
+    )
+    out = curation.stratified_hash_sample(docs, "lang", {"en": 100, "de": 50}).collect()
+    langs = {r.lang for r in out}
+    assert "xx" not in langs  # missing stratum → rate 0 → dropped
+    en = [r for r in out if r.lang == "en"]
+    assert len(en) == 100  # rate 100 keeps every en row
+    de_ids = {r.doc_id for r in out if r.lang == "de"}
+    # exactly the de rows whose portable bucket < 50, nothing else
+    expect = {
+        i for i in range(300) if i % 3 == 1 and _py_bucket(i) < 50
+    }
+    assert de_ids == expect
+
+
+def test_per_source_quota_matches_naive_window_on_skew(spark):
+    # one mega-source (200 rows) + two small ones; two-phase salted top-k
+    # must equal the naive single-window answer exactly.
+    rows = [
+        {"doc_id": i, "source": "mega", "text": "w " * (i % 37), "n_chars": (i * 13) % 997}
+        for i in range(200)
+    ]
+    rows += [
+        {"doc_id": 1000 + i, "source": f"s{i % 2}", "text": "y", "n_chars": i}
+        for i in range(6)
+    ]
+    docs = _docs(spark, rows)
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    got = {
+        (r.source, r.quota_rank): r.doc_id
+        for r in curation.per_source_quota(docs, k=4, order_by=order).collect()
+    }
+    w = Window.partitionBy("source").orderBy(*order)
+    naive = {
+        (r.source, r.rk): r.doc_id
+        for r in docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .collect()
+    }
+    assert got == naive
+    assert max(rk for (_, rk) in got) <= 4
+    assert len([1 for (s, _) in got if s == "mega"]) == 4
