@@ -922,6 +922,69 @@ def q_clean_corpus(spark, sf_dir):
     return textqc.clean_corpus(docs).orderBy("doc_id")
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: train a Lidstone-smoothed unigram
+    LM on the corpus, score every document (cross-entropy nats/token), and
+    assign head/middle/tail buckets at fixed thresholds (the deployment
+    style — cuts computed once, reused across shards). Train = one
+    aggregation; score = broadcast vocab join + one per-doc aggregation."""
+    from spider_spark.operators import lm as lmod
+
+    docs = _t(spark, sf_dir, "documents")
+    model = lmod.unigram_lm(docs)
+    scored = lmod.doc_cross_entropy(docs, model)
+    out = lmod.perplexity_buckets(scored, thresholds=(3.40, 3.45))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ce_nats", 6).alias("ce_r"),
+        "ppl_bucket",
+    ).orderBy("doc_id")
+
+
+def q_trap_guard(spark, sf_dir):
+    """Spider-trap guard over a deterministic synthetic frontier batch:
+    calendar families collapse to one url_pattern (digit runs → N) and cap
+    at 10 URLs per pattern; structural reasons (depth/params/repeated
+    segment) are map-only first-match-wins. All pure Catalyst."""
+    from spider_spark.operators import traps
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (d % 5).cast("string"),
+        F.lit(".test"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (d % 30 + 2000).cast("string"),
+                F.lit("/"),
+                (d % 12 + 1).cast("string"),
+                F.lit("/"),
+                (d % 28 + 1).cast("string"),
+            ),
+        )
+        .when(d % 4 == 1, F.concat(F.lit("/a/b/a/b/a/b/p"), d.cast("string")))
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("/search?k0=1&k1=1&k2=1&k3=1&k4=1&k5=1&k6=1&k7=1&k8=1&k9="),
+                d.cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/doc/"), d.cast("string"))),
+    )
+    batch = docs.select(
+        "doc_id",
+        url.alias("url_canon"),
+        F.lpad(d.cast("string"), 8, "0").alias("seq"),
+    )
+    tagged = traps.trap_tag(batch, max_per_pattern=10)
+    return tagged.select("doc_id", "url_pattern", "trap_reason").orderBy("doc_id")
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate CLUSTERS via min-label-propagation
     connected components (the step after minhash/simhash pair generation:
@@ -1078,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
+        "perplexity_buckets": q_perplexity_buckets,
+        "url_trap_guard": q_trap_guard,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1579,6 +1644,72 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                                      WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "perplexity_buckets": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            cnt AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+            tot AS (SELECT sum(c) AS total, CAST(count(*) AS DOUBLE) AS v FROM cnt),
+            lmt AS (SELECT token, ln((c + 0.5) / (total + 0.5 * (v + 1))) AS lp
+                    FROM cnt, tot)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(-avg(lp), 6) AS ce_r,
+                   CASE WHEN -avg(lp) < 3.40 THEN 'head'
+                        WHEN -avg(lp) < 3.45 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM tok JOIN lmt USING (token)
+            GROUP BY doc_id
+        """,
+        "url_trap_guard": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || (doc_id % 5) || '.test' ||
+                     CASE doc_id % 4
+                       WHEN 0 THEN '/cal/' || (doc_id % 30 + 2000) || '/' ||
+                                   (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+                       WHEN 1 THEN '/a/b/a/b/a/b/p' || doc_id
+                       WHEN 2 THEN '/search?k0=1&k1=1&k2=1&k3=1&k4=1&k5=1&k6=1&k7=1&k8=1&k9=' || doc_id
+                       ELSE '/doc/' || doc_id
+                     END AS url,
+                     lpad(CAST(doc_id AS VARCHAR), 8, '0') AS seq
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url, seq,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS q
+              FROM u),
+            feat AS (
+              SELECT doc_id, url, seq,
+                     host || regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', 'H', 'g'),
+                                            '[0-9]+', 'N', 'g') AS url_pattern,
+                     list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+                     CASE WHEN q = '' THEN 0
+                          ELSE len(list_filter(string_split(q, '&'), x -> x <> '')) END AS nq
+              FROM parts),
+            tagged AS (
+              SELECT doc_id, url_pattern, seq,
+                     CASE WHEN length(url) > 2048 THEN 'too_long'
+                          WHEN len(segs) > 16 THEN 'too_many_segments'
+                          WHEN nq > 8 THEN 'too_many_params'
+                          WHEN len(list_filter(list_distinct(segs),
+                                 s -> len(list_filter(segs, x -> x = s)) >= 3)) > 0
+                            THEN 'repeated_segment'
+                     END AS structural
+              FROM feat),
+            ranked AS (
+              SELECT doc_id, url_pattern, structural,
+                     ROW_NUMBER() OVER (PARTITION BY url_pattern, (structural IS NULL)
+                                        ORDER BY seq) AS rk
+              FROM tagged)
+            SELECT doc_id, url_pattern,
+                   COALESCE(structural,
+                            CASE WHEN rk > 10 THEN 'pattern_cap' END) AS trap_reason
+            FROM ranked
         """,
         "per_source_quota_topk": """
             SELECT source, doc_id, CAST(rk AS INT) AS quota_rank FROM (

@@ -74,6 +74,19 @@ class CrawlConfig:
     cuckoo_buckets_per_shard: int = 1 << 14
     cuckoo_slots: int = 4
     politeness_salt: int = 16  # phase-1 salt buckets for the top-k window
+    # spider-trap guard (operators/traps.py) applied to candidate links
+    # BEFORE the seen anti-join, so trapped URLs never enter url_seen and
+    # the seen set stays exactly "enqueued ∪ fetched" (resume invariant).
+    # The filter is deterministic in row data, so re-dropping the same
+    # candidates every tick is map-only and replay-exact.
+    trap_guard: bool = False
+    trap_max_url_len: int = 2048
+    trap_max_path_depth: int = 16
+    trap_max_query_params: int = 8
+    trap_max_segment_repeat: int = 3
+    # per-(host,pattern) cap per tick; None disables the windowed cap and
+    # keeps the guard purely map-side
+    trap_max_per_pattern: int | None = None
     # fold seen deltas into one snapshot every M ticks (None = never):
     # keeps the anti-join reading O(M) dirs instead of O(ticks)
     compact_seen_every: int | None = 8
@@ -386,6 +399,19 @@ def extract_new_links(
         .filter(F.col("host").isNotNull())
         .withColumn("discovered_tick", F.lit(tick + 1))
     )
+    if cfg.trap_guard:
+        from .operators.traps import trap_filter
+
+        firsts = trap_filter(
+            firsts,
+            url_col="url_canon",
+            seq_col="seq",
+            max_url_len=cfg.trap_max_url_len,
+            max_path_depth=cfg.trap_max_path_depth,
+            max_query_params=cfg.trap_max_query_params,
+            max_segment_repeat=cfg.trap_max_segment_repeat,
+            max_per_pattern=cfg.trap_max_per_pattern,
+        )
     if bloom is not None:
         from .bloom import filter_unseen_with_bloom
 

@@ -1,0 +1,182 @@
+"""Unigram language-model perplexity scoring — the CCNet-style quality
+bucketing stage (Wenzek et al. 2020: score every document with an LM,
+split the corpus into head/middle/tail perplexity buckets, keep the head).
+
+The production recipe trains KenLM on a trusted corpus (Wikipedia) and
+scores the crawl; no LM toolkit exists in this sandbox, so the operator
+implements the same dataflow with a smoothed unigram LM trained on a
+reference DataFrame — the Spark-side shape (train = one aggregation,
+score = broadcast-join + one per-doc aggregation) is exactly what a
+KenLM-backed pandas-UDF variant would need, and the unigram path is fully
+Catalyst (whole-stage codegen, DuckDB-oracle-checkable).
+
+Scale shape at 100 TB:
+- **train**: corpus scan → explode tokens → groupBy(token) count. One
+  shuffle with map-side partial aggregation; vocabulary (10^7-10^9 rows)
+  is tiny next to the corpus.
+- **score**: corpus scan → explode → join vocab → groupBy(doc) mean.
+  The vocab side broadcasts under LM_BROADCAST_ROWS (the usual case —
+  a pruned LM vocab is ~10^6 rows); above the gate the join shuffles on
+  `token`, and callers should pre-prune the vocab (`top_k_vocab`) instead
+  of shipping a garbage tail that a real LM would map to <unk> anyway.
+- **bucket**: thresholds are either caller-supplied constants (the CCNet
+  deployment style: computed once offline) or estimated with
+  `percentile_approx` in one extra aggregation — never a global sort.
+
+Reference: the reference library has no corpus scoring (it is a
+fetch/extract library); this extends the engine for the training-data
+pipeline per the build brief, alongside textqc.clean_corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "col_lm_tokens",
+    "unigram_lm",
+    "top_k_vocab",
+    "doc_cross_entropy",
+    "perplexity_buckets",
+]
+
+# Above this many vocab rows, stop broadcasting the LM into the scoring
+# join — same gate discipline as frontier.redirect_broadcast_rows.
+LM_BROADCAST_ROWS = 5_000_000
+
+
+def col_lm_tokens(text_col: str | Column) -> Column:
+    """LM tokenization: lowercase, split on whitespace, drop empties —
+    deliberately identical to curation.word_ngrams' tokenizer so the LM,
+    the decontamination grams, and the token counts all agree on what a
+    token is."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def unigram_lm(
+    reference: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """Train a Lidstone-smoothed unigram LM on a reference corpus.
+
+    Output: (token, log_prob) with
+    ``log_prob = ln((count + alpha) / (total + alpha * (V + 1)))`` —
+    the +1 in the denominator reserves mass for the OOV event, whose
+    log-prob `unk_log_prob` derives from the same totals.
+
+    One explode + one groupBy (map-side combined); the totals ride a
+    broadcast 1-row cross join, so no second pass over the corpus.
+    """
+    counts = (
+        reference.select(F.explode(col_lm_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    denom = F.col("total") + F.lit(alpha) * (F.col("v") + F.lit(1))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log((F.col("c") + F.lit(alpha)) / denom).alias("log_prob"),
+        F.log(F.lit(alpha) / denom).alias("unk_log_prob"),
+    )
+
+
+def top_k_vocab(lm: DataFrame, k: int) -> DataFrame:
+    """Prune an LM to its k most probable tokens (ties broken by token so
+    the pruned vocab is deterministic). Keeps the scoring join
+    broadcastable when the raw vocabulary has a garbage long-tail; dropped
+    tokens score as OOV, exactly like a real LM's <unk> mapping."""
+    w = F.row_number().over(
+        Window.orderBy(F.col("log_prob").desc(), F.col("token").asc())
+    )
+    # single global window over the (small) vocab table, not the corpus
+    return lm.withColumn("_r", w).filter(F.col("_r") <= k).drop("_r")
+
+
+def doc_cross_entropy(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_unk: bool = True,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Score every document against the LM: mean negative log-probability
+    per token (cross-entropy, nats) and the implied perplexity.
+
+    Output: (id_col, n_tokens, ce_nats, ppl). Empty documents are absent
+    (no tokens → nothing to score), matching CCNet which drops empties
+    upstream.
+
+    With ``use_unk`` (default) unknown tokens take the LM's reserved
+    OOV probability via a left join + coalesce; with ``use_unk=False``
+    unknown tokens are skipped (inner join) — only correct when the LM
+    was trained on the same corpus being scored.
+
+    The LM side broadcasts under LM_BROADCAST_ROWS; everything before the
+    per-doc aggregation is then map-side, and the single shuffle is the
+    groupBy(id) with partial aggregation (sum/count combine before the
+    exchange — the shuffle carries one row per doc per map partition).
+    """
+    if broadcast is None:
+        broadcast = True  # callers pass False (or prune) for huge vocabs
+    side = F.broadcast(lm) if broadcast else lm
+    tok = docs.select(
+        F.col(id_col), F.explode(col_lm_tokens(text_col)).alias("token")
+    )
+    if use_unk:
+        j = tok.join(side, "token", "left")
+        # unk_log_prob is a column of the (broadcast) LM; rows that missed
+        # the join need it as a constant — take the LM's first row once.
+        unk = lm.select("unk_log_prob").first()
+        if unk is None:
+            raise ValueError("empty language model")
+        lp = F.coalesce(F.col("log_prob"), F.lit(float(unk[0])))
+    else:
+        j = tok.join(side, "token", "inner")
+        lp = F.col("log_prob")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg(lp)).alias("ce_nats"),
+        F.exp(-F.avg(lp)).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    thresholds: tuple[float, float] | None = None,
+    head_frac: float = 1.0 / 3.0,
+    tail_frac: float = 1.0 / 3.0,
+    ce_col: str = "ce_nats",
+) -> DataFrame:
+    """CCNet head/middle/tail assignment: head = lowest cross-entropy
+    (most fluent), tail = highest. ``thresholds=(t_head, t_tail)`` pins
+    the cut points (the deployment style — computed once, reused across
+    shards so the assignment is stable); when absent they are estimated
+    from this DataFrame with percentile_approx (one aggregation, no
+    global sort).
+    """
+    if thresholds is None:
+        row = scored.agg(
+            F.percentile_approx(
+                ce_col, [float(head_frac), float(1.0 - tail_frac)], 100_000
+            ).alias("q")
+        ).first()
+        thresholds = (float(row["q"][0]), float(row["q"][1]))
+    t_head, t_tail = thresholds
+    if not (t_head <= t_tail) or not (
+        math.isfinite(t_head) and math.isfinite(t_tail)
+    ):
+        raise ValueError(f"bad thresholds {thresholds}")
+    c = F.col(ce_col)
+    bucket = (
+        F.when(c < F.lit(t_head), F.lit("head"))
+        .when(c < F.lit(t_tail), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("ppl_bucket", bucket)

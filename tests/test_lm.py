@@ -1,0 +1,99 @@
+"""Unigram-LM perplexity scoring (CCNet-style): LM probabilities sum to
+<1 with reserved OOV mass, cross-entropy matches a hand computation, OOV
+handling, vocab pruning, and bucket assignment."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from spider_spark.operators import lm as lmod
+
+
+@pytest.fixture()
+def tiny(spark):
+    return spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "c c c d")],
+        "doc_id long, text string",
+    )
+
+
+def test_unigram_lm_probabilities(tiny):
+    # counts: a=3 b=2 c=4 d=1, total=10, V=4, alpha=0.5 → denom 12.5
+    got = {r["token"]: r["log_prob"] for r in lmod.unigram_lm(tiny).collect()}
+    assert got.keys() == {"a", "b", "c", "d"}
+    assert got["a"] == pytest.approx(math.log(3.5 / 12.5))
+    assert got["d"] == pytest.approx(math.log(1.5 / 12.5))
+    unk = lmod.unigram_lm(tiny).select("unk_log_prob").first()[0]
+    assert unk == pytest.approx(math.log(0.5 / 12.5))
+
+
+def test_doc_cross_entropy_matches_hand_computation(spark, tiny):
+    lm = lmod.unigram_lm(tiny)
+    scored = {
+        r["doc_id"]: r
+        for r in lmod.doc_cross_entropy(tiny, lm).collect()
+    }
+    lp = {
+        "a": math.log(3.5 / 12.5),
+        "b": math.log(2.5 / 12.5),
+        "c": math.log(4.5 / 12.5),
+        "d": math.log(1.5 / 12.5),
+    }
+    want0 = -(2 * lp["a"] + lp["b"]) / 3
+    assert scored[0]["ce_nats"] == pytest.approx(want0)
+    assert scored[0]["n_tokens"] == 3
+    assert scored[0]["ppl"] == pytest.approx(math.exp(want0))
+    want2 = -(3 * lp["c"] + lp["d"]) / 4
+    assert scored[2]["ce_nats"] == pytest.approx(want2)
+
+
+def test_oov_tokens_take_unk_mass(spark, tiny):
+    lm = lmod.unigram_lm(tiny)
+    probe = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    r = lmod.doc_cross_entropy(probe, lm).first()
+    unk = math.log(0.5 / 12.5)
+    want = -(math.log(3.5 / 12.5) + unk) / 2
+    assert r["ce_nats"] == pytest.approx(want)
+    # inner-join mode skips the OOV token instead
+    r2 = lmod.doc_cross_entropy(probe, lm, use_unk=False).first()
+    assert r2["ce_nats"] == pytest.approx(-math.log(3.5 / 12.5))
+    assert r2["n_tokens"] == 1
+
+
+def test_empty_docs_absent_and_lowercasing(spark, tiny):
+    lm = lmod.unigram_lm(tiny)
+    probe = spark.createDataFrame(
+        [(1, "  "), (2, "A B")], "doc_id long, text string"
+    )
+    rows = lmod.doc_cross_entropy(probe, lm).collect()
+    assert {r["doc_id"] for r in rows} == {2}  # empty doc not scored
+    # "A B" scores as "a b"
+    want = -(math.log(3.5 / 12.5) + math.log(2.5 / 12.5)) / 2
+    assert rows[0]["ce_nats"] == pytest.approx(want)
+
+
+def test_top_k_vocab_prunes_to_most_probable(tiny):
+    lm = lmod.unigram_lm(tiny)
+    kept = {r["token"] for r in lmod.top_k_vocab(lm, 2).collect()}
+    assert kept == {"c", "a"}  # counts 4 and 3
+
+
+def test_perplexity_buckets_fixed_and_estimated(spark, tiny):
+    lm = lmod.unigram_lm(tiny)
+    scored = lmod.doc_cross_entropy(tiny, lm)
+    fixed = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lmod.perplexity_buckets(scored, thresholds=(1.2, 1.4)).collect()
+    }
+    # doc2 (all-frequent c's) has the lowest ce → head under these cuts
+    ce = {r["doc_id"]: r["ce_nats"] for r in scored.collect()}
+    for d, b in fixed.items():
+        want = "head" if ce[d] < 1.2 else ("middle" if ce[d] < 1.4 else "tail")
+        assert b == want
+    est = lmod.perplexity_buckets(scored)  # percentile-estimated thresholds
+    assert est.filter(F.col("ppl_bucket").isin("head", "middle", "tail")).count() == 3
+    with pytest.raises(ValueError):
+        lmod.perplexity_buckets(scored, thresholds=(2.0, 1.0))
