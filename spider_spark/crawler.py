@@ -324,6 +324,59 @@ class Crawler:
         rows.unpersist()
         return n
 
+    def revalidate_urls(self, urls: DataFrame) -> int:
+        """Conditional recrawl — the engine-side analog of HTTP
+        revalidation (If-None-Match / 304): of the given already-crawled
+        URLs, requeue ONLY those whose current raw-content fingerprint
+        differs from the last crawled one (or that previously errored, so
+        no fingerprint exists). Unchanged pages cost one codegen hash
+        probe against the page store — no refetch, no re-extraction, no
+        ledger growth. Returns the number requeued.
+
+        The probe reuses the fetch stage's join discipline: the target set
+        broadcasts and the page store is only scanned — callers pass
+        politeness-sized batches (e.g. the due set from
+        operators/recrawl.recrawl_intervals), not the whole seen set.
+        The results ledger's (url_canon, tick, content_fp) history is the
+        capture log that operators/recrawl.change_rate estimates λ from —
+        scheduling and revalidation close the loop."""
+        from pyspark.sql import functions as F
+
+        from . import udfs
+        from .frontier import resolve_redirects
+
+        spark = self.spark
+        t = self.catalog.committed_tick() + 1
+        targets = urls.select(
+            udfs.col_url_hash(F.col("url_canon")).alias("url_hash"), "url_canon"
+        )
+        tgt = (
+            self.catalog.load_seen(spark, t)
+            .join(targets, ["url_hash", "url_canon"], "left_semi")
+            .select("url_hash", "url_canon")
+        )
+        # last known fingerprint per URL (column-pruned ledger read;
+        # max_by over the data-derived (tick, seq) key = latest capture)
+        last = (
+            self.catalog.load_results(spark)
+            .filter(F.col("status") == 200)
+            .groupBy("url_canon")
+            .agg(F.max_by("content_fp", F.struct("tick", "seq")).alias("last_fp"))
+        )
+        resolved = resolve_redirects(
+            tgt, self.redirects, broadcast=self.redirects_broadcast
+        )
+        ok = resolved.filter(~F.col("redirect_error")).drop("redirect_error")
+        current = self.pages.select(
+            F.col("url").alias("final_url"), F.xxhash64("html").alias("now_fp")
+        ).join(F.broadcast(ok), "final_url", "inner")
+        changed = (
+            current.join(last, "url_canon", "left")
+            .filter(F.col("last_fp").isNull() | (F.col("now_fp") != F.col("last_fp")))
+            .select("url_canon")
+        )
+        return self.requeue_urls(changed)
+
     def forget_urls(self, urls: DataFrame) -> None:
         """Organic recrawl: remove URLs from the url_seen set (and the seen
         accelerator) so the next page that links to them re-enqueues them.

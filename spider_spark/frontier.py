@@ -338,6 +338,7 @@ def misses_projection(selected: DataFrame, fetched_keys: DataFrame, cfg: CrawlCo
         "priority",
         "seq",
         F.lit(404).alias("status"),
+        F.lit(None).cast("long").alias("content_fp"),
         F.lit(None).cast("string").alias("title"),
         F.lit(None).cast("string").alias("description"),
         F.lit(None).cast(udfs.DETECTED_STRUCT).alias("detected"),
@@ -462,6 +463,7 @@ def blocked_projection(blocked: DataFrame, cfg: CrawlConfig, tick: int) -> DataF
         "priority",
         "seq",
         F.lit(451).alias("status"),
+        F.lit(None).cast("long").alias("content_fp"),
         F.lit(None).cast("string").alias("title"),
         F.lit(None).cast("string").alias("description"),
         F.lit(None).cast(udfs.DETECTED_STRUCT).alias("detected"),
@@ -489,6 +491,11 @@ def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFr
         "priority",
         "seq",
         "status",
+        # raw-content fingerprint: change detection for conditional
+        # revalidation (Crawler.revalidate_urls) and the capture log for
+        # operators/recrawl.change_rate — computed before extraction, so
+        # unchanged pages can skip the parse UDF entirely on recrawl
+        F.when(F.col("html").isNotNull(), F.xxhash64("html")).alias("content_fp"),
         F.col("parsed.title").alias("title"),
         F.col("parsed.description").alias("description"),
         F.col("parsed.detected").alias("detected"),
