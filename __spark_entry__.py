@@ -785,6 +785,39 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return textqc.boilerplate_ngrams(docs, ngram_n=3, min_docs=5).orderBy("doc_id")
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-rule corpus line dedup: any normalized line occurring ≥3 times
+    across the corpus is removed from every document. The single-line
+    synthetic docs are first reflowed into 3-word lines by a pure-regex
+    wrap (identical semantics in Spark and the DuckDB oracle), giving a
+    corpus with real cross-document duplicate lines to remove."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){2}\S+) ", "$1\n").alias("text"),
+    )
+    return textqc.line_dedup(docs, min_count=3).orderBy("doc_id")
+
+
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Exact (all-pairs) embedding near-duplicate baseline over the same
+    planted-perturbation corpus as `embedding_near_dups` — the oracle this
+    checks against IS the ground truth the LSH path is recall-measured on."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(v AS FLOAT)"
+            " + CASE WHEN i = 0 THEN CAST(0.01 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)"
+        ).alias("embedding"),
+    )
+    out = similarity.exact_near_duplicates(
+        emb.unionByName(planted), cosine_threshold=0.9
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine_r")
+    ).orderBy("id_a", "id_b")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source connector (Common Crawl's interchange format,
     ISO 28500): pages → WARC response records → parsed back, entirely
@@ -1143,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
         "url_trap_guard": q_trap_guard,
+        "line_dedup_c4": q_line_dedup,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1537,6 +1572,47 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(coalesce(bc.nb, 0) AS DOUBLE) / len(grams)
                               ELSE 0 END, 4) AS boilerplate_frac
             FROM g LEFT JOIN bc ON g.doc_id = bc.doc_id
+        """,
+        "line_dedup_c4": """
+            WITH reflow AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+              FROM reflow),
+            norm AS (
+              SELECT doc_id, pos, line,
+                     lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS n
+              FROM lines WHERE lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) <> ''),
+            dup AS (SELECT n FROM norm GROUP BY n HAVING count(*) >= 3)
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN d.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_lines,
+                   coalesce(string_agg(CASE WHEN d.n IS NULL THEN line END, chr(10)
+                                       ORDER BY pos), '') AS clean_text
+            FROM norm LEFT JOIN dup d USING (n)
+            GROUP BY doc_id
+        """,
+        "embedding_near_dups_exact": """
+            WITH planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_prepend(CAST(embedding[1] AS FLOAT) + CAST(0.01 AS FLOAT),
+                                  embedding[2:]) AS embedding
+              FROM embeddings WHERE vec_id < 8),
+            allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4)
+                     AS cosine_r
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
         """,
         "warc_roundtrip": """
             SELECT 'https://warc.test/doc/' || doc_id AS url,

@@ -135,6 +135,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "dup_clusters",
         "pagerank_2iter",
         "clean_corpus",
+        "line_dedup_c4",
+        "embedding_near_dups_exact",
     ]
     out = {}
     for name in names:

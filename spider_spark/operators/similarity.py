@@ -256,3 +256,29 @@ def embedding_near_duplicates(
     )
     scored = pairs.withColumn("cosine", _cosine_expr("vec_a", "vec_b"))
     return scored.filter(F.col("cosine") >= cosine_threshold).select("id_a", "id_b", "cosine")
+
+
+def exact_near_duplicates(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs by full pair enumeration — the
+    ground-truth baseline that ``embedding_near_duplicates`` (the LSH scale
+    path) is recall-checked against, the same way ``brute_force_topk``
+    grounds ``lsh_topk``.
+
+    O(n²) compares with the cosine in whole-stage codegen; one side
+    broadcasts so the corpus side never shuffles. This is the VERIFICATION
+    path: run it on samples to measure LSH recall, not on 100 TB. Zero-norm
+    vectors score 0.0 (``_cosine_expr``) and so never pair."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if broadcast_right:
+        b = F.broadcast(b)
+    scored = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cosine", _cosine_expr("vec_a", "vec_b")
+    )
+    return scored.filter(F.col("cosine") >= cosine_threshold).select("id_a", "id_b", "cosine")

@@ -280,6 +280,58 @@ def boilerplate_ngrams(
     return out
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 rule: any line occurring
+    ≥ ``min_count`` times ACROSS the corpus is removed from every document;
+    CCNet applies the same idea per paragraph). Returns one row per input
+    document: line counts plus the cleaned text with surviving lines in
+    original order.
+
+    Lines are normalized (lowercase, trim, collapse internal whitespace)
+    for the census; removal applies to the ORIGINAL line, and blank lines
+    are dropped outright. Scale shape: posexplode keeps the original
+    position so reassembly is a per-doc ``array_sort`` over that doc's own
+    lines (bounded by document size — never a global sort); the cross-doc
+    census is one partial-agg shuffle keyed on the normalized line with no
+    ids riding it, and the dup set joins back by key (at 100 TB the key
+    would be ``xxhash64(norm)`` to cut shuffle width — kept as the string
+    here for oracle parity, like ``boilerplate_ngrams``)."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line")
+    ).withColumn("norm", F.lower(F.trim(F.regexp_replace("line", r"\s+", " "))))
+    lines = lines.filter(F.col("norm") != "")
+    dup_keys = (
+        lines.groupBy("norm").count().filter(F.col("count") >= min_count).select("norm")
+    )
+    flagged = lines.join(
+        dup_keys.withColumn("_dup", F.lit(True)), "norm", "left"
+    ).withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(False)))
+    kept_line = F.when(~F.col("_dup"), F.col("line"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_dup").cast("int")).alias("n_dup_lines"),
+            F.array_join(
+                # array_sort on (pos, line) structs orders by pos; dup slots
+                # carry NULL line and array_join skips them
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), kept_line.alias("l")))),
+                    lambda s: s.l,
+                ),
+                delim,
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_lines", "n_dup_lines", "clean_text")
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

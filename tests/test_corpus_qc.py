@@ -170,3 +170,63 @@ def test_boilerplate_counts_occurrences_not_types(spark):
     assert out[0].n_grams == 4
     assert out[0].boilerplate_frac == 0.5  # positions 1 and 4 are 'a b c'
     assert out[1].boilerplate_frac == 0.5  # 1 of its 2 grams
+
+
+def test_line_dedup_c4_rule(spark):
+    """Any normalized line occurring >= min_count times across the corpus
+    is removed from EVERY document; survivors keep original text + order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "copyright 2026\nalpha beta\nsubscribe now"),
+            (2, "Copyright   2026\ngamma delta\nsubscribe now"),
+            (3, "COPYRIGHT 2026\nalpha beta\n\n  \nunique line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textqc.line_dedup(docs, min_count=3).collect()
+    }
+    # "copyright 2026" normalizes identically in all 3 docs -> removed
+    assert out[1].clean_text == "alpha beta\nsubscribe now"
+    assert out[2].clean_text == "gamma delta\nsubscribe now"
+    # blank/whitespace-only lines dropped outright, not counted
+    assert out[3].n_lines == 3 and out[3].clean_text == "alpha beta\nunique line"
+    assert [out[i].n_dup_lines for i in (1, 2, 3)] == [1, 1, 1]
+    # "subscribe now" appears only twice -> below min_count, survives
+
+
+def test_line_dedup_all_dup_doc_empty(spark):
+    docs = spark.createDataFrame(
+        [(i, "same line") for i in range(4)], "doc_id long, text string"
+    )
+    rows = textqc.line_dedup(docs, min_count=3).collect()
+    assert all(r.clean_text == "" and r.n_dup_lines == 1 for r in rows)
+
+
+def test_exact_near_duplicates_ground_truth(spark, emb_df):
+    """exact_near_duplicates finds a planted perturbed copy, and the LSH
+    path's output is a subset of the exact pair set (recall measured
+    against this ground truth)."""
+    planted = emb_df.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(v AS FLOAT)"
+            " + CASE WHEN i = 0 THEN CAST(0.01 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)"
+        ).alias("embedding"),
+    )
+    corpus = emb_df.unionByName(planted)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.exact_near_duplicates(
+            corpus, cosine_threshold=0.999
+        ).collect()
+    }
+    assert (0, 1000) in exact
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            corpus, dim=16, cosine_threshold=0.999
+        ).collect()
+    }
+    assert lsh <= exact and (0, 1000) in lsh
