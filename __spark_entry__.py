@@ -798,6 +798,29 @@ def q_line_dedup(spark, sf_dir):
     return textqc.line_dedup(docs, min_count=3).orderBy("doc_id")
 
 
+def q_pii_redact(spark, sf_dir):
+    """Dolma/ROOTS-style PII masking: emails, dotted-quad IPs, and
+    NANP-shaped phone numbers counted then masked with Dolma's public
+    replacement tokens, entirely in codegen regexp over the scan. PII is
+    planted deterministically per doc_id so both engines see identical
+    inputs (the synthetic corpus itself contains none)."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return curation.redact_pii(docs).orderBy("doc_id")
+
+
 def q_embedding_near_dups_exact(spark, sf_dir):
     """Exact (all-pairs) embedding near-duplicate baseline over the same
     planted-perturbation corpus as `embedding_near_dups` — the oracle this
@@ -1178,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_guard": q_trap_guard,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "pii_redact": q_pii_redact,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1191,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_spark.operators.curation import PII_PATTERNS as _PII
+
     stop_list = _sql_list(_STOP_EN)
     return {
         "politeness_topk_per_host": """
@@ -1596,6 +1622,26 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY pos), '') AS clean_text
             FROM norm LEFT JOIN dup d USING (n)
             GROUP BY doc_id
+        """,
+        # PII regexes interpolated from the SAME PII_PATTERNS constants the
+        # Spark operator compiles — one source of truth, no transcription
+        # drift between the engine and the oracle.
+        "pii_redact": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact doc' || doc_id || '@example.com from 10.0.' ||
+                     (doc_id % 256) || '.1 call 202-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII["email"][0]}')) AS n_emails,
+                   len(regexp_extract_all(text, '{_PII["ip"][0]}')) AS n_ips,
+                   len(regexp_extract_all(text, '{_PII["phone"][0]}')) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{_PII["email"][0]}', '|||EMAIL_ADDRESS|||', 'g'),
+                     '{_PII["ip"][0]}', '|||IP_ADDRESS|||', 'g'),
+                     '{_PII["phone"][0]}', '|||PHONE_NUMBER|||', 'g') AS redacted
+            FROM p
         """,
         "embedding_near_dups_exact": """
             WITH planted AS (

@@ -137,6 +137,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "clean_corpus",
         "line_dedup_c4",
         "embedding_near_dups_exact",
+        "pii_redact",
     ]
     out = {}
     for name in names:

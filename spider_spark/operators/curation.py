@@ -41,6 +41,9 @@ __all__ = [
     "assign_splits",
     "stratified_hash_sample",
     "per_source_quota",
+    "PII_PATTERNS",
+    "pii_signals",
+    "redact_pii",
 ]
 
 # Above this many distinct benchmark grams we stop broadcasting and let the
@@ -200,4 +203,65 @@ def per_source_quota(
     return (
         survivors.withColumn("quota_rank", F.row_number().over(w2))
         .filter(F.col("quota_rank") <= k)
+    )
+
+
+# --- PII masking (the Dolma/BigScience-ROOTS pre-training scrub) -----------
+#
+# Patterns are deliberately restricted to syntax with IDENTICAL semantics in
+# Java regex (Spark executors) and RE2 (DuckDB oracle): no lookaround, no
+# backreferences, ASCII classes only. Both engines use leftmost-first
+# alternation, so overall match extents — the only thing count/replace
+# depend on — agree. Replacement tokens are Dolma's public mask strings.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+",
+        "|||EMAIL_ADDRESS|||",
+    ),
+    # strict dotted-quad with 0-255 octets; \b is ASCII-equivalent on both
+    # engines for this corpus. "1.2.3.4.5" masks its first four octets —
+    # same extent on both engines (leftmost match, then boundary).
+    "ip": (
+        r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "|||IP_ADDRESS|||",
+    ),
+    # NANP-shaped 3-3-4 with uniform separators; optional parens/extensions
+    # are deliberately out of scope (they need ambiguous optional groups
+    # whose engine-specific backtracking order we refuse to depend on).
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "|||PHONE_NUMBER|||"),
+}
+
+# IP before phone: a dotted quad must never be half-eaten as "ddd.ddd.dddd"
+# digits; email first so "user@host" digits never feed the phone pattern.
+_PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII occurrence counts (pure Catalyst — regexp over the
+    scan, no shuffle at all): n_emails, n_ips, n_phones."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"][0]), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["ip"][0]), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["phone"][0]), 0)).alias("n_phones"),
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask emails, IPs, and phone numbers in place (chained
+    ``regexp_replace`` in a fixed order — one codegen projection, runs at
+    scan speed over 100 TB). Returns (id, per-class counts, redacted)."""
+    out = pii_signals(df, id_col, text_col).join(df.select(id_col, text_col), id_col)
+    red = F.col(text_col)
+    for key in _PII_ORDER:
+        pat, token = PII_PATTERNS[key]
+        red = F.regexp_replace(red, pat, token)
+    return out.select(
+        id_col, "n_emails", "n_ips", "n_phones", red.alias("redacted")
     )

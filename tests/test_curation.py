@@ -123,3 +123,45 @@ def test_per_source_quota_matches_naive_window_on_skew(spark):
     assert got == naive
     assert max(rk for (_, rk) in got) <= 4
     assert len([1 for (s, _) in got if s == "mega"]) == 4
+
+
+def _redact_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return curation.redact_pii(df).collect()[0]
+
+
+def test_pii_redact_all_three_classes(spark):
+    r = _redact_one(
+        spark, "mail a.b+c@sub.example.org from 192.168.0.254 call 202-555-0142 now"
+    )
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert r.redacted == (
+        "mail |||EMAIL_ADDRESS||| from |||IP_ADDRESS||| call |||PHONE_NUMBER||| now"
+    )
+
+
+def test_pii_ip_octet_bounds_and_word_boundaries(spark):
+    # 256 is not an octet; 999.1.1.1 is not an IP; digits glued to a quad
+    # fail the boundary
+    r = _redact_one(spark, "a 256.1.1.1 b 999.1.1.1 c 12.3.4.56 d")
+    assert r.n_ips == 1
+    assert "12.3.4.56" not in r.redacted and "999.1.1.1" in r.redacted
+    # five dotted groups: the leftmost four-octet extent masks, tail stays
+    r2 = _redact_one(spark, "x 1.2.3.4.5 y")
+    assert r2.redacted == "x |||IP_ADDRESS|||.5 y"
+
+
+def test_pii_phone_requires_uniform_shape(spark):
+    r = _redact_one(spark, "call 2025550142 or 202 555 0142 or 202-555-014")
+    # bare 10 digits and a 3-3-3 tail don't match; spaced 3-3-4 does
+    assert r.n_phones == 1
+    assert "|||PHONE_NUMBER|||" in r.redacted and "2025550142" in r.redacted
+
+
+def test_pii_counts_on_original_text_not_cascaded(spark):
+    # counts are measured on the ORIGINAL text (the phone-shaped local part
+    # counts as both), but redaction is ordered: email masks first, so the
+    # phone pattern never sees those digits
+    r = _redact_one(spark, "doc 202-555-0142@example.com")
+    assert (r.n_emails, r.n_phones) == (1, 1)
+    assert r.redacted == "doc |||EMAIL_ADDRESS|||"
