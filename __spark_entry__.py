@@ -798,6 +798,25 @@ def q_line_dedup(spark, sf_dir):
     return textqc.line_dedup(docs, min_count=3).orderBy("doc_id")
 
 
+def q_gopher_quality(spark, sf_dir):
+    """The complete Gopher appendix-A1.1 quality rule set (word-count and
+    mean-word-length bands, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word ratio, 8-stop-word rule) as one codegen projection.
+    Every 4th doc gets deterministic bullet/ellipsis lines appended so the
+    line-fraction rules are exercised on the single-line synthetic corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\n- bullet alpha\n- bullet beta\ntrailing thought..."),
+        ),
+    ).otherwise(F.col("text"))
+    return textqc.gopher_quality_flags(
+        docs.select("doc_id", text2.alias("text"))
+    ).orderBy("doc_id")
+
+
 def q_pii_redact(spark, sf_dir):
     """Dolma/ROOTS-style PII masking: emails, dotted-quad IPs, and
     NANP-shaped phone numbers counted then masked with Dolma's public
@@ -903,6 +922,61 @@ def q_sitemap_extract(spark, sf_dir):
     return sitemap_mod.sitemap_entries(sitemaps, "xml").select(
         "url", "pos", "loc", "lastmod", "priority"
     )
+
+
+def q_sitemap_revalidation(spark, sf_dir):
+    """Sitemap-driven recrawl selection: the REAL XML extraction feeds
+    revalidation_candidates. Even doc_ids declare lastmod (authoritative),
+    odd ones only changefreq; every 5th URL was never crawled. The oracle
+    recomputes the reason chain from the same deterministic construction."""
+    from spider_spark import sitemap as sitemap_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    meta = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("<lastmod>2024-03-0"), did % 9 + 1, F.lit("</lastmod>")),
+    ).otherwise(
+        F.concat(
+            F.lit("<changefreq>"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("hourly", "daily", "weekly", "monthly", "yearly", "never")]),
+                (did % 6 + 1).cast("int"),
+            ),
+            F.lit("</changefreq>"),
+        )
+    )
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>https://site.test/p/"),
+        did,
+        F.lit("</loc>"),
+        meta,
+        F.lit("</url></urlset>"),
+    )
+    sitemaps = docs.select(
+        F.concat(F.lit("https://site.test/sm/"), did).alias("url"), xml.alias("xml")
+    )
+    entries = sitemap_mod.sitemap_entries(sitemaps, "xml")
+    last_crawl = docs.filter(did % 5 != 0).select(
+        F.concat(F.lit("https://site.test/p/"), did).alias("url"),
+        F.expr(
+            "timestampadd(DAY, CAST((doc_id + 4) % 9 AS INT),"
+            " timestamp'2024-03-01 00:00:00')"
+        ).alias("last_crawled_at"),
+    )
+    out = sitemap_mod.revalidation_candidates(
+        entries, last_crawl, "2024-03-10 00:00:00"
+    )
+    # timestamps leave the contract as formatted strings (same precedent as
+    # events_hourly_rollup's epoch longs: pandas datetime unit mismatches
+    # between engines must not reach the value compare)
+    return out.select(
+        "url",
+        "reason",
+        F.date_format("lastmod_ts", "yyyy-MM-dd HH:mm:ss").alias("lastmod_s"),
+        F.date_format("last_crawled_at", "yyyy-MM-dd HH:mm:ss").alias("crawled_s"),
+    ).orderBy("url")
 
 
 def q_robots_sitemaps(spark, sf_dir):
@@ -1202,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "pii_redact": q_pii_redact,
+        "sitemap_revalidation": q_sitemap_revalidation,
+        "gopher_quality": q_gopher_quality,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1623,6 +1699,69 @@ def oracle_sql() -> dict[str, str]:
             FROM norm LEFT JOIN dup d USING (n)
             GROUP BY doc_id
         """,
+        "gopher_quality": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN text || chr(10) || '- bullet alpha' || chr(10) ||
+                               '- bullet beta' || chr(10) || 'trailing thought...'
+                          ELSE text END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS lines
+              FROM base),
+            m AS (
+              SELECT doc_id, len(toks) AS n_words,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks, x -> len(x)))
+                                    AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(len(text) - len(replace(text, '#', ''))
+                               + len(regexp_extract_all(text, '\\.\\.\\.'))
+                               AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(len(list_filter(lines,
+                                 x -> list_contains(['•', '-', '*'], x[1:1])))
+                               AS DOUBLE) / len(lines) ELSE 0.0 END AS frac_bullet,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(len(list_filter(lines,
+                                 x -> x LIKE '%...' OR x LIKE '%…'))
+                               AS DOUBLE) / len(lines) ELSE 0.0 END AS frac_ellip,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                               AS DOUBLE) / len(toks) ELSE 0.0 END AS frac_alpha,
+                     len(list_filter(
+                           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                           w -> list_contains(list_transform(toks, x -> lower(x)), w)
+                         )) AS n_stop
+              FROM t)
+            SELECT doc_id, n_words,
+                   ROUND(mean_wl, 4) AS mean_word_len,
+                   ROUND(symbol_ratio, 4) AS symbol_ratio,
+                   ROUND(frac_bullet, 4) AS frac_bullet_lines,
+                   ROUND(frac_ellip, 4) AS frac_ellipsis_lines,
+                   ROUND(frac_alpha, 4) AS frac_alpha_words,
+                   n_stop AS n_stopword_kinds,
+                   (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+                   (mean_wl >= 3.0 AND mean_wl <= 10.0) AS mean_word_len_ok,
+                   (symbol_ratio <= 0.1) AS symbol_ratio_ok,
+                   (frac_bullet < 0.9) AS bullet_lines_ok,
+                   (frac_ellip < 0.3) AS ellipsis_lines_ok,
+                   (frac_alpha >= 0.8) AS alpha_words_ok,
+                   (n_stop >= 2) AS stopwords_ok,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                    AND symbol_ratio <= 0.1 AND frac_bullet < 0.9
+                    AND frac_ellip < 0.3 AND frac_alpha >= 0.8
+                    AND n_stop >= 2) AS gopher_keep
+            FROM m
+        """,
         # PII regexes interpolated from the SAME PII_PATTERNS constants the
         # Spark operator compiles — one source of truth, no transcription
         # drift between the engine and the oracle.
@@ -1681,6 +1820,45 @@ def oracle_sql() -> dict[str, str]:
                    'https://site.test/alt/' || doc_id,
                    NULL, NULL
             FROM documents
+        """,
+        "sitemap_revalidation": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://site.test/p/' || doc_id AS url,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN TIMESTAMP '2024-03-01 00:00:00'
+                               + (doc_id % 9) * INTERVAL 1 DAY
+                          ELSE NULL END AS lastmod_ts,
+                     CASE WHEN doc_id % 2 = 1 THEN
+                       CASE (doc_id % 6) + 1
+                         WHEN 1 THEN 1 WHEN 2 THEN 24 WHEN 3 THEN 168
+                         WHEN 4 THEN 720 WHEN 5 THEN 8760 ELSE NULL END
+                     ELSE NULL END AS cf_hours,
+                     CASE WHEN doc_id % 5 <> 0
+                          THEN TIMESTAMP '2024-03-01 00:00:00'
+                               + ((doc_id + 4) % 9) * INTERVAL 1 DAY
+                          ELSE NULL END AS last_crawled_at
+              FROM documents)
+            SELECT url,
+                   CASE WHEN last_crawled_at IS NULL THEN 'never_crawled'
+                        WHEN lastmod_ts IS NOT NULL
+                             AND lastmod_ts > last_crawled_at THEN 'modified'
+                        WHEN lastmod_ts IS NULL AND cf_hours IS NOT NULL
+                             AND TIMESTAMP '2024-03-10 00:00:00'
+                                 >= last_crawled_at + cf_hours * INTERVAL 1 HOUR
+                             THEN 'stale_changefreq'
+                   END AS reason,
+                   strftime(lastmod_ts, '%Y-%m-%d %H:%M:%S') AS lastmod_s,
+                   strftime(last_crawled_at, '%Y-%m-%d %H:%M:%S') AS crawled_s
+            FROM d WHERE
+                   CASE WHEN last_crawled_at IS NULL THEN 'never_crawled'
+                        WHEN lastmod_ts IS NOT NULL
+                             AND lastmod_ts > last_crawled_at THEN 'modified'
+                        WHEN lastmod_ts IS NULL AND cf_hours IS NOT NULL
+                             AND TIMESTAMP '2024-03-10 00:00:00'
+                                 >= last_crawled_at + cf_hours * INTERVAL 1 HOUR
+                             THEN 'stale_changefreq'
+                   END IS NOT NULL
         """,
         "robots_sitemaps": """
             SELECT 'h' || doc_id || '.test' AS host, CAST(0 AS INT) AS pos,

@@ -138,6 +138,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "line_dedup_c4",
         "embedding_near_dups_exact",
         "pii_redact",
+        "sitemap_revalidation",
+        "gopher_quality",
     ]
     out = {}
     for name in names:

@@ -271,8 +271,14 @@ class Crawler:
             self.catalog.commit(
                 tick,
                 {
-                    k: getattr(st, k)
-                    for k in ("fetched", "ok", "missing", "blocked", "deferred", "new_urls", "seconds")
+                    **{
+                        k: getattr(st, k)
+                        for k in ("fetched", "ok", "missing", "blocked", "deferred", "new_urls", "seconds")
+                    },
+                    # wall-clock commit time: metadata only (never feeds the
+                    # deterministic crawl), consumed by sitemap_revalidate's
+                    # lastmod-vs-last-capture comparison
+                    "committed_at": time.time(),
                 },
             )
             # periodic seen compaction (after the commit point: a kill
@@ -376,6 +382,63 @@ class Crawler:
             .select("url_canon")
         )
         return self.requeue_urls(changed)
+
+    def last_crawl_times(self) -> DataFrame:
+        """(url_canon, last_crawled_at) for every URL with a capture in the
+        results ledger: latest capture tick per URL (max_by over the
+        data-derived (tick, seq) key) joined to the manifest's wall-clock
+        commit times. Ticks committed before commit times were recorded
+        fall back to epoch 0 — 'arbitrarily stale', the conservative choice
+        for revalidation."""
+        from pyspark.sql import functions as F
+
+        spark = self.spark
+        m = self.catalog.manifest().get("metrics", {})
+        times = [(int(k), float(v.get("committed_at", 0.0))) for k, v in m.items()]
+        tick_times = spark.createDataFrame(
+            times or [(-1, 0.0)], "tick int, _epoch double"
+        ).select("tick", F.timestamp_seconds("_epoch").alias("committed_at"))
+        last = (
+            self.catalog.load_results(spark)
+            .groupBy("url_canon")
+            .agg(F.max_by("tick", F.struct("tick", "seq")).alias("tick"))
+        )
+        return last.join(F.broadcast(tick_times), "tick", "left").select(
+            "url_canon",
+            F.coalesce("committed_at", F.timestamp_seconds(F.lit(0))).alias(
+                "last_crawled_at"
+            ),
+        )
+
+    def sitemap_revalidate(self, entries: DataFrame, now: str) -> int:
+        """Close the sitemap→recrawl loop: requeue already-crawled URLs that
+        the host's own sitemap metadata says are out of date (lastmod newer
+        than our last capture, or changefreq period elapsed — see
+        sitemap.revalidation_candidates). never_crawled candidates are NOT
+        auto-seeded here; pass them through frontier.seeds_to_frontier if
+        the crawl should expand to them. Returns the number requeued."""
+        from pyspark.sql import functions as F
+
+        from .sitemap import revalidation_candidates
+
+        from . import udfs
+
+        # candidates are matched against last_crawl on the CANONICAL url —
+        # sitemap locs are raw and must go through the same canonicalizer
+        # as every other discovered URL (invalid locs drop, like dead-letter)
+        canon = (
+            entries.withColumn("ch", udfs.canon_and_host("loc"))
+            .withColumn("loc", F.col("ch.url_canon"))
+            .filter(F.col("loc").isNotNull())
+            .drop("ch")
+        )
+        cands = revalidation_candidates(
+            canon, self.last_crawl_times(), now, url_col="url_canon"
+        )
+        due = cands.filter(F.col("reason") != "never_crawled").select(
+            F.col("url").alias("url_canon")
+        )
+        return self.requeue_urls(due)
 
     def forget_urls(self, urls: DataFrame) -> None:
         """Organic recrawl: remove URLs from the url_seen set (and the seen

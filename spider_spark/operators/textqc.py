@@ -280,6 +280,88 @@ def boilerplate_ngrams(
     return out
 
 
+# Gopher (Rae et al. 2021, appendix A1.1) document-quality rule set.
+# Published constants restated verbatim; markers kept to an explicit,
+# documented inventory so the oracle can restate them identically.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLETS = ["•", "-", "*"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher appendix-A1.1 quality rule set, pure Catalyst (one
+    codegen projection — scan speed at 100 TB):
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    - < 90% of (non-blank) lines start with a bullet marker
+    - < 30% of (non-blank) lines end with an ellipsis
+    - ≥ 80% of words contain ≥1 ASCII alphabetic character
+    - ≥ 2 DISTINCT words from Gopher's 8-stop-word list
+
+    Emits the per-rule metrics (rounded for cross-engine float parity),
+    each rule verdict, and the conjunction ``gopher_keep``. The repetition
+    rules from the same appendix live in ``repetition_signals``; compose
+    both for the paper's complete filter."""
+    c = F.col(text_col)
+    toks = col_tokens(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    bullet_starts = F.filter(
+        lines, lambda x: F.substring(x, 1, 1).isin(GOPHER_BULLETS)
+    )
+    ellipsis_ends = F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")
+    )
+    frac_bullet = F.when(n_lines > 0, F.size(bullet_starts) / n_lines).otherwise(F.lit(0.0))
+    frac_ellip = F.when(n_lines > 0, F.size(ellipsis_ends) / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    frac_alpha = F.when(n_words > 0, F.size(alpha_words) / n_words).otherwise(F.lit(0.0))
+    low = F.transform(toks, lambda t: F.lower(t))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(low, w),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ratio_ok": symbol_ratio <= 0.1,
+        "bullet_lines_ok": frac_bullet < 0.9,
+        "ellipsis_lines_ok": frac_ellip < 0.3,
+        "alpha_words_ok": frac_alpha >= 0.8,
+        "stopwords_ok": n_stop >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(frac_bullet, 4).alias("frac_bullet_lines"),
+        F.round(frac_ellip, 4).alias("frac_ellipsis_lines"),
+        F.round(frac_alpha, 4).alias("frac_alpha_words"),
+        n_stop.alias("n_stopword_kinds"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -96,3 +96,85 @@ def urlset_seed_urls(entries: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select(F.col("loc").alias("url"), F.col("priority").alias("sitemap_priority"))
     )
+
+
+# sitemaps.org changefreq → refresh period. "always" means every visit
+# (period 0); "never" advertises no refresh — excluded from the map, so
+# such entries are never stale-candidates (lastmod can still trigger).
+CHANGEFREQ_HOURS = {
+    "always": 0,
+    "hourly": 1,
+    "daily": 24,
+    "weekly": 168,
+    "monthly": 720,
+    "yearly": 8760,
+}
+
+
+def revalidation_candidates(
+    entries: DataFrame,
+    last_crawl: DataFrame,
+    now: str,
+    url_col: str = "url",
+    crawled_at_col: str = "last_crawled_at",
+) -> DataFrame:
+    """Sitemap-driven recrawl selection: which declared URLs deserve a
+    (re)fetch, per the sitemaps.org metadata the host itself publishes.
+
+    ``entries`` is ``sitemap_entries`` output (urlset rows are used);
+    ``last_crawl`` maps url → last-capture timestamp; ``now`` is an
+    explicit ``'YYYY-MM-DD HH:MM:SS'`` literal — deterministic jobs never
+    call the clock. One row per candidate URL with a first-match-wins
+    reason, mirroring the engine's detector-chain style:
+
+    - ``never_crawled`` — declared in the sitemap, absent from last_crawl.
+    - ``modified`` — ``lastmod`` (authoritative when present, per spec)
+      parses to a timestamp newer than the last capture.
+    - ``stale_changefreq`` — no usable lastmod, but the entry's changefreq
+      period (CHANGEFREQ_HOURS) has elapsed since the last capture.
+
+    URLs failing all three are up to date and produce no row. Scale shape:
+    one groupBy(loc) partial agg over the (already exploded) entries, one
+    join against last_crawl on the URL key — both shuffle-friendly; no
+    windows, no driver state. Feed the result to ``Crawler.requeue_urls``
+    (seen URLs) or ``frontier.seeds_to_frontier`` (never_crawled)."""
+    now_ts = F.to_timestamp(F.lit(now))
+    hours_map = F.create_map(
+        *[F.lit(x) for kv in CHANGEFREQ_HOURS.items() for x in kv]
+    )
+    per_loc = (
+        entries.filter(F.col("sitemap_kind") == "urlset")
+        .select(
+            F.col("loc"),
+            F.try_to_timestamp(F.col("lastmod")).alias("_lm"),
+            F.lower(F.col("changefreq")).alias("_cf"),
+        )
+        .groupBy("loc")
+        .agg(
+            F.max("_lm").alias("lastmod_ts"),
+            F.min(hours_map[F.col("_cf")]).alias("_cf_hours"),
+        )
+    )
+    joined = per_loc.join(
+        last_crawl.select(
+            F.col(url_col).alias("loc"), F.col(crawled_at_col).alias("last_crawled_at")
+        ),
+        "loc",
+        "left",
+    )
+    la = F.col("last_crawled_at")
+    reason = (
+        F.when(la.isNull(), F.lit("never_crawled"))
+        .when(F.col("lastmod_ts").isNotNull() & (F.col("lastmod_ts") > la), F.lit("modified"))
+        .when(
+            F.col("lastmod_ts").isNull()
+            & F.col("_cf_hours").isNotNull()
+            & (now_ts >= F.timestamp_add("HOUR", F.col("_cf_hours"), la)),
+            F.lit("stale_changefreq"),
+        )
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select(F.col("loc").alias("url"), "reason", "lastmod_ts", "last_crawled_at")
+    )

@@ -230,3 +230,44 @@ def test_exact_near_duplicates_ground_truth(spark, emb_df):
         ).collect()
     }
     assert lsh <= exact and (0, 1000) in lsh
+
+
+def _gopher_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return textqc.gopher_quality_flags(df).collect()[0]
+
+
+def test_gopher_rules_hand_computed(spark):
+    words = ("the be to of and that have with " + "alpha beta gamma delta " * 12).strip()
+    r = _gopher_one(spark, words)  # 8 + 48 = 56 words, all alphabetic
+    assert r.n_words == 56 and r.word_count_ok
+    assert r.n_stopword_kinds == 8 and r.stopwords_ok
+    assert r.frac_alpha_words == 1.0 and r.alpha_words_ok
+    assert r.gopher_keep
+
+
+def test_gopher_bullet_and_ellipsis_line_rules(spark):
+    base = "the of " + "word " * 60
+    bullets = "\n".join(["- item"] * 19 + ["plain line"])  # 95% bullets
+    r = _gopher_one(spark, base + "\n" + bullets)
+    assert r.frac_bullet_lines > 0.9 and not r.bullet_lines_ok and not r.gopher_keep
+    ell = "\n".join(["line one...", "line two…", "ok line", "ok line2"])  # 50% (the base line makes 40%)
+    r2 = _gopher_one(spark, base + "\n" + ell)
+    assert r2.frac_ellipsis_lines == 0.4 and not r2.ellipsis_lines_ok
+
+
+def test_gopher_symbol_ratio_and_word_rules(spark):
+    r = _gopher_one(spark, "the of " + "### ... ## " * 30 + "w " * 60)
+    assert not r.symbol_ratio_ok and not r.gopher_keep
+    # numeric-only "words" fail the alphabetic rule
+    r2 = _gopher_one(spark, "the of " + "123 456 " * 40)
+    assert r2.frac_alpha_words < 0.8 and not r2.alpha_words_ok
+    # too short
+    r3 = _gopher_one(spark, "the of tiny doc")
+    assert not r3.word_count_ok and not r3.gopher_keep
+
+
+def test_gopher_empty_text(spark):
+    r = _gopher_one(spark, "   ")
+    assert r.n_words == 0 and not r.gopher_keep
+    assert r.mean_word_len == 0.0 and r.symbol_ratio == 0.0

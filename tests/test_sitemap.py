@@ -118,3 +118,95 @@ def test_sitemap_seeds_feed_the_frontier(spark):
     fr = seeds_to_frontier(spark, sorted(urls), CrawlConfig())
     got = {r.url_canon for r in fr.collect()}
     assert "https://s.test/bare" in got and any("a=1" in u for u in got)
+
+
+def test_revalidation_candidates_reason_chain(spark):
+    from spider_spark.sitemap import revalidation_candidates, sitemap_entries
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://s.test/new</loc><lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>https://s.test/changed</loc><lastmod>2024-02-01</lastmod></url>"
+        "<url><loc>https://s.test/fresh</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>https://s.test/stale</loc><changefreq>daily</changefreq></url>"
+        "<url><loc>https://s.test/calm</loc><changefreq>yearly</changefreq></url>"
+        "<url><loc>https://s.test/never</loc><changefreq>never</changefreq></url>"
+        "<url><loc>https://s.test/nometa</loc></url>"
+        "</urlset>"
+    )
+    entries = sitemap_entries(
+        spark.createDataFrame([("https://s.test/sm.xml", xml)], "url string, xml string")
+    )
+    last_crawl = spark.createDataFrame(
+        [
+            ("https://s.test/changed", "2024-01-15 00:00:00"),
+            ("https://s.test/fresh", "2024-01-15 00:00:00"),
+            ("https://s.test/stale", "2024-01-15 00:00:00"),
+            ("https://s.test/calm", "2024-01-15 00:00:00"),
+            ("https://s.test/never", "2020-01-01 00:00:00"),
+            ("https://s.test/nometa", "2020-01-01 00:00:00"),
+        ],
+        "url string, ts string",
+    ).select("url", F.to_timestamp("ts").alias("last_crawled_at"))
+    got = {
+        r.url: r.reason
+        for r in revalidation_candidates(entries, last_crawl, "2024-03-01 00:00:00").collect()
+    }
+    assert got == {
+        "https://s.test/new": "never_crawled",
+        "https://s.test/changed": "modified",  # lastmod after last capture
+        "https://s.test/stale": "stale_changefreq",  # daily, 45 days ago
+        # fresh: lastmod BEFORE last capture -> no row
+        # calm: yearly period not yet elapsed -> no row
+        # never/nometa: no lastmod, no usable changefreq -> no row
+    }
+
+
+def test_revalidation_lastmod_authoritative_over_changefreq(spark):
+    """When lastmod is present it decides alone — an ancient changefreq
+    must not resurrect an up-to-date entry."""
+    from spider_spark.sitemap import revalidation_candidates, sitemap_entries
+
+    xml = (
+        "<urlset><url><loc>https://s.test/a</loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>hourly</changefreq></url></urlset>"
+    )
+    entries = sitemap_entries(
+        spark.createDataFrame([("sm", xml)], "url string, xml string")
+    )
+    last_crawl = spark.createDataFrame(
+        [("https://s.test/a",)], "url string"
+    ).select("url", F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("last_crawled_at"))
+    assert revalidation_candidates(entries, last_crawl, "2024-06-01 00:00:00").count() == 0
+
+
+def test_crawler_sitemap_revalidate_end_to_end(spark, tmp_path):
+    """Full loop: crawl, publish a sitemap whose lastmod post-dates the
+    crawl for one URL and pre-dates it for another - exactly one requeue."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+    from spider_spark.sitemap import sitemap_entries
+
+    pages = synth.generate_pages(spark, 150, n_hosts=5)
+    c = Crawler(spark, pages, str(tmp_path / "ck"), CrawlConfig(per_host_budget=12))
+    c.run(synth.seed_urls(150, 5), max_ticks=20)
+    u1, u2 = [
+        r.url_canon
+        for r in c.results().filter("status = 200").orderBy("url_canon").limit(2).collect()
+    ]
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<url><loc>{u1}</loc><lastmod>2100-01-01</lastmod></url>"
+        f"<url><loc>{u2}</loc><lastmod>1999-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    entries = sitemap_entries(
+        spark.createDataFrame([("sm", xml)], "url string, xml string")
+    )
+    assert c.sitemap_revalidate(entries, "2100-06-01 00:00:00") == 1
+    # the requeued URL is fetched exactly once more on resume
+    before = c.results().filter(F.col("url_canon") == u1).count()
+    c.run(max_ticks=c.catalog.committed_tick() + 2)
+    assert c.results().filter(F.col("url_canon") == u1).count() == before + 1
+    assert c.results().filter(F.col("url_canon") == u2).count() == 1
