@@ -817,6 +817,37 @@ def q_gopher_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_c4_line_filters(spark, sf_dir):
+    """The C4 §2.2 line/page cleaning rules over a deterministic multi-line
+    construction (terminal-punct + ≥5-word + no-javascript line rules;
+    curly-brace / lorem-ipsum / too-few-lines page drops, first-match-wins)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("the quick brown fox jumps over doc "), did, F.lit(".")),
+        F.lit("short line"),
+        F.concat(
+            F.lit("every good sentence ends with punctuation number "),
+            did % 7,
+            F.lit("!"),
+        ),
+        F.lit("enable javascript to view the archive of this page."),
+        F.concat(
+            F.lit("a third proper sentence keeps the page alive number "),
+            did % 5,
+            F.lit("?"),
+        ),
+        F.when(
+            did % 11 == 0, F.lit("filler lorem ipsum dolor sit amet line here.")
+        ).otherwise(F.lit("an ordinary closing sentence wraps the document here.")),
+        F.when(did % 13 == 0, F.lit("code { sample }")).otherwise(F.lit("")),
+    )
+    return textqc.c4_line_filters(docs.select("doc_id", text.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """Dolma/ROOTS-style PII masking: emails, dotted-quad IPs, and
     NANP-shaped phone numbers counted then masked with Dolma's public
@@ -843,8 +874,14 @@ def q_pii_redact(spark, sf_dir):
 def q_embedding_near_dups_exact(spark, sf_dir):
     """Exact (all-pairs) embedding near-duplicate baseline over the same
     planted-perturbation corpus as `embedding_near_dups` — the oracle this
-    checks against IS the ground truth the LSH path is recall-measured on."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    checks against IS the ground truth the LSH path is recall-measured on.
+    Sampled to vec_id < 1000: the exact path is for recall measurement on
+    samples by definition; the quadratic stage must not grow with sf."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", "embedding")
+    )
     planted = emb.filter(F.col("vec_id") < 8).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.expr(
@@ -1278,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "sitemap_revalidation": q_sitemap_revalidation,
         "gopher_quality": q_gopher_quality,
+        "c4_line_filters": q_c4_line_filters,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1699,6 +1737,49 @@ def oracle_sql() -> dict[str, str]:
             FROM norm LEFT JOIN dup d USING (n)
             GROUP BY doc_id
         """,
+        "c4_line_filters": """
+            WITH base AS (
+              SELECT doc_id,
+                 'the quick brown fox jumps over doc ' || doc_id || '.' || chr(10) ||
+                 'short line' || chr(10) ||
+                 'every good sentence ends with punctuation number '
+                   || (doc_id % 7) || '!' || chr(10) ||
+                 'enable javascript to view the archive of this page.' || chr(10) ||
+                 'a third proper sentence keeps the page alive number '
+                   || (doc_id % 5) || '?' || chr(10) ||
+                 CASE WHEN doc_id % 11 = 0
+                      THEN 'filler lorem ipsum dolor sit amet line here.'
+                      ELSE 'an ordinary closing sentence wraps the document here.'
+                 END || chr(10) ||
+                 CASE WHEN doc_id % 13 = 0 THEN 'code { sample }' ELSE '' END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS lines
+              FROM base),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, x ->
+                        list_contains(['.', '!', '?', '"'], right(x, 1))
+                        AND len(list_filter(string_split_regex(x, '\\s+'),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM t),
+            r AS (
+              SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines, kept,
+                     CASE WHEN contains(text, '{') THEN 'curly_brace'
+                          WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+                          WHEN len(kept) < 3 THEN 'too_few_lines'
+                     END AS drop_reason
+              FROM k)
+            SELECT doc_id, n_lines, n_kept_lines, drop_reason,
+                   (drop_reason IS NULL) AS keep,
+                   CASE WHEN drop_reason IS NULL
+                        THEN array_to_string(kept, chr(10)) END AS clean_text
+            FROM r
+        """,
         "gopher_quality": """
             WITH base AS (
               SELECT doc_id,
@@ -1789,7 +1870,7 @@ def oracle_sql() -> dict[str, str]:
                                   embedding[2:]) AS embedding
               FROM embeddings WHERE vec_id < 8),
             allv AS (
-              SELECT vec_id, embedding FROM embeddings
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
               UNION ALL SELECT vec_id, embedding FROM planted)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

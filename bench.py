@@ -140,6 +140,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "pii_redact",
         "sitemap_revalidation",
         "gopher_quality",
+        "c4_line_filters",
     ]
     out = {}
     for name in names:

@@ -414,6 +414,60 @@ def line_dedup(
     )
 
 
+C4_TERMINAL_PUNCT = [".", "!", "?", '"']
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """The C4 line/page cleaning rules (Raffel et al. 2020 §2.2), pure
+    Catalyst. Line rules (a line survives only if ALL hold): ends in a
+    terminal punctuation mark (. ! ? \"), has ≥ ``min_words_per_line``
+    words, and does not contain the word 'javascript' (case-insensitive).
+    Page rules (first-match-wins drop reason, same chain style as
+    ``clean_corpus``): contains '{' → curly_brace; contains 'lorem ipsum'
+    → lorem_ipsum; contains a configured badword → badword; fewer than
+    ``min_kept_lines`` surviving lines → too_few_lines. Kept pages emit
+    the cleaned text (surviving lines, original order).
+
+    One projection per doc — no shuffle anywhere: the per-line work is
+    array expressions over that doc's own lines (bounded by doc size).
+    The paper's three-sentence-span dedup is corpus-level and lives in
+    ``line_dedup``; compose both for the full C4 pipeline."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+    def line_ok(x):
+        words = F.size(F.filter(F.split(x, r"\s+"), lambda t: t != ""))
+        punct = F.substring(x, -1, 1).isin(C4_TERMINAL_PUNCT)
+        no_js = ~F.lower(x).contains("javascript")
+        return punct & (words >= min_words_per_line) & no_js
+
+    kept = F.filter(lines, line_ok)
+    low = F.lower(c)
+    reason = F.when(c.contains("{"), F.lit("curly_brace")).when(
+        low.contains("lorem ipsum"), F.lit("lorem_ipsum")
+    )
+    for w in badwords or []:
+        reason = reason.when(low.contains(w.lower()), F.lit("badword"))
+    reason = reason.when(F.size(kept) < min_kept_lines, F.lit("too_few_lines"))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+        F.when(reason.isNull(), F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -271,3 +271,44 @@ def test_gopher_empty_text(spark):
     r = _gopher_one(spark, "   ")
     assert r.n_words == 0 and not r.gopher_keep
     assert r.mean_word_len == 0.0 and r.symbol_ratio == 0.0
+
+
+def test_c4_line_filters_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a fine sentence with enough words here.\nshort one.\nno terminal punct with many words\nenable javascript to proceed with this page.\nsecond proper sentence carries the page forward!\nthird proper sentence seals the page for keeps?"),
+            (2, "uses a { brace and otherwise fine sentence here.\nmore good words in this sentence too.\nthird fine sentence to pass the line bar."),
+            (3, "Lorem Ipsum dolor sit amet consectetur adipiscing elit."),
+            (4, "only one proper sentence lives in this page."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textqc.c4_line_filters(docs).collect()}
+    r1 = out[1]
+    assert r1.keep and r1.drop_reason is None
+    assert r1.n_lines == 6 and r1.n_kept_lines == 3
+    assert r1.clean_text.split("\n") == [
+        "a fine sentence with enough words here.",
+        "second proper sentence carries the page forward!",
+        "third proper sentence seals the page for keeps?",
+    ]
+    assert out[2].drop_reason == "curly_brace" and not out[2].keep
+    assert out[3].drop_reason == "lorem_ipsum"  # case-insensitive
+    assert out[4].drop_reason == "too_few_lines" and out[4].n_kept_lines == 1
+    assert all(out[i].clean_text is None for i in (2, 3, 4))
+
+
+def test_c4_badwords_and_quote_terminal(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, 'he said "this quoted sentence still ends properly."\nanother full sentence rounds out this document.\na third sentence completes the minimum line count.'),
+            (2, "a perfectly fine sentence mentions the forbidden gizmo here.\nsecond sentence is fine and long enough too.\nthird sentence is fine and long enough also."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textqc.c4_line_filters(docs, badwords=["GIZMO"]).collect()
+    }
+    assert out[1].keep and out[1].n_kept_lines == 3
+    assert out[2].drop_reason == "badword"
