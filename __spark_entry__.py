@@ -817,6 +817,31 @@ def q_gopher_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_url_filters(spark, sf_dir):
+    """RefinedWeb/C4-style pre-fetch URL screen: blocked-domain suffix
+    match (dot-boundary), badword substring, non-content asset extension —
+    first-match-wins, pure projection. URLs constructed deterministically
+    per doc_id to hit every branch."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 7 == 0, F.concat(F.lit("ex"), did, F.lit(".casino.test")))
+        .when(did % 7 == 1, F.lit("sub.spamfarm.test"))
+        .otherwise(F.concat(F.lit("site"), did % 50, F.lit(".test")))
+    )
+    path = (
+        F.when(did % 5 == 0, F.lit("/assets/app.js"))
+        .when(did % 5 == 1, F.lit("/phishing/login"))
+        .when(did % 5 == 2, F.concat(F.lit("/article/"), did))
+        .when(did % 5 == 3, F.lit("/style/main.css"))
+        .otherwise(F.concat(F.lit("/page/"), did, F.lit("?utm=1")))
+    )
+    urls = docs.select("doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    return curation.url_filters(urls).orderBy("doc_id")
+
+
 def q_c4_line_filters(spark, sf_dir):
     """The C4 §2.2 line/page cleaning rules over a deterministic multi-line
     construction (terminal-punct + ≥5-word + no-javascript line rules;
@@ -1316,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_revalidation": q_sitemap_revalidation,
         "gopher_quality": q_gopher_quality,
         "c4_line_filters": q_c4_line_filters,
+        "url_prefetch_filters": q_url_filters,
         # rows-only (custom distributed operators)
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1736,6 +1762,43 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY pos), '') AS clean_text
             FROM norm LEFT JOIN dup d USING (n)
             GROUP BY doc_id
+        """,
+        "url_prefetch_filters": """
+            WITH u AS (
+              SELECT doc_id,
+                 'https://' ||
+                 CASE WHEN doc_id % 7 = 0 THEN 'ex' || doc_id || '.casino.test'
+                      WHEN doc_id % 7 = 1 THEN 'sub.spamfarm.test'
+                      ELSE 'site' || (doc_id % 50) || '.test' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN '/assets/app.js'
+                      WHEN doc_id % 5 = 1 THEN '/phishing/login'
+                      WHEN doc_id % 5 = 2 THEN '/article/' || doc_id
+                      WHEN doc_id % 5 = 3 THEN '/style/main.css'
+                      ELSE '/page/' || doc_id || '?utm=1' END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^https://([^/]+)', 1)) AS host,
+                     lower(regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1)) AS path
+              FROM u),
+            r AS (
+              SELECT doc_id, url,
+                 CASE WHEN host LIKE '%.casino.test' OR host = 'casino.test'
+                        OR host LIKE '%.spamfarm.test' OR host = 'spamfarm.test'
+                      THEN 'blocked_domain'
+                      WHEN contains(lower(url), 'phishing')
+                        OR contains(lower(url), 'malware')
+                        OR contains(lower(url), 'clickbait') THEN 'badword'
+                      WHEN path LIKE '%.css' OR path LIKE '%.js'
+                        OR path LIKE '%.ico' OR path LIKE '%.woff'
+                        OR path LIKE '%.woff2' OR path LIKE '%.ttf'
+                        OR path LIKE '%.map' OR path LIKE '%.svg'
+                      THEN 'non_content'
+                 END AS url_drop_reason
+              FROM p)
+            SELECT doc_id, url, url_drop_reason,
+                   (url_drop_reason IS NULL) AS url_ok
+            FROM r
         """,
         "c4_line_filters": """
             WITH base AS (

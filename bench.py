@@ -141,6 +141,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "sitemap_revalidation",
         "gopher_quality",
         "c4_line_filters",
+        "url_prefetch_filters",
     ]
     out = {}
     for name in names:

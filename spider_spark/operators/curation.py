@@ -42,6 +42,7 @@ __all__ = [
     "stratified_hash_sample",
     "per_source_quota",
     "PII_PATTERNS",
+    "url_filters",
     "pii_signals",
     "redact_pii",
 ]
@@ -264,4 +265,57 @@ def redact_pii(
         red = F.regexp_replace(red, pat, token)
     return out.select(
         id_col, "n_emails", "n_ips", "n_phones", red.alias("redacted")
+    )
+
+
+# --- URL-level filtering (RefinedWeb/C4-style pre-fetch curation) ----------
+#
+# Small deterministic default inventories; production deployments swap in
+# their own lists (the UT1 blocklist etc.) — the operator shape is the point.
+URL_BLOCKED_SUFFIXES = [".casino.test", ".spamfarm.test"]
+URL_BADWORDS = ["phishing", "malware", "clickbait"]
+URL_NON_CONTENT_EXTS = [
+    ".css", ".js", ".ico", ".woff", ".woff2", ".ttf", ".map", ".svg",
+]
+
+
+def url_filters(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_suffixes: list[str] | None = None,
+    badwords: list[str] | None = None,
+    non_content_exts: list[str] | None = None,
+) -> DataFrame:
+    """URL-level curation verdict (the RefinedWeb/C4 pre-fetch screen):
+    classify every URL before spending a fetch on it. First-match-wins
+    reason chain, same style as the detector chain and clean_corpus:
+
+    - ``blocked_domain`` — host equals or ends with a blocklist entry
+      (suffix match on '.'-boundary, so 'evil.casino.test' matches
+      '.casino.test' but 'notcasino.test' does not).
+    - ``badword`` — a configured substring appears anywhere in the
+      lowercased URL (the C4 word-list screen).
+    - ``non_content`` — the path ends in an asset extension that never
+      yields training text (css/js/fonts/sourcemaps).
+
+    Pure projection — map-only at any scale, run it BEFORE the frontier
+    seen anti-join so blocked URLs never occupy ledger space. Adds
+    ``url_drop_reason`` (NULL = fetchable) and ``url_ok``."""
+    u = F.col(url_col)
+    low = F.lower(u)
+    host = F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")), F.lit("")))
+    path = F.lower(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
+    reason = F.lit(None).cast("string")
+    chain = F.when(F.lit(False), F.lit(""))  # seed the when-chain
+    for s in blocked_suffixes if blocked_suffixes is not None else URL_BLOCKED_SUFFIXES:
+        s = s.lower()
+        bare = s.lstrip(".")
+        chain = chain.when(host.endswith(s) | (host == bare), F.lit("blocked_domain"))
+    for w in badwords if badwords is not None else URL_BADWORDS:
+        chain = chain.when(low.contains(w.lower()), F.lit("badword"))
+    for e in non_content_exts if non_content_exts is not None else URL_NON_CONTENT_EXTS:
+        chain = chain.when(path.endswith(e.lower()), F.lit("non_content"))
+    reason = chain.otherwise(reason)
+    return df.withColumn("url_drop_reason", reason).withColumn(
+        "url_ok", reason.isNull()
     )

@@ -165,3 +165,45 @@ def test_pii_counts_on_original_text_not_cascaded(spark):
     r = _redact_one(spark, "doc 202-555-0142@example.com")
     assert (r.n_emails, r.n_phones) == (1, 1)
     assert r.redacted == "doc |||EMAIL_ADDRESS|||"
+
+
+def test_url_filters_suffix_dot_boundary(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://evil.casino.test/page"),       # blocked (suffix)
+            (2, "https://casino.test/page"),            # blocked (exact)
+            (3, "https://notcasino.test/page"),         # NOT blocked
+            (4, "https://ok.test/phishing-kit.html"),   # badword
+            (5, "https://ok.test/theme/app.css"),       # non_content
+            (6, "https://ok.test/article/42?x=.js"),    # query doesn't count as ext
+            (7, "https://ok.test/a"),                   # clean
+        ],
+        "id long, url string",
+    )
+    out = {r.id: r.url_drop_reason for r in curation.url_filters(urls).collect()}
+    assert out == {
+        1: "blocked_domain",
+        2: "blocked_domain",
+        3: None,
+        4: "badword",
+        5: "non_content",
+        6: None,
+        7: None,
+    }
+
+
+def test_url_filters_custom_lists_and_chain_order(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://bad.example/phishing/app.js")], "id long, url string"
+    )
+    # domain rule fires first even though badword and ext would also match
+    r = curation.url_filters(urls, blocked_suffixes=[".example"]).collect()[0]
+    assert r.url_drop_reason == "blocked_domain"
+    r2 = curation.url_filters(urls, blocked_suffixes=[]).collect()[0]
+    assert r2.url_drop_reason == "badword"
+    r3 = curation.url_filters(urls, blocked_suffixes=[], badwords=[]).collect()[0]
+    assert r3.url_drop_reason == "non_content"
+    r4 = curation.url_filters(
+        urls, blocked_suffixes=[], badwords=[], non_content_exts=[]
+    ).collect()[0]
+    assert r4.url_drop_reason is None and r4.url_ok
