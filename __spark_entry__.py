@@ -922,6 +922,61 @@ def q_embedding_near_dups_exact(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Recall of the deterministic md5-MinHash detector against the exact
+    3-gram Jaccard ground truth over a planted-pair universe — the
+    oracle-checkable form of the recall gate (tests/test_lsh_recall.py
+    asserts floors for the production crc32/hyperplane LSH operators
+    against their exact baselines; this query pins the recall COMPUTATION
+    itself to a DuckDB oracle). Universe: adjacent-id background pairs
+    (doc_id%10==0, mostly dissimilar) plus planted near-dups (doc_id%10==5
+    paired with itself + one appended token → jaccard (T-2)/(T-1)).
+    Output: one row (n_pairs, n_exact, n_hit, recall_r)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    adj = a.join(b, F.col("id_a") + 1 == F.col("id_b")).filter(F.col("id_a") % 10 == 0)
+    planted = docs.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
+        F.col("text").alias("text_a"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text_b"),
+    )
+    pairs = dedup.ngram_jaccard(adj.unionByName(planted))
+
+    def mh_sigs(tcol: str):
+        toks = F.split(F.lower(F.trim(F.col(tcol))), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+        grams = F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+        )
+        hs = F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        )
+        return [
+            F.array_min(F.transform(hs, lambda h: (F.lit(aa) * h + F.lit(bb)) % F.lit(_MH_P)))
+            for (aa, bb) in _MH_PERMS
+        ]
+
+    sa, sb = mh_sigs("text_a"), mh_sigs("text_b")
+    est = sum(
+        F.when(x == y, 1).otherwise(0) for x, y in zip(sa, sb)
+    ) / F.lit(float(len(_MH_PERMS)))
+    scored = pairs.withColumn("est", est)
+    is_exact = (F.col("jaccard") >= 0.5).cast("int")
+    is_hit = ((F.col("jaccard") >= 0.5) & (F.col("est") >= 0.5)).cast("int")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(is_exact).alias("n_exact"),
+        F.sum(is_hit).alias("n_hit"),
+    ).select(
+        "n_pairs",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_r"),
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source connector (Common Crawl's interchange format,
     ISO 28500): pages → WARC response records → parsed back, entirely
@@ -1337,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_guard": q_trap_guard,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "lsh_recall": q_lsh_recall,
         "pii_redact": q_pii_redact,
         "sitemap_revalidation": q_sitemap_revalidation,
         "gopher_quality": q_gopher_quality,
@@ -1622,6 +1678,53 @@ def oracle_sql() -> dict[str, str]:
                      i -> list_min(hs[i:i+3])))) AS INT) AS n_fingerprints
             FROM h
         """,
+        "lsh_recall": f"""
+            WITH d AS (SELECT doc_id, text FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.text AS text_a, b.text AS text_b
+              FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, doc_id + 1000000, text, text || ' zzzz'
+              FROM d WHERE doc_id % 10 = 5),
+            t AS (
+              SELECT id_a, id_b,
+                     string_split_regex(lower(trim(text_a)), '\\s+') AS ta,
+                     string_split_regex(lower(trim(text_b)), '\\s+') AS tb
+              FROM pairs),
+            gr AS (
+              SELECT id_a, id_b,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(ta) - 2, 1)),
+                       i -> array_to_string(ta[i:i+2], ' '))) AS ga,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(tb) - 2, 1)),
+                       i -> array_to_string(tb[i:i+2], ' '))) AS gb
+              FROM t),
+            h AS (
+              SELECT id_a, id_b,
+                     CASE WHEN len(list_distinct(list_concat(ga, gb))) > 0
+                          THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                               / len(list_distinct(list_concat(ga, gb)))
+                          ELSE 0 END AS jaccard,
+                     list_transform(ga, s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT)) AS ha,
+                     list_transform(gb, s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT)) AS hb
+              FROM gr),
+            s AS (
+              SELECT jaccard,
+                     ({" + ".join(f"CASE WHEN list_min(list_transform(ha, h -> ({a} * h + {b}) % {_MH_P}))"
+                                  f" = list_min(list_transform(hb, h -> ({a} * h + {b}) % {_MH_P}))"
+                                  " THEN 1 ELSE 0 END"
+                                  for (a, b) in _MH_PERMS)}) / 4.0 AS est
+              FROM h)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                   CAST(SUM(CASE WHEN jaccard >= 0.5 AND est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   ROUND(CAST(SUM(CASE WHEN jaccard >= 0.5 AND est >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 4) AS recall_r
+            FROM s
+        """,
         "minhash_deterministic": f"""
             WITH g AS (
               SELECT doc_id,
@@ -1866,7 +1969,7 @@ def oracle_sql() -> dict[str, str]:
                                     AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_wl,
                      CASE WHEN len(toks) > 0
                           THEN CAST(len(text) - len(replace(text, '#', ''))
-                               + len(regexp_extract_all(text, '\\.\\.\\.'))
+                               + len(regexp_extract_all(text, '\\.\\.\\.|…'))
                                AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_ratio,
                      CASE WHEN len(lines) > 0
                           THEN CAST(len(list_filter(lines,

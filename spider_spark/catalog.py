@@ -27,6 +27,36 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# latest_capture row: the per-URL "what do we know about the last crawl"
+# snapshot (VERDICT r02 next #1). One row per url_canon; (tick, seq,
+# status, committed_at) describe the LAST capture of any status, the ok_*
+# triple the last status-200 capture (nullable — a URL may never have
+# succeeded). Deltas are politeness-bounded (one row per URL fetched in
+# the tick); compaction folds them exactly like the seen set, so
+# revalidation reads O(compact_every) dirs instead of the full ledger.
+LATEST_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("tick", IntegerType(), False),
+        StructField("seq", StringType(), True),
+        StructField("status", IntegerType(), True),
+        StructField("committed_at", DoubleType(), True),
+        StructField("ok_tick", IntegerType(), True),
+        StructField("ok_seq", StringType(), True),
+        StructField("ok_fp", LongType(), True),
+    ]
+)
 
 
 class CrawlCatalog:
@@ -269,8 +299,153 @@ class CrawlCatalog:
         if ticks is None:
             ticks = sorted(int(p.name.split("=")[1]) for p in base.glob("tick=*"))
         # no basePath: result files carry their own `tick` column, so
-        # partition-column discovery would clash with it
-        return spark.read.parquet(*[str(base / f"tick={k}") for k in ticks])
+        # partition-column discovery would clash with it.
+        # EXPLICIT schema (not inference from the first file): the ledger
+        # schema has grown across engine versions (content_fp arrived in
+        # r02) and varies with cfg.store_text — a mixed-schema checkpoint
+        # must read deterministically, with absent columns as nulls, never
+        # "whatever the first footer says" (ADVICE r02 #2).
+        from .frontier import RESULTS_SCHEMA
+
+        return spark.read.schema(RESULTS_SCHEMA).parquet(
+            *[str(base / f"tick={k}") for k in ticks]
+        )
+
+    # --- latest_capture snapshot (per-URL last-crawl state) -----------------
+
+    def write_latest_delta(self, tick: int, delta: DataFrame) -> None:
+        """Per-tick latest_capture delta: one LATEST_SCHEMA row per URL
+        captured in ``tick`` (politeness-bounded — tiny next to the
+        ledger). Idempotent per tick (overwrite), written before the
+        manifest commit like every other tick dir."""
+        delta.write.mode("overwrite").parquet(self._dir("latest", tick))
+
+    def latest_compacted_at(self) -> int:
+        return self.manifest().get("latest_compacted_at", -1)
+
+    def _latest_compact_dir_name(self) -> str | None:
+        m = self.manifest()
+        c = m.get("latest_compacted_at", -1)
+        if c < 0:
+            return None
+        gen = m.get("latest_compact_gen", 0)
+        return f"tick={c}" if gen == 0 else f"tick={c}.g{gen}"
+
+    @staticmethod
+    def _aggregate_latest(raw: DataFrame) -> DataFrame:
+        """Fold LATEST_SCHEMA rows (deltas ∪ compact snapshot — the compact
+        rows are themselves valid LATEST_SCHEMA rows) down to one row per
+        URL: the max over the data-derived (tick, seq) key for the last
+        capture, and over (ok_tick, ok_seq) for the last success. A
+        map-side-combinable agg — never a window."""
+        last = F.max(F.struct("tick", "seq", "status", "committed_at")).alias("_l")
+        ok = F.max(
+            F.when(
+                F.col("ok_tick").isNotNull(), F.struct("ok_tick", "ok_seq", "ok_fp")
+            )
+        ).alias("_o")
+        return (
+            raw.groupBy("url_canon")
+            .agg(F.max("url_hash").alias("url_hash"), last, ok)
+            .select(
+                "url_canon",
+                "url_hash",
+                F.col("_l.tick").alias("tick"),
+                F.col("_l.seq").alias("seq"),
+                F.col("_l.status").alias("status"),
+                F.col("_l.committed_at").alias("committed_at"),
+                F.col("_o.ok_tick").alias("ok_tick"),
+                F.col("_o.ok_seq").alias("ok_seq"),
+                F.col("_o.ok_fp").alias("ok_fp"),
+            )
+        )
+
+    def load_latest_capture(self, spark: SparkSession, up_to_tick: int) -> DataFrame:
+        """One row per crawled URL: last capture (any status) + last
+        successful capture. Reads the compacted snapshot plus the per-tick
+        deltas since it — O(compact_every) dirs, NEVER the results ledger
+        (the r02 full-history-shuffle-per-revalidation scale killer)."""
+        dirs: list[str] = []
+        c = self.latest_compacted_at()
+        if c >= 0 and c <= up_to_tick:
+            dirs.append(str(self.root / "latest_compact" / self._latest_compact_dir_name()))
+            lo = c + 1
+        else:
+            lo = 0
+        base = self.root / "latest"
+        dirs += [
+            str(base / f"tick={k}")
+            for k in range(lo, up_to_tick + 1)
+            if (base / f"tick={k}").exists()
+        ]
+        if not dirs:
+            return spark.createDataFrame([], LATEST_SCHEMA)
+        return self._aggregate_latest(spark.read.schema(LATEST_SCHEMA).parquet(*dirs))
+
+    def rewrite_latest(self, spark: SparkSession, up_to_tick: int) -> None:
+        """Fold latest deltas ≤ up_to_tick into one compacted snapshot —
+        the same crash-safe generation discipline as ``rewrite_seen``:
+        fresh generation-suffixed dir written FIRST, manifest pointer flips
+        atomically, superseded dirs garbage-collected last."""
+        snap = self.load_latest_capture(spark, up_to_tick)
+        prev_dir = self._latest_compact_dir_name()
+        gen = self.manifest().get("latest_compact_gen", 0) + 1
+        new_dir = f"tick={up_to_tick}.g{gen}"
+        snap.hint("rebalance").write.mode("overwrite").parquet(
+            str(self.root / "latest_compact" / new_dir)
+        )
+        m = self.manifest()
+        m["latest_compacted_at"] = up_to_tick
+        m["latest_compact_gen"] = gen
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)
+        for k in range(up_to_tick + 1):
+            shutil.rmtree(self.root / "latest" / f"tick={k}", ignore_errors=True)
+        if prev_dir is not None and prev_dir != new_dir:
+            shutil.rmtree(self.root / "latest_compact" / prev_dir, ignore_errors=True)
+
+    def ensure_latest(self, spark: SparkSession) -> None:
+        """Backfill the latest_capture snapshot for a checkpoint created
+        before it existed (or whose deltas were lost): one full-ledger pass
+        — the scan r02 paid on EVERY revalidation call — written out as the
+        compacted snapshot, after which revalidation reads only it."""
+        t = self.committed_tick()
+        if t < 0 or self.latest_compacted_at() >= 0:
+            return
+        if any((self.root / "latest").glob("tick=*")):
+            return
+        m = self.manifest().get("metrics", {})
+        times = [(int(k), float(v.get("committed_at", 0.0))) for k, v in m.items()]
+        tick_times = spark.createDataFrame(
+            times or [(-1, 0.0)], "tick int, committed_at double"
+        )
+        res = self.load_results(spark).select(
+            "url_canon", "url_hash", "tick", "seq", "status", "content_fp"
+        )
+        delta = res.join(F.broadcast(tick_times), "tick", "left").select(
+            "url_canon",
+            "url_hash",
+            "tick",
+            "seq",
+            "status",
+            F.coalesce("committed_at", F.lit(0.0)).alias("committed_at"),
+            F.when(F.col("status") == 200, F.col("tick")).alias("ok_tick"),
+            F.when(F.col("status") == 200, F.col("seq")).alias("ok_seq"),
+            F.when(F.col("status") == 200, F.col("content_fp")).alias("ok_fp"),
+        )
+        snap = self._aggregate_latest(delta)
+        gen = 1
+        new_dir = f"tick={t}.g{gen}"
+        snap.hint("rebalance").write.mode("overwrite").parquet(
+            str(self.root / "latest_compact" / new_dir)
+        )
+        mm = self.manifest()
+        mm["latest_compacted_at"] = t
+        mm["latest_compact_gen"] = gen
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(mm, indent=1))
+        os.replace(tmp, self._manifest_path)
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

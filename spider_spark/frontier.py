@@ -26,7 +26,15 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from . import udfs
 
@@ -43,11 +51,47 @@ FRONTIER_SCHEMA = StructType(
     ]
 )
 
+# The results-ledger schema (what results_projection / misses_projection /
+# blocked_projection emit). The catalog reads ledger dirs with THIS schema
+# explicitly — never inference — so checkpoints written by older engine
+# versions (no content_fp) or with cfg.store_text=False read
+# deterministically with the absent columns as nulls (ADVICE r02 #2).
+RESULTS_SCHEMA = StructType(
+    [
+        StructField("tick", IntegerType(), True),
+        StructField("url_canon", StringType(), True),
+        StructField("final_url", StringType(), True),
+        StructField("url_hash", LongType(), True),
+        StructField("host", StringType(), True),
+        StructField("priority", IntegerType(), True),
+        StructField("seq", StringType(), True),
+        StructField("status", IntegerType(), True),
+        StructField("content_fp", LongType(), True),
+        StructField("title", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("detected", udfs.DETECTED_STRUCT, True),
+        StructField("is_pdf", BooleanType(), True),
+        StructField("link_count", IntegerType(), True),
+        StructField("links", ArrayType(udfs.LINK_STRUCT), True),
+        StructField("lang", StringType(), True),
+        StructField("partition_id", IntegerType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
 
 @dataclass
 class CrawlConfig:
     per_host_budget: int = 8  # max fetches per host per tick (politeness)
     tick_ms: int = 10_000  # nominal tick wall budget — modulates crawl_delay
+    # fetch stage: 'join' = equi-join against the pages table (the sandbox
+    # "network"; also the replay path against an archived corpus); 'live' =
+    # the mapInPandas HTTP adapter (fetch.live_fetch) behind the registry
+    # seam — same plan shape, the join swapped for the fetch UDF. The
+    # Crawler's ``transport`` is injected into the live stage (None = the
+    # stdlib urllib transport).
+    adapter: str = "join"
+    fetch_timeout_s: float = 30.0  # reference default 30 000 ms (types.ts:127)
     max_ticks: int = 10
     # total fetch budget across the whole run. The reference parses
     # maxRequests but never enforces it (SURVEY.md §2.3); here it is real —
@@ -323,6 +367,39 @@ def fetch_and_parse(
         .withColumn("parsed", F.lit(None).cast(udfs.PARSED_STRUCT))
     )
     return hits.select(*out_cols).unionByName(err.select(*out_cols))
+
+
+def live_fetch_and_parse(
+    selected: DataFrame, cfg: CrawlConfig, transport=None
+) -> DataFrame:
+    """The live-network form of the fetch stage: same output contract as
+    ``fetch_and_parse`` (url → final_url, html, status, parsed; 599 ≙
+    NetworkError), with the pages-table equi-join replaced by the
+    ``fetch.live_fetch`` mapInPandas adapter (simple.ts:94-120 semantics:
+    ≤5 redirects, final URL, default headers, timeout, status rows).
+
+    Unlike the join path, the live fetcher is TOTAL — every selected row
+    comes back with a status (200 hit, 404/4xx/5xx miss, 599 network
+    error), so the caller skips the separate misses derivation.
+    ``page_lang``/``warc_ts`` are null: a live fetch has no archive
+    metadata (language is computed downstream by textqc.lang_id)."""
+    from . import fetch as fetch_mod
+
+    fetched = fetch_mod.live_fetch(
+        selected, transport, url_col="url_canon", timeout=cfg.fetch_timeout_s
+    )
+    parsed = F.when(
+        F.col("status") == 200, udfs.parse_page(F.col("final_url"), F.col("html"))
+    ).otherwise(F.lit(None).cast(udfs.PARSED_STRUCT))
+    return fetched.select(
+        *selected.columns,
+        "final_url",
+        "html",
+        F.lit(None).cast("string").alias("page_lang"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "status",
+        parsed.alias("parsed"),
+    )
 
 
 def misses_projection(selected: DataFrame, fetched_keys: DataFrame, cfg: CrawlConfig, tick: int) -> DataFrame:

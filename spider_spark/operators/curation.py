@@ -47,9 +47,12 @@ __all__ = [
     "redact_pii",
 ]
 
-# Above this many distinct benchmark grams we stop broadcasting and let the
+# Above this many benchmark-gram rows we stop broadcasting and let the
 # planner shuffle — mirrors frontier.redirect_broadcast_rows' size gate.
-BENCH_BROADCAST_ROWS = 5_000_000
+# ENFORCED in decontaminate via a limit-bounded count (scan stops early, so
+# deciding costs O(gate), not O(table)). 2M grams ≈ 100 MB serialized —
+# about the most a modest real-cluster executor should be handed.
+BENCH_BROADCAST_ROWS = 2_000_000
 
 
 def word_ngrams(text_col: str | Column, n: int) -> Column:
@@ -98,16 +101,21 @@ def decontaminate(
 
     Scale shape (100 TB corpus, ~10^6-gram benchmark):
     - corpus side: scan → per-doc distinct grams → explode. Map-only.
-    - join: broadcast hash join on `gram` (benchmark side deduped +
-      broadcast under BENCH_BROADCAST_ROWS; above it, or with
-      broadcast=False, the planner shuffle-joins instead — same gate
-      discipline as frontier.resolve_redirects).
+    - join: broadcast hash join on `gram`. With ``broadcast=None`` (the
+      default) the benchmark side is COUNTED once with a limit-bounded
+      probe (the scan stops at the gate, so deciding costs O(gate) rows)
+      and broadcast only under BENCH_BROADCAST_ROWS — the measured-gate
+      discipline of frontier.resolve_redirects / Crawler.__init__. Pass
+      True/False to pin the strategy and skip the probe.
     - only MATCHING (id, gram) rows survive to the groupBy — the shuffle
       is proportional to contamination, not corpus size.
     """
-    grams = benchmark_grams.select("gram").distinct()
     if broadcast is None:
-        broadcast = True  # caller passes False when the benchmark is huge
+        # probe the raw (pre-distinct) row count: an upper bound on the
+        # distinct gram count, and countable without the distinct's shuffle
+        probe = benchmark_grams.limit(BENCH_BROADCAST_ROWS + 1).count()
+        broadcast = probe <= BENCH_BROADCAST_ROWS
+    grams = benchmark_grams.select("gram").distinct()
     small = F.broadcast(grams) if broadcast else grams
     doc_grams = docs.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")

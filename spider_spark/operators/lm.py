@@ -45,7 +45,9 @@ __all__ = [
 
 # Above this many vocab rows, stop broadcasting the LM into the scoring
 # join — same gate discipline as frontier.redirect_broadcast_rows.
-LM_BROADCAST_ROWS = 5_000_000
+# ENFORCED in doc_cross_entropy via a limit-bounded count; 2M (token,
+# double, double) rows ≈ 80 MB serialized.
+LM_BROADCAST_ROWS = 2_000_000
 
 
 def col_lm_tokens(text_col: str | Column) -> Column:
@@ -118,13 +120,19 @@ def doc_cross_entropy(
     unknown tokens are skipped (inner join) — only correct when the LM
     was trained on the same corpus being scored.
 
-    The LM side broadcasts under LM_BROADCAST_ROWS; everything before the
-    per-doc aggregation is then map-side, and the single shuffle is the
-    groupBy(id) with partial aggregation (sum/count combine before the
-    exchange — the shuffle carries one row per doc per map partition).
+    With ``broadcast=None`` (the default) the vocab is COUNTED once with a
+    limit-bounded probe and broadcast only under LM_BROADCAST_ROWS (the
+    measured-gate discipline of frontier.resolve_redirects); above the
+    gate the join shuffles on `token` — pre-prune with ``top_k_vocab``
+    instead of shipping a garbage tail a real LM would map to <unk>.
+    Everything before the per-doc aggregation is then map-side, and the
+    single shuffle is the groupBy(id) with partial aggregation (sum/count
+    combine before the exchange — the shuffle carries one row per doc per
+    map partition).
     """
     if broadcast is None:
-        broadcast = True  # callers pass False (or prune) for huge vocabs
+        probe = lm.limit(LM_BROADCAST_ROWS + 1).count()
+        broadcast = probe <= LM_BROADCAST_ROWS
     side = F.broadcast(lm) if broadcast else lm
     tok = docs.select(
         F.col(id_col), F.explode(col_lm_tokens(text_col)).alias("token")

@@ -295,7 +295,7 @@ def gopher_quality_flags(
 
     - 50 ≤ word count ≤ 100,000
     - 3 ≤ mean word length ≤ 10
-    - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    - symbol-to-word ratio ('#', '...' or '…') ≤ 0.1
     - < 90% of (non-blank) lines start with a bullet marker
     - < 30% of (non-blank) lines end with an ellipsis
     - ≥ 80% of words contain ≥1 ASCII alphabetic character
@@ -313,7 +313,10 @@ def gopher_quality_flags(
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_words,
     ).otherwise(F.lit(0.0))
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    # Gopher A1.1 treats the Unicode ellipsis as an ellipsis symbol too —
+    # counted here AND in the line-end rule below (consistent within the
+    # rule set; the DuckDB oracle restates the same alternation)
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), 0))
     symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(F.lit(0.0))
     lines = F.filter(
         F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""

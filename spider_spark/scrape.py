@@ -410,6 +410,18 @@ def scrape_document(pages: DataFrame, url_col: str = "url", html_col: str = "htm
     )
 
 
+def live_fetch_pages(urls: DataFrame, transport=None, **kw) -> DataFrame:
+    """The LIVE network adapter behind the same registry seam: a URL
+    table (not pre-materialized pages) through the mapInPandas HTTP fetch
+    implementing the simple.ts:94-120 contract — see spider_spark.fetch.
+    ``transport`` is injectable (None = stdlib urllib) so the adapter is
+    fully testable offline; the crawl tick uses it via
+    CrawlConfig(adapter='live')."""
+    from . import fetch
+
+    return fetch.live_fetch(urls, transport, **kw)
+
+
 # built-in adapters (registered at import; 'crawlee' needs a live browser
 # per row — out of scope in a distributed engine (SURVEY §2.1); its
 # observable semantics (expansion census, downloads, skip-links) live in
@@ -419,5 +431,6 @@ _FETCH_ADAPTERS.update(
         "simple": simple_fetch_pages,
         "dom": dom_fetch_pages,
         "crawl4ai": crawl4ai_pages,
+        "live": live_fetch_pages,
     }
 )

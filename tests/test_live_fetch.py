@@ -1,0 +1,174 @@
+"""Live HTTP fetch adapter (spider_spark.fetch): the simple.ts:94-120
+contract as a mapInPandas stage with an injectable one-hop transport —
+unit semantics (redirects, final URL, status rows, headers) plus the
+differential test the r02 verdict asked for: the crawl tick under
+adapter='live' (fake transport) must produce the same Page rows as the
+pages-table join on the same synthetic corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from spider_spark import fetch, synth
+from spider_spark.crawler import Crawler
+from spider_spark.frontier import CrawlConfig
+
+
+# --- transport-level unit tests (no Spark) ---------------------------------
+
+
+def test_fetch_one_follows_redirects_to_final_url():
+    tp = fetch.make_table_transport(
+        {"https://a.test/page": b"<html>hi</html>"},
+        {"https://a.test/r1": "https://a.test/r2", "https://a.test/r2": "https://a.test/page"},
+    )
+    final, html, status, err = fetch.fetch_one(
+        "https://a.test/r1", tp, fetch.DEFAULT_HEADERS, 5.0
+    )
+    assert (final, html, status, err) == ("https://a.test/page", b"<html>hi</html>", 200, None)
+
+
+def test_fetch_one_redirect_limit_is_599():
+    # a 6-hop chain: five follows allowed, the 6th response still redirects
+    chain = {f"https://a.test/h{i}": f"https://a.test/h{i+1}" for i in range(6)}
+    tp = fetch.make_table_transport({"https://a.test/h6": b"x"}, chain)
+    final, html, status, err = fetch.fetch_one(
+        "https://a.test/h0", tp, fetch.DEFAULT_HEADERS, 5.0
+    )
+    assert status == 599 and html is None and "redirect" in err
+    # exactly at the limit (5 hops) still succeeds
+    chain5 = {f"https://a.test/h{i}": f"https://a.test/h{i+1}" for i in range(5)}
+    tp5 = fetch.make_table_transport({"https://a.test/h5": b"x"}, chain5)
+    assert fetch.fetch_one("https://a.test/h0", tp5, fetch.DEFAULT_HEADERS, 5.0)[2] == 200
+
+
+def test_fetch_one_http_error_is_status_row():
+    tp = fetch.make_table_transport({})
+    final, html, status, err = fetch.fetch_one(
+        "https://a.test/missing", tp, fetch.DEFAULT_HEADERS, 5.0
+    )
+    assert status == 404 and html is None and err == "HTTP 404"
+
+
+def test_fetch_one_transport_exception_is_599():
+    def boom(url, headers, timeout):
+        raise TimeoutError("connect timed out")
+
+    final, html, status, err = fetch.fetch_one("https://a.test/", boom, {}, 1.0)
+    assert status == 599 and "TimeoutError" in err
+
+
+def test_fetch_one_relative_location_resolves_against_current_hop():
+    def tp(url, headers, timeout):
+        if url == "https://a.test/dir/start":
+            return 302, {"location": "../other/page"}, b""
+        if url == "https://a.test/other/page":
+            return 200, {}, b"ok"
+        return 404, {}, b""
+
+    final, html, status, err = fetch.fetch_one(
+        "https://a.test/dir/start", tp, {}, 5.0
+    )
+    assert (final, status) == ("https://a.test/other/page", 200)
+
+
+def test_default_headers_match_reference_and_user_wins():
+    h = fetch.merge_headers({"Accept-Language": "de"}, user_agent=None)
+    assert h["User-Agent"].startswith("Mozilla/5.0 (compatible; HappyVertical Spider/2.0")
+    assert h["Accept"] == "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8"
+    assert h["DNT"] == "1" and h["Upgrade-Insecure-Requests"] == "1"
+    assert h["Accept-Language"] == "de"  # user header wins (JS spread)
+    assert fetch.merge_headers({}, user_agent="custom/1.0")["User-Agent"] == "custom/1.0"
+
+
+# --- DataFrame-level + differential tests ----------------------------------
+
+
+def _transport_from_corpus(pages_df, redirects_df):
+    pages = {r.url: bytes(r.html) for r in pages_df.select("url", "html").collect()}
+    redirs = {r.src: r.location for r in redirects_df.select("src", "location").collect()}
+    return fetch.make_table_transport(pages, redirs)
+
+
+def test_live_fetch_dataframe_contract(spark):
+    tp = fetch.make_table_transport(
+        {"https://a.test/x": b"<html><a href='/y'>y</a></html>"},
+        {"https://a.test/r": "https://a.test/x"},
+    )
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url_canon": ["https://a.test/r", "https://a.test/gone"]})
+    )
+    rows = {r.url_canon: r for r in fetch.live_fetch(urls, tp).collect()}
+    hit = rows["https://a.test/r"]
+    assert hit.final_url == "https://a.test/x" and hit.status == 200
+    assert bytes(hit.html) == b"<html><a href='/y'>y</a></html>"
+    miss = rows["https://a.test/gone"]
+    assert miss.status == 404 and miss.html is None and miss.fetch_error == "HTTP 404"
+
+
+def test_registry_dispatches_live_adapter(spark):
+    from spider_spark import scrape
+
+    fn = scrape.get_fetch_adapter("live")
+    tp = fetch.make_table_transport({"https://a.test/x": b"<html></html>"})
+    urls = spark.createDataFrame(pd.DataFrame({"url_canon": ["https://a.test/x"]}))
+    assert fn(urls, tp).collect()[0].status == 200
+
+
+def test_crawl_tick_live_adapter_matches_join_adapter(spark, tmp_path):
+    """The differential the verdict ordered: same synthetic corpus (pages +
+    redirect chains + dead links) crawled via the pages-table join and via
+    adapter='live' with a fake transport over the SAME tables must agree on
+    every Page row — url, final_url, status, content fingerprint, extracted
+    text, links, title."""
+    n, hosts = 250, 6
+    pages = synth.generate_pages(spark, n, n_hosts=hosts)
+    redirects = synth.generate_redirects(spark, n, n_hosts=hosts)
+    seeds = synth.seed_urls(n, hosts)
+    cfg = dict(per_host_budget=8)
+
+    cj = Crawler(
+        spark, pages, str(tmp_path / "join"), CrawlConfig(**cfg), redirects=redirects
+    )
+    stats_j = cj.run(seeds, max_ticks=4)
+
+    tp = _transport_from_corpus(pages, redirects)
+    cl = Crawler(
+        spark,
+        pages,  # unused by the live fetch stage; kept for revalidation APIs
+        str(tmp_path / "live"),
+        CrawlConfig(adapter="live", **cfg),
+        transport=tp,
+    )
+    stats_l = cl.run(seeds, max_ticks=4)
+
+    # identical per-tick fetch accounting
+    assert [(s.fetched, s.ok, s.missing) for s in stats_j] == [
+        (s.fetched, s.ok, s.missing) for s in stats_l
+    ]
+
+    cols = [
+        "tick",
+        "url_canon",
+        "final_url",
+        "status",
+        "content_fp",
+        "title",
+        "link_count",
+        "text",
+    ]
+    j = {(r.tick, r.url_canon): r for r in cj.results().filter("status = 200").select(*cols).collect()}
+    l = {(r.tick, r.url_canon): r for r in cl.results().filter("status = 200").select(*cols).collect()}
+    assert j.keys() == l.keys() and len(j) > 50
+    for k in j:
+        assert tuple(j[k]) == tuple(l[k]), k
+    # misses agree on identity and status (the join path synthesizes 404
+    # rows with final_url = url_canon; the live path reports the real
+    # final hop — identity and status must still match)
+    jm = {(r.tick, r.url_canon, r.status) for r in cj.results().filter("status != 200").select("tick", "url_canon", "status").collect()}
+    lm = {(r.tick, r.url_canon, r.status) for r in cl.results().filter("status != 200").select("tick", "url_canon", "status").collect()}
+    assert jm == lm
+    # and the final URL-seen sets are identical (north-rule invariant)
+    sj = {r.url_canon for r in cj.seen().collect()}
+    sl = {r.url_canon for r in cl.seen().collect()}
+    assert sj == sl
