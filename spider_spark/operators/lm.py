@@ -168,6 +168,20 @@ def perplexity_buckets(
     shards so the assignment is stable); when absent they are estimated
     from this DataFrame with percentile_approx (one aggregation, no
     global sort).
+
+    Boundary semantics (tested in tests/test_lm.py): cuts are half-open —
+    ce == t_head lands in MIDDLE, ce == t_tail lands in TAIL (strict <
+    below each cut). Empty documents never reach bucketing: they have no
+    tokens, so doc_cross_entropy emits no row for them (CCNet drops
+    empties upstream).
+
+    ESTIMATION CAVEAT: percentile_approx is a Greenwald-Khanna sketch
+    (accuracy parameter 100 000 → rank error ≤ n/100 000); its cut points
+    can differ from an exact quantile (DuckDB's interpolated `quantile`,
+    or a full sort) by up to that rank tolerance, and ties AT an estimated
+    cut shift whole equal-valued groups between buckets. Oracle-checked
+    queries therefore pin explicit thresholds (the deployment style); the
+    estimator path is for exploration, not cross-engine parity.
     """
     if thresholds is None:
         row = scored.agg(

@@ -97,3 +97,37 @@ def test_perplexity_buckets_fixed_and_estimated(spark, tiny):
     assert est.filter(F.col("ppl_bucket").isin("head", "middle", "tail")).count() == 3
     with pytest.raises(ValueError):
         lmod.perplexity_buckets(scored, thresholds=(2.0, 1.0))
+
+
+def test_perplexity_bucket_boundaries_are_half_open(spark):
+    """Ties AT a cut point: strict < below each threshold, so ce == t_head
+    → middle and ce == t_tail → tail (the documented half-open contract —
+    a ±1-ulp float would flip an inclusive rule nondeterministically
+    across engines)."""
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 1.0), (3, 1.1), (4, 2.0), (5, 2.5)],
+        "doc_id int, ce_nats double",
+    )
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in lmod.perplexity_buckets(scored, thresholds=(1.0, 2.0)).collect()
+    }
+    assert got == {1: "head", 2: "middle", 3: "middle", 4: "tail", 5: "tail"}
+    # degenerate equal cuts: middle band is empty, boundary value → tail
+    eq = {
+        r.doc_id: r.ppl_bucket
+        for r in lmod.perplexity_buckets(scored, thresholds=(1.0, 1.0)).collect()
+    }
+    assert eq == {1: "head", 2: "tail", 3: "tail", 4: "tail", 5: "tail"}
+
+
+def test_perplexity_empty_docs_never_reach_bucketing(spark):
+    """Empty/whitespace-only docs have no tokens → doc_cross_entropy emits
+    no row → bucketing never sees them (CCNet drops empties upstream)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   \n\t ")], "doc_id int, text string"
+    )
+    lm = lmod.unigram_lm(docs)
+    scored = lmod.doc_cross_entropy(docs, lm)
+    out = lmod.perplexity_buckets(scored, thresholds=(1.0, 2.0))
+    assert {r.doc_id for r in out.collect()} == {1}
