@@ -717,6 +717,24 @@ def q_ppm_decode(spark, sf_dir):
     )
 
 
+def q_png_decode(spark, sf_dir):
+    """REAL PNG decode (from-scratch stdlib-zlib decoder over the public
+    W3C spec: chunk walk + CRC, scanline unfilter cycling through all five
+    filter types across the corpus): dimensions, red-channel mean, and the
+    constant blue channel come from actually inflating and unfiltering the
+    pixel bytes; the oracle reconstructs all of them analytically from the
+    deterministic gradient pattern."""
+    media = multimodal.generate_png_images(spark, 80)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("embedding", 1).cast("double"), 3).alias("red_mean"),
+        # blue is a constant plane (id % 256)/255 in the generator — a
+        # whole-image invariant that only a correct unfilter reproduces
+        F.round(F.element_at("embedding", 3).cast("double"), 4).alias("blue_mean"),
+    )
+
+
 def q_wav_features(spark, sf_dir):
     """REAL audio decode (stdlib wave + numpy FFT): duration and dominant
     frequency from actually decoding the PCM payload; oracle reconstructs
@@ -1365,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platform_fetch_items": q_platform_fetch_items,
         "tree_scrape_metrics": q_tree_scrape_metrics,
         "multimodal_ppm_decode": q_ppm_decode,
+        "multimodal_png_decode": q_png_decode,
         "audio_wav_features": q_wav_features,
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
@@ -1596,6 +1615,17 @@ def oracle_sql() -> dict[str, str]:
                         x -> x * 255 // (16 + i % 17 - 1)))
                       / CAST(16 + i % 17 AS DOUBLE)) / 255.0, 3) AS red_mean
             FROM generate_series(0, 63) t(i)
+        """,
+        "multimodal_png_decode": """
+            SELECT i AS media_id,
+                   CAST(16 + i % 17 AS INT) AS width,
+                   CAST(12 + (i * 3) % 13 AS INT) AS height,
+                   ROUND((list_sum(list_transform(
+                        generate_series(0, CAST(16 + i % 17 AS INT) - 1),
+                        x -> x * 255 // (16 + i % 17 - 1)))
+                      / CAST(16 + i % 17 AS DOUBLE)) / 255.0, 3) AS red_mean,
+                   ROUND((i % 256) / 255.0, 4) AS blue_mean
+            FROM generate_series(0, 79) t(i)
         """,
         "audio_wav_features": """
             SELECT i AS media_id,

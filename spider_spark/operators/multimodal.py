@@ -9,9 +9,16 @@ Codec status in this container (no Pillow/ffmpeg/torchaudio):
 - **netpbm P6 images: REAL decode/encode/resize/features** (the format is
   a plain header + raw RGB bytes — parsed by hand, resized with numpy
   nearest-neighbor, features = channel means + 3×3 grid means),
+- **PNG images: REAL decode/encode/resize/features** — a from-scratch
+  decoder over the public W3C PNG spec / RFC 2083 using only stdlib
+  ``zlib`` + numpy: chunk walk with CRC validation, all five scanline
+  filters (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit
+  depth 8, palette expansion. The encoder writes truecolor PNG with a
+  selectable per-row filter type so every filter path is roundtrip-
+  tested.
 - **WAV/PCM audio: REAL decode + features** via the stdlib ``wave``
   module (duration, RMS, zero-crossing rate, dominant frequency by FFT),
-- JPEG/PNG/MP4: STUBBED — ``deterministic=True`` produces a seeded fake
+- JPEG/MP4: STUBBED — ``deterministic=True`` produces a seeded fake
   (stable bytes → stable features, good enough to test
   schema/partitioning/batching end-to-end); ``deterministic=False``
   raises NotImplementedError where the codec call belongs.
@@ -24,7 +31,9 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -131,6 +140,183 @@ def resize_nearest(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     return arr[yi][:, xi]
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (bit depth 8 only; see decode_png)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (W3C PNG §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _filter_row(cur: np.ndarray, prev: np.ndarray, bpp: int, ftype: int) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to a raw scanline (encode direction)."""
+    c = cur.astype(np.int32)
+    left = np.zeros_like(c)
+    left[bpp:] = c[:-bpp]
+    up = prev.astype(np.int32)
+    upleft = np.zeros_like(c)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = c
+    elif ftype == 1:
+        out = c - left
+    elif ftype == 2:
+        out = c - up
+    elif ftype == 3:
+        out = c - (left + up) // 2
+    elif ftype == 4:
+        pred = np.array(
+            [_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, up, upleft)],
+            dtype=np.int32,
+        )
+        out = c - pred
+    else:
+        raise ValueError(f"unknown png filter {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 → truecolor 8-bit non-interlaced PNG bytes.
+
+    ``filter_type`` selects the per-scanline filter (0-4) so decoder
+    coverage of every unfilter path is roundtrip-testable."""
+    h, w, _ = arr.shape
+    arr = arr.astype(np.uint8)
+    bpp = 3
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    parts = []
+    for y in range(h):
+        cur = arr[y].reshape(-1)
+        parts.append(bytes([filter_type]) + _filter_row(cur, prev, bpp, filter_type).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filters over the decompressed IDAT stream →
+    (h, stride) uint8. None/Up/Sub are vectorized (Up is wrap-around uint8
+    addition; Sub is a mod-256 prefix sum per residue class); Average and
+    Paeth carry a left-neighbor dependency and run as per-byte loops —
+    fine at mapInPandas batch scale, and encoders overwhelmingly emit
+    the vectorized filters for synthetic/gradient content."""
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("png: decompressed length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:
+            cur = row
+            for k in range(bpp):
+                cur[k::bpp] = (np.cumsum(row[k::bpp].astype(np.int64)) % 256).astype(np.uint8)
+        elif ftype == 2:
+            cur = row + prev  # uint8 addition wraps mod 256 — exactly the spec
+        elif ftype == 3:
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + (a + int(prev[i])) // 2) % 256
+        elif ftype == 4:
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"png: unknown scanline filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB. From-scratch stdlib-zlib decoder
+    (W3C PNG / RFC 2083): validates chunk CRCs, supports bit depth 8,
+    color types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) /
+    6 (RGBA), all five filters, non-interlaced. Alpha is dropped; palette
+    indexes expand through PLTE. Raises ValueError on anything else."""
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a png payload")
+    idx = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    saw_end = False
+    while idx + 12 <= len(payload):
+        ln = int.from_bytes(payload[idx : idx + 4], "big")
+        typ = payload[idx + 4 : idx + 8]
+        data = payload[idx + 8 : idx + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("png: truncated chunk")
+        crc = int.from_bytes(payload[idx + 8 + ln : idx + 12 + ln], "big")
+        if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"png: bad crc in {typ!r} chunk")
+        idx += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            saw_end = True
+            break
+        # ancillary chunks (tEXt, tRNS, …) are skipped after CRC check
+    if ihdr is None or not saw_end:
+        raise ValueError("png: missing IHDR or IEND")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("png: only 8-bit depth, non-interlaced supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("png: zero dimension")
+    channels = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    px = _unfilter_scanlines(raw, h, w * channels, channels).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        return plte[px[..., 0]]
+    if ctype == 4:
+        return np.repeat(px[..., 0:1], 3, axis=2)
+    return px[..., :3]  # ctype 6: drop alpha
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples → WAV bytes (stdlib wave)."""
     buf = io.BytesIO()
@@ -217,6 +403,40 @@ def generate_ppm_images(spark, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def generate_png_images(spark, n: int) -> DataFrame:
+    """Deterministic REAL PNG images: same id-dependent gradient pattern as
+    :func:`generate_ppm_images` (so the same analytic oracle applies), with
+    the scanline filter cycling ``id % 5`` so the corpus exercises every
+    PNG unfilter path (None/Sub/Up/Average/Paeth)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 16 + i % 17, 12 + (i * 3) % 13
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [(xx * 255 // max(w - 1, 1)), (yy * 255 // max(h - 1, 1)),
+                     np.full((h, w), i % 256)], axis=2
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "url": f"https://cdn.crawl.test/png/{i}",
+                        "kind": "image",
+                        "content_type": "image/png",
+                        "payload": encode_png(arr, filter_type=i % 5),
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def generate_wav_audio(spark, n: int, rate: int = 16000, seconds: float = 0.25) -> DataFrame:
     """Deterministic REAL audio: WAV/PCM sine payloads (id-dependent
     frequency) — decodable with the stdlib wave module."""
@@ -251,19 +471,19 @@ def extract_image_features(
 ) -> DataFrame:
     """image binary → (width, height, embedding) via mapInPandas batches.
 
-    P6/netpbm payloads take the REAL decode path (hand parser + channel/
-    grid-mean features, padded/truncated to out_dim); other formats use the
-    deterministic stub or raise where the codec call belongs."""
+    P6/netpbm and PNG payloads take the REAL decode paths (hand parsers +
+    channel/grid-mean features, padded/truncated to out_dim); other formats
+    use the deterministic stub or raise where the codec call belongs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                if payload.startswith(b"P6"):
+                if payload.startswith(b"P6") or payload.startswith(PNG_SIG):
                     try:
-                        arr = decode_ppm(payload)
-                    except ValueError:
+                        arr = decode_ppm(payload) if payload.startswith(b"P6") else decode_png(payload)
+                    except (ValueError, zlib.error):
                         # corrupt/truncated image: null features, never a
                         # task failure (decode errors don't scale row-wise)
                         rows.append({"media_id": r["media_id"], "width": None,
@@ -397,15 +617,18 @@ def resize_images(media: DataFrame, max_px: int = 256, deterministic: bool = Tru
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                if payload.startswith(b"P6"):
-                    # REAL resize: decode → nearest-neighbor → re-encode
-                    arr = decode_ppm(payload)
+                is_ppm = payload.startswith(b"P6")
+                if is_ppm or payload.startswith(PNG_SIG):
+                    # REAL resize: decode → nearest-neighbor → re-encode in
+                    # the same container format
+                    arr = decode_ppm(payload) if is_ppm else decode_png(payload)
                     h, w = arr.shape[0], arr.shape[1]
                     scale = min(1.0, max_px / max(w, h, 1))
                     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
                     out = resize_nearest(arr, nw, nh)
+                    enc = encode_ppm(out) if is_ppm else encode_png(out)
                     rows.append(
-                        {"media_id": r["media_id"], "payload": encode_ppm(out), "width": nw, "height": nh}
+                        {"media_id": r["media_id"], "payload": enc, "width": nw, "height": nh}
                     )
                     continue
                 if not deterministic:
