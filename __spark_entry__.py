@@ -670,6 +670,15 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dup_ngram_coverage(spark, sf_dir):
+    """Per-doc duplicate-span coverage: fraction of tokens inside a word
+    5-gram shared with ≥2 distinct documents (fixed-length restatement of
+    Lee et al. 2022 suffix-array span dedup — census → semi-join → span
+    union, all joins + aggregates)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_ngram_coverage(docs, n=5).orderBy("id")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """LSH self-join + exact-cosine verify for embedding near-duplicates.
 
@@ -1207,6 +1216,40 @@ def q_perplexity_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (the CCNet/GPT-3 'looks like the
+    reference corpus' filter): closed-form naive-Bayes log-odds weights
+    trained on lang='en' vs rest in ONE aggregation pass, then applied as
+    a gated-broadcast join + per-doc mean. Oracle restates both the
+    training census and the scoring with the same md5 bucket arithmetic."""
+    from spider_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    w = selection.train_token_weights(pos, neg, n_buckets=4096)
+    out = selection.linear_quality_score(docs, w, n_buckets=4096)
+    return out.select(
+        "id", "n_tokens",
+        F.round("raw_score", 4).alias("raw_r"),
+        F.round("prob", 4).alias("prob_r"),
+    ).orderBy("id")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    distributions of target (lang='zh') vs the raw corpus, add-1 smoothed;
+    per-doc log weight = Σ log p̂/q̂ over the doc's feature stream."""
+    from spider_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "zh")
+    out = selection.dsir_log_weights(docs, target, n_buckets=4096)
+    return out.select(
+        "id", "n_feats", F.round("log_weight", 3).alias("log_weight_r")
+    ).orderBy("id")
+
+
 def q_trap_guard(spark, sf_dir):
     """Spider-trap guard over a deterministic synthetic frontier batch:
     calendar families collapse to one url_pattern (digit runs → N) and cap
@@ -1388,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "winnowing_deterministic": q_winnowing_md5,
@@ -1408,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
+        "quality_classifier_score": q_quality_classifier,
+        "dsir_importance_weights": q_dsir_weights,
         "url_trap_guard": q_trap_guard,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -1694,6 +1740,38 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END, 4) AS jaccard_r
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 10 = 0
+        """,
+        "dup_ngram_coverage": """
+            WITH tt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+4], ' ') AS gram
+              FROM tt, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
+            census AS (
+              SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+            starts AS (
+              SELECT g.doc_id, g.pos FROM g JOIN census USING (gram)),
+            cov AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS covered_tokens FROM (
+                SELECT DISTINCT s.doc_id, s.pos + o AS tp
+                FROM starts s, UNNEST(generate_series(0, 4)) AS v(o))
+              GROUP BY doc_id),
+            ds AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS dup_gram_starts
+              FROM starts GROUP BY doc_id)
+            SELECT tt.doc_id AS id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(greatest(len(toks) - 4, 0) AS INT) AS n_grams,
+                   COALESCE(ds.dup_gram_starts, 0) AS dup_gram_starts,
+                   COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+                   ROUND(CASE WHEN len(toks) > 0
+                              THEN CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(toks)
+                              ELSE 0 END, 4) AS dup_coverage
+            FROM tt LEFT JOIN ds USING (doc_id) LEFT JOIN cov USING (doc_id)
         """,
         "winnowing_deterministic": """
             WITH h AS (
@@ -2240,6 +2318,64 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM tok JOIN lmt USING (token)
             GROUP BY doc_id
+        """,
+        "quality_classifier_score": """
+            WITH tb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS INT) AS bucket
+              FROM (SELECT doc_id, lang,
+                           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                              x -> x <> '')) AS tok
+                    FROM documents)),
+            pos AS (SELECT bucket, COUNT(*) AS pos_n FROM tb WHERE lang = 'en' GROUP BY bucket),
+            neg AS (SELECT bucket, COUNT(*) AS neg_n FROM tb WHERE lang <> 'en' GROUP BY bucket),
+            j AS (SELECT COALESCE(pos.bucket, neg.bucket) AS bucket,
+                         COALESCE(pos_n, 0) AS pos_n, COALESCE(neg_n, 0) AS neg_n
+                  FROM pos FULL JOIN neg ON pos.bucket = neg.bucket),
+            tot AS (SELECT SUM(pos_n) AS pt, SUM(neg_n) AS nt FROM j),
+            w AS (SELECT bucket,
+                         ln((pos_n + 1.0) / (pt + 4096.0)) - ln((neg_n + 1.0) / (nt + 4096.0)) AS weight
+                  FROM j, tot),
+            perdoc AS (
+              SELECT tb.doc_id, COUNT(*) AS n_tokens, SUM(COALESCE(w.weight, 0)) AS wsum
+              FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(COALESCE(n_tokens, 0) AS INT) AS n_tokens,
+                   ROUND(COALESCE(wsum / n_tokens, 0), 4) AS raw_r,
+                   ROUND(1.0 / (1.0 + exp(-COALESCE(wsum / n_tokens, 0))), 4) AS prob_r
+            FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "dsir_importance_weights": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            fb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(feat), 1, 8))::UBIGINT % 4096 AS INT) AS bucket
+              FROM (SELECT doc_id, lang,
+                           unnest(list_concat(t,
+                             CASE WHEN len(t) >= 2
+                                  THEN list_transform(generate_series(1, len(t) - 1),
+                                                      i -> t[i] || ' ' || t[i + 1])
+                                  ELSE [] END)) AS feat
+                    FROM base)),
+            qc AS (SELECT bucket, COUNT(*) AS qn FROM fb GROUP BY bucket),
+            pc AS (SELECT bucket, COUNT(*) AS pn FROM fb WHERE lang = 'zh' GROUP BY bucket),
+            qt AS (SELECT SUM(qn) AS qtot FROM qc),
+            pt AS (SELECT SUM(pn) AS ptot FROM pc),
+            r AS (SELECT qc.bucket,
+                         ln((COALESCE(pn, 0) + 1.0) / (ptot + 4096.0))
+                         - ln((qn + 1.0) / (qtot + 4096.0)) AS lr
+                  FROM qc LEFT JOIN pc USING (bucket), qt, pt),
+            perdoc AS (
+              SELECT fb.doc_id, COUNT(*) AS nf, SUM(lr) AS lw
+              FROM fb JOIN r USING (bucket) GROUP BY fb.doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(COALESCE(nf, 0) AS INT) AS n_feats,
+                   ROUND(COALESCE(lw, 0), 3) AS log_weight_r
+            FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
         """,
         "url_trap_guard": """
             WITH u AS (

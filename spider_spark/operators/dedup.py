@@ -343,3 +343,80 @@ def ngram_jaccard(
     return df_pairs.withColumn(
         "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span statistics: what fraction of each doc's
+    tokens sits inside a word n-gram that also appears in ≥ ``min_docs``
+    distinct documents. The corpus-census flavor of exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array spans, restated as fixed-length n-gram
+    spans so the whole computation is joins + aggregates).
+
+    Output: (id, n_tokens, n_grams, dup_gram_starts, covered_tokens,
+    dup_coverage) where covered_tokens is the size of the UNION of the
+    [pos, pos+n) windows over flagged gram starts — overlapping spans are
+    not double-counted, which is what makes the fraction a real coverage.
+
+    Scale shape (100 TB): tokenize + gram-build are one codegen projection;
+    the census is a partial-agg groupBy on the gram (hot grams — boilerplate
+    — cost a counter, never a row explosion); flagged starts come back via a
+    left-semi join; the coverage union explodes only FLAGGED starts by a
+    factor of exactly n before a distinct. No windows, no collect. At
+    petabyte scale the gram key would be xxhash64(gram) to cut shuffle
+    width — kept as the string here so the DuckDB oracle reproduces it
+    bit-for-bit (same tradeoff as textqc.py's censuses).
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
+    flagged = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    starts = g.join(flagged, "gram", "left_semi").select("id", "pos")
+    dup_starts = starts.groupBy("id").agg(F.count(F.lit(1)).cast("int").alias("dup_gram_starts"))
+    covered = (
+        starts.select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tp"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("int").alias("covered_tokens"))
+    )
+    stats = (
+        base.select("id", "n_tokens")
+        .join(dup_starts, "id", "left")
+        .join(covered, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.greatest(F.col("n_tokens") - n + 1, F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("dup_gram_starts", F.lit(0)).alias("dup_gram_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.round(
+                F.when(F.col("n_tokens") > 0, F.col("covered_tokens") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    return stats
