@@ -1216,6 +1216,25 @@ def q_perplexity_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_adaptive_budgets(spark, sf_dir):
+    """Adaptive per-host politeness (AIMD): replay a deterministic
+    synthetic results ledger per host in tick order — halve the budget on
+    error ticks (>20% status≥500), grow by 1 (capped at base 8) on healthy
+    ticks, ignore robots-blocked 451 rows. The oracle restates the fold
+    with DuckDB's list_reduce; all-integer arithmetic keeps the two
+    engines bit-identical."""
+    from spider_spark.operators import adaptive
+
+    d = F.col("doc_id")
+    ledger = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 21).cast("string")).alias("host"),
+        (d % 5).cast("int").alias("tick"),
+        F.when(d % 11 == 0, 451).when(d % 13 == 0, 599).otherwise(200)
+        .cast("int").alias("status"),
+    )
+    return adaptive.adaptive_host_budgets(ledger, base_budget=8).orderBy("host")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed linear quality classifier (the CCNet/GPT-3 'looks like the
     reference corpus' filter): closed-form naive-Bayes log-odds weights
@@ -1452,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
+        "adaptive_host_budgets": q_adaptive_budgets,
         "quality_classifier_score": q_quality_classifier,
         "dsir_importance_weights": q_dsir_weights,
         "url_trap_guard": q_trap_guard,
@@ -2318,6 +2338,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM tok JOIN lmt USING (token)
             GROUP BY doc_id
+        """,
+        "adaptive_host_budgets": """
+            WITH ledger AS (
+              SELECT 'h' || CAST(doc_id % 21 AS VARCHAR) AS host,
+                     CAST(doc_id % 5 AS INT) AS tick,
+                     CASE WHEN doc_id % 11 = 0 THEN 451
+                          WHEN doc_id % 13 = 0 THEN 599
+                          ELSE 200 END AS status
+              FROM documents),
+            pt AS (
+              SELECT host, tick, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS e
+              FROM ledger WHERE status <> 451 GROUP BY host, tick),
+            h AS (
+              SELECT host,
+                     list({'n': n, 'e': e} ORDER BY tick) AS hist,
+                     CAST(COUNT(*) AS INT) AS n_ticks,
+                     CAST(SUM(n) AS BIGINT) AS total_fetches,
+                     CAST(SUM(e) AS BIGINT) AS total_errors
+              FROM pt GROUP BY host)
+            SELECT host, n_ticks, total_fetches, total_errors,
+                   CAST((list_reduce(
+                     list_prepend({'n': CAST(8 AS BIGINT), 'e': CAST(0 AS BIGINT)}, hist),
+                     (acc, x) -> {'n': CASE WHEN x.e * 100 > x.n * 20
+                                        THEN greatest(1, acc.n // 2)
+                                        ELSE least(8, acc.n + 1) END,
+                                  'e': CAST(0 AS BIGINT)})).n AS INT) AS next_budget
+            FROM h
         """,
         "quality_classifier_score": """
             WITH tb AS (

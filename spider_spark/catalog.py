@@ -125,6 +125,23 @@ class CrawlCatalog:
         double-committed."""
         lineage.write.mode("overwrite").parquet(self._dir("lineage", tick))
 
+    def write_host_state(self, tick: int, state: DataFrame) -> None:
+        """Adaptive-politeness AIMD state ENTERING ``tick`` — one
+        (host, budget) row per host observed so far. Tiny (≤ #hosts);
+        written before the previous tick's manifest commit like every
+        other tick dir, so a killed run resumes with the same budgets."""
+        state.write.mode("overwrite").parquet(self._dir("host_state", tick))
+
+    def load_host_state(self, spark: SparkSession, tick: int) -> DataFrame | None:
+        """(host, budget) state entering ``tick``; None when the crawl has
+        no adaptive state yet (tick 0, or the feature was off)."""
+        p = self.root / "host_state" / f"tick={tick}"
+        if not p.exists():
+            return None
+        from .operators.adaptive import HOST_STATE_SCHEMA
+
+        return spark.read.schema(HOST_STATE_SCHEMA).parquet(str(p))
+
     def load_lineage(self, spark: SparkSession, ticks: list[int] | None = None) -> DataFrame:
         base = self.root / "lineage"
         if ticks is None:

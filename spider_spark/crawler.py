@@ -177,7 +177,14 @@ class Crawler:
         seen = self.catalog.load_seen(spark, tick)
         fcols = [f.name for f in FRONTIER_SCHEMA.fields]
 
-        tagged = politeness_tag(frontier, cfg, self.robots).persist()
+        host_state = (
+            self.catalog.load_host_state(spark, tick)
+            if cfg.adaptive_politeness
+            else None
+        )
+        tagged = politeness_tag(
+            frontier, cfg, self.robots, budget_overrides=host_state
+        ).persist()
         selected = tagged.filter("is_selected").select(*fcols)
         deferred = tagged.filter("NOT is_selected AND NOT is_blocked").select(*fcols)
         robots_on = self.robots is not None and cfg.respect_robots
@@ -250,6 +257,27 @@ class Crawler:
                     F.when(F.col("status") == 200, F.col("content_fp")).alias("ok_fp"),
                 ),
             )
+
+            # adaptive politeness: one AIMD step from this tick's written
+            # results (one tick dir + a ≤#hosts state table — incremental,
+            # never a ledger scan) → the state the NEXT tick's politeness
+            # reads. Written before this tick's commit, so resume replays
+            # the same budgets.
+            if cfg.adaptive_politeness:
+                from .operators.adaptive import step_host_budgets
+
+                self.catalog.write_host_state(
+                    tick + 1,
+                    step_host_budgets(
+                        host_state,
+                        self.catalog.load_results(spark, [tick]),
+                        base_budget=cfg.per_host_budget,
+                        min_budget=cfg.adaptive_min_budget,
+                        error_pct=cfg.adaptive_error_pct,
+                        increase_step=cfg.adaptive_increase,
+                        error_min_status=cfg.adaptive_error_min_status,
+                    ),
+                )
 
             # per-partition lineage snapshot: a politeness-bounded agg over
             # the written results (column-pruned read), the audit trail the

@@ -136,6 +136,15 @@ class CrawlConfig:
     compact_seen_every: int | None = 8
     store_text: bool = True
     respect_robots: bool = True
+    # adaptive per-host politeness (operators/adaptive.py): AIMD budget
+    # state carried tick-to-tick in the checkpoint (host_state dirs) and
+    # applied as a tightening-only override inside politeness_tag. The
+    # error threshold is an integer percentage (engine-portable compares).
+    adaptive_politeness: bool = False
+    adaptive_error_pct: int = 20
+    adaptive_min_budget: int = 1
+    adaptive_increase: int = 1
+    adaptive_error_min_status: int = 500
     # priority bands, mirroring the reference's adapter priority ordering
     # (src/platform/registry.ts:71-76; bands src/platform/types.ts:61-66)
     priority_expr: str = (
@@ -184,7 +193,12 @@ def seeds_to_frontier(
     )
 
 
-def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | None) -> DataFrame:
+def politeness_tag(
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    robots: DataFrame | None,
+    budget_overrides: DataFrame | None = None,
+) -> DataFrame:
     """Tag every frontier row for this tick: ``is_blocked`` (robots) and
     ``is_selected`` (within the per-host politeness budget). One pass, no
     anti-joins — the caller persists the tagged frame and derives the
@@ -205,7 +219,13 @@ def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | No
     WITHOUT it (``synth.ROBOTS_SCHEMA``-shaped) carries literal
     path-prefix semantics. Callers who hand-build a table with an
     ``allow_prefixes`` column are opting into RFC pattern interpretation
-    of their disallow strings."""
+    of their disallow strings.
+
+    ``budget_overrides`` — an optional (host, budget) table (the adaptive
+    AIMD state, operators/adaptive.py) — can only TIGHTEN: the effective
+    budget is least(robots/default budget, override), so a recovering host
+    never overrides robots crawl-delay, and an unlisted host keeps the
+    static budget. Broadcast: the table is ≤ #distinct-hosts rows."""
     f = frontier
     if robots is not None and cfg.respect_robots:
         f = f.join(F.broadcast(robots), "host", "left")
@@ -244,6 +264,22 @@ def politeness_tag(frontier: DataFrame, cfg: CrawlConfig, robots: DataFrame | No
             *frontier.columns,
             F.lit(False).alias("is_blocked"),
             F.lit(cfg.per_host_budget).alias("host_budget"),
+        )
+
+    if budget_overrides is not None:
+        ov = F.broadcast(
+            budget_overrides.select("host", F.col("budget").alias("_adaptive_budget"))
+        )
+        f = (
+            f.join(ov, "host", "left")
+            .withColumn(
+                "host_budget",
+                F.least(
+                    F.col("host_budget"),
+                    F.coalesce("_adaptive_budget", F.col("host_budget")),
+                ),
+            )
+            .drop("_adaptive_budget")
         )
 
     order = [F.col("priority"), F.col("discovered_tick"), F.col("seq")]
