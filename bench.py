@@ -142,6 +142,12 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "gopher_quality",
         "c4_line_filters",
         "url_prefetch_filters",
+        # round 3 additions
+        "multimodal_png_decode",
+        "dup_ngram_coverage",
+        "quality_classifier_score",
+        "dsir_importance_weights",
+        "adaptive_host_budgets",
     ]
     out = {}
     for name in names:
