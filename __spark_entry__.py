@@ -1216,6 +1216,34 @@ def q_perplexity_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_priority_aging(spark, sf_dir):
+    """Anti-starvation politeness: the REAL politeness_tag two-phase salted
+    top-k over a deterministic synthetic frontier, with priority aging on
+    (effective priority = max(0, priority − rate·wait_ticks)). Selection is
+    salt-invariant (phase 1 provably passes every global top-k row), so the
+    oracle restates it as one exact rank per host."""
+    from spider_spark.frontier import politeness_tag
+
+    d = F.col("doc_id")
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 10).cast("string"),
+            F.lit(".test/p"), d.cast("string"),
+        ).alias("url_canon"),
+        F.xxhash64(F.col("doc_id")).alias("url_hash"),  # feeds only the salt
+        F.concat(F.lit("h"), (d % 10).cast("string"), F.lit(".test")).alias("host"),
+        F.when(d % 3 == 0, 100).when(d % 3 == 1, 150).otherwise(200)
+        .cast("int").alias("priority"),
+        (d % 6).cast("int").alias("discovered_tick"),
+        F.lpad(d.cast("string"), 12, "0").alias("seq"),
+    )
+    cfg = CrawlConfig(
+        per_host_budget=5, respect_robots=False, priority_aging_per_tick=10
+    )
+    tagged = politeness_tag(frontier, cfg, None, tick=20)
+    return tagged.select("url_canon", "host", "is_selected").orderBy("url_canon")
+
+
 def q_adaptive_budgets(spark, sf_dir):
     """Adaptive per-host politeness (AIMD): replay a deterministic
     synthetic results ledger per host in tick order — halve the budget on
@@ -1471,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
+        "priority_aging_selection": q_priority_aging,
         "adaptive_host_budgets": q_adaptive_budgets,
         "quality_classifier_score": q_quality_classifier,
         "dsir_importance_weights": q_dsir_weights,
@@ -2338,6 +2367,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM tok JOIN lmt USING (token)
             GROUP BY doc_id
+        """,
+        "priority_aging_selection": """
+            WITH f AS (
+              SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url_canon,
+                     'h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS host,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 100 WHEN 1 THEN 150 ELSE 200 END AS priority,
+                     CAST(doc_id % 6 AS INT) AS dt,
+                     lpad(CAST(doc_id AS VARCHAR), 12, '0') AS seq
+              FROM documents),
+            r AS (
+              SELECT url_canon, host,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY greatest(0, priority - 10 * (20 - dt)), dt, seq) AS rk
+              FROM f)
+            SELECT url_canon, host, rk <= 5 AS is_selected FROM r
         """,
         "adaptive_host_budgets": """
             WITH ledger AS (

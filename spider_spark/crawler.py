@@ -183,7 +183,7 @@ class Crawler:
             else None
         )
         tagged = politeness_tag(
-            frontier, cfg, self.robots, budget_overrides=host_state
+            frontier, cfg, self.robots, budget_overrides=host_state, tick=tick
         ).persist()
         selected = tagged.filter("is_selected").select(*fcols)
         deferred = tagged.filter("NOT is_selected AND NOT is_blocked").select(*fcols)

@@ -145,6 +145,13 @@ class CrawlConfig:
     adaptive_min_budget: int = 1
     adaptive_increase: int = 1
     adaptive_error_min_status: int = 500
+    # frontier priority aging (anti-starvation): each tick a deferred URL
+    # waits, its effective priority value drops by this much (lower value =
+    # crawled sooner), clamped at 0 — so a low-priority URL deferred long
+    # enough eventually outranks fresh high-priority arrivals instead of
+    # starving behind them. 0 = off (strict band ordering, the reference's
+    # semantics). Deterministic in (tick, row data): replay/resume exact.
+    priority_aging_per_tick: int = 0
     # priority bands, mirroring the reference's adapter priority ordering
     # (src/platform/registry.ts:71-76; bands src/platform/types.ts:61-66)
     priority_expr: str = (
@@ -198,6 +205,7 @@ def politeness_tag(
     cfg: CrawlConfig,
     robots: DataFrame | None,
     budget_overrides: DataFrame | None = None,
+    tick: int | None = None,
 ) -> DataFrame:
     """Tag every frontier row for this tick: ``is_blocked`` (robots) and
     ``is_selected`` (within the per-host politeness budget). One pass, no
@@ -282,7 +290,18 @@ def politeness_tag(
             .drop("_adaptive_budget")
         )
 
-    order = [F.col("priority"), F.col("discovered_tick"), F.col("seq")]
+    if cfg.priority_aging_per_tick > 0 and tick is not None:
+        # anti-starvation: age deferred URLs toward the front (see
+        # CrawlConfig.priority_aging_per_tick). Clamped at 0 so ancient
+        # URLs saturate rather than going negative without bound.
+        eff_priority = F.greatest(
+            F.lit(0),
+            F.col("priority")
+            - F.lit(cfg.priority_aging_per_tick) * (F.lit(tick) - F.col("discovered_tick")),
+        )
+    else:
+        eff_priority = F.col("priority")
+    order = [eff_priority, F.col("discovered_tick"), F.col("seq")]
     salt = F.pmod(F.col("url_hash"), F.lit(cfg.politeness_salt))
     # blocked rows rank last within their bucket so they never displace a
     # crawlable row from the budget
