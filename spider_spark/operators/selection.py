@@ -191,34 +191,38 @@ def dsir_log_weights(
     Output (id, n_feats, log_weight). Resample downstream with Gumbel
     top-k or a hash-deterministic threshold."""
     raw_stream = _feature_stream(docs, id_col, text_col, n_buckets, include_bigrams)
+    # the stream feeds BOTH the q̂ census and the final per-doc join — one
+    # persisted materialization instead of re-running the explode per branch
+    raw_stream = raw_stream.persist()
     tgt_stream = _feature_stream(
         target_docs.select(F.lit(0).alias("_id"), text_col), "_id", text_col,
         n_buckets, include_bigrams,
     )
     b = float(n_buckets)
-
-    def dist(stream: DataFrame, name: str) -> DataFrame:
-        cnt = stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-        tot = cnt.agg(F.sum("n").alias("tot"))
-        return cnt.crossJoin(F.broadcast(tot)).select(
+    q_cnt = raw_stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("qn"))
+    p_cnt = tgt_stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("pn"))
+    # totals ride in as broadcast 1-row frames (zero extra actions — the
+    # floor for a bucket absent from one side is the same smoothed formula
+    # with count 0, so no driver-side total is ever needed)
+    q_tot = q_cnt.agg(F.sum("qn").alias("qtot"))
+    p_tot = p_cnt.agg(F.sum("pn").alias("ptot"))
+    ratios = (
+        q_cnt.join(p_cnt, "bucket", "full")
+        .crossJoin(F.broadcast(q_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
             "bucket",
-            F.log((F.col("n") + alpha) / (F.col("tot") + alpha * b)).alias(name),
+            (
+                F.log((F.coalesce("pn", F.lit(0)) + alpha) / (F.col("ptot") + alpha * b))
+                - F.log((F.coalesce("qn", F.lit(0)) + alpha) / (F.col("qtot") + alpha * b))
+            ).alias("log_ratio"),
         )
-
-    q_raw = dist(raw_stream, "log_q")
-    p_tgt = dist(tgt_stream, "log_p")
-    # raw-corpus total is needed for the smoothing floor of unseen buckets:
-    # a bucket absent from one side still contributes log α/(tot + αB).
-    raw_tot = raw_stream.count()
-    tgt_tot = tgt_stream.count()
-    ratios = q_raw.join(p_tgt, "bucket", "full").select(
-        "bucket",
-        (
-            F.coalesce("log_p", F.lit(float(_log_floor(tgt_tot, alpha, b))))
-            - F.coalesce("log_q", F.lit(float(_log_floor(raw_tot, alpha, b))))
-        ).alias("log_ratio"),
     )
-    r = _gated_broadcast(ratios, broadcast)
+    # ratios has ≤ n_buckets rows by construction — the broadcast decision
+    # is static, no probe action required
+    if broadcast is None:
+        broadcast = n_buckets <= SELECTION_BROADCAST_ROWS
+    r = F.broadcast(ratios) if broadcast else ratios
     per_doc = (
         raw_stream.join(r, "bucket", "left")
         .groupBy("id")
@@ -236,9 +240,3 @@ def dsir_log_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
-
-
-def _log_floor(total: int, alpha: float, n_buckets: float) -> float:
-    import math
-
-    return math.log(alpha / (total + alpha * n_buckets))
