@@ -1216,6 +1216,69 @@ def q_perplexity_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset sniff + decode over binary HTML (the html:binary input
+    contract): WHATWG-subset precedence BOM > Content-Type header > meta
+    prescan > windows-1252 fallback. Payloads are generated in four real
+    encodings (utf-8/meta, windows-1252/header-latin1-alias, utf-16-le/BOM,
+    undeclared 0x80 byte); the oracle reconstructs the decoded strings
+    analytically."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    from spider_spark import charset as csmod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("html", BinaryType()),
+        StructField("content_type", StringType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                v = i % 4
+                if v == 0:
+                    html = f"<meta charset=utf-8><p>café ☃ {i}</p>".encode("utf-8")
+                    ct = None
+                elif v == 1:
+                    html = f"<p>café {i}</p>".encode("windows-1252")
+                    ct = "text/html; charset=latin1"
+                elif v == 2:
+                    html = ("\ufeff" + f"wide {i}").encode("utf-16-le")
+                    ct = None
+                else:
+                    html = f"euro \x80 {i}".encode("latin-1")
+                    ct = None
+                rows.append({"doc_id": i, "html": html, "content_type": ct})
+            yield pd.DataFrame(rows, columns=["doc_id", "html", "content_type"])
+
+    raw = docs.mapInPandas(gen, schema)
+    out = csmod.decode_html_bytes(raw, "html", "content_type")
+    return out.select("doc_id", "charset", "text").orderBy("doc_id")
+
+
+def q_host_reputation(spark, sf_dir):
+    """Host/domain reputation rollup (RefinedWeb-style domain curation):
+    per-doc keep verdict (≥30 whitespace tokens) and score
+    (min(1, tokens/100)) aggregated per source → keep_rate · mean_score."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    )
+    d = docs.select(
+        F.col("source").alias("host"),
+        (toks >= 30).alias("keep"),
+        F.least(F.lit(1.0), toks / F.lit(100.0)).alias("score"),
+    )
+    return curation.host_reputation(d, "host", "keep", "score").orderBy("host")
+
+
 def q_priority_aging(spark, sf_dir):
     """Anti-starvation politeness: the REAL politeness_tag two-phase salted
     top-k over a deterministic synthetic frontier, with priority aging on
@@ -1499,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
+        "charset_decode": q_charset_decode,
+        "host_reputation": q_host_reputation,
         "priority_aging_selection": q_priority_aging,
         "adaptive_host_budgets": q_adaptive_budgets,
         "quality_classifier_score": q_quality_classifier,
@@ -2367,6 +2432,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM tok JOIN lmt USING (token)
             GROUP BY doc_id
+        """,
+        "charset_decode": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'windows-1252'
+                     WHEN 2 THEN 'utf-16-le'
+                     ELSE 'windows-1252' END AS charset,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN '<meta charset=utf-8><p>café ☃ ' || doc_id || '</p>'
+                     WHEN 1 THEN '<p>café ' || doc_id || '</p>'
+                     WHEN 2 THEN chr(65279) || 'wide ' || doc_id
+                     ELSE 'euro € ' || doc_id END AS text
+            FROM documents
+        """,
+        "host_reputation": """
+            WITH d AS (
+              SELECT source AS host,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '')) AS toks
+              FROM documents),
+            v AS (
+              SELECT host, toks >= 30 AS keep,
+                     least(1.0, toks / 100.0) AS score
+              FROM d)
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+                   AVG(score) AS mean_score,
+                   ROUND(ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+                         * AVG(score), 6) AS reputation
+            FROM v GROUP BY host
         """,
         "priority_aging_selection": """
             WITH f AS (

@@ -327,3 +327,61 @@ def url_filters(
     return df.withColumn("url_drop_reason", reason).withColumn(
         "url_ok", reason.isNull()
     )
+
+
+# --- host/domain reputation (RefinedWeb-style domain-level curation) --------
+
+
+def host_reputation(
+    docs: DataFrame,
+    host_col: str = "host",
+    ok_col: str = "keep",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-host rollup of document-level quality verdicts → a host-level
+    reputation, the aggregate form of domain filtering used by
+    RefinedWeb/C4-class pipelines (drop the whole domain when its sampled
+    documents are consistently garbage, instead of paying per-document QC
+    on every future fetch).
+
+    Inputs are document rows with a boolean ``ok_col`` (the per-doc keep
+    verdict from any QC stage) and optionally a double ``score_col``.
+    Output: (host, n_docs, n_keep, keep_rate, mean_score?, reputation)
+    where reputation = keep_rate, or keep_rate·mean_score when a score is
+    given — both rounded to 6 so cross-engine float folds agree.
+
+    Scale shape: ONE partial-agg groupBy(host); output rows = distinct
+    hosts. Feeds ``screen_by_host_reputation`` (and, upstream of fetch,
+    the same table can drive `url_filters`-style prefetch drops)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(ok_col).cast("long")).alias("n_keep"),
+    ]
+    if score_col is not None:
+        aggs.append(F.avg(F.col(score_col)).alias("mean_score"))
+    out = docs.groupBy(F.col(host_col).alias("host")).agg(*aggs).withColumn(
+        "keep_rate", F.round(F.col("n_keep") / F.col("n_docs"), 6)
+    )
+    rep = (
+        F.col("keep_rate") * F.col("mean_score")
+        if score_col is not None
+        else F.col("keep_rate")
+    )
+    return out.withColumn("reputation", F.round(rep, 6))
+
+
+def screen_by_host_reputation(
+    docs: DataFrame,
+    reputation: DataFrame,
+    min_reputation: float,
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop every document whose host's reputation is below the floor.
+    The blocklist side is filtered reputation rows (≤ #distinct-hosts,
+    and only the sub-floor subset of that) — broadcast anti-join, the
+    same shape as the prefetch URL screen. Hosts absent from the
+    reputation table are KEPT (no evidence ≠ bad)."""
+    bad = reputation.filter(F.col("reputation") < min_reputation).select(
+        F.col("host").alias(host_col)
+    )
+    return docs.join(F.broadcast(bad), host_col, "left_anti")

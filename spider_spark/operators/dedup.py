@@ -420,3 +420,44 @@ def dup_ngram_coverage(
         )
     )
     return stats
+
+
+def lsh_capture_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate pair) for a pair with true Jaccard similarity ``s``
+    under (bands × rows) MinHash banding: 1 − (1 − s^rows)^bands — the
+    standard S-curve (Mining of Massive Datasets §3.4.2)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_threshold(bands: int, rows: int) -> float:
+    """The similarity at the S-curve's steepest point, ≈ (1/b)^(1/r) —
+    pairs above it are probably caught, below probably not."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def choose_lsh_params(
+    target_threshold: float,
+    num_perm: int = 64,
+    min_capture_at: tuple[float, float] | None = (0.9, 0.95),
+) -> tuple[int, int]:
+    """Pick (bands, rows) with bands·rows = num_perm whose S-curve
+    threshold sits closest to ``target_threshold``, then (optionally)
+    nudge toward more bands until pairs at similarity ``s0`` are captured
+    with probability ≥ ``p0`` (default: ≥95% capture at s=0.9) — the
+    recall-floor discipline tests/test_lsh_recall.py asserts, made a
+    constructive choice instead of a hand tuned constant.
+
+    Pure driver-side arithmetic (no Spark): runs once per job config."""
+    divisors = [b for b in range(1, num_perm + 1) if num_perm % b == 0]
+    best = min(divisors, key=lambda b: abs(lsh_threshold(b, num_perm // b) - target_threshold))
+    b, r = best, num_perm // best
+    if min_capture_at is not None:
+        s0, p0 = min_capture_at
+        # more bands (smaller rows) only ever raises capture probability
+        while lsh_capture_probability(s0, b, num_perm // b) < p0:
+            larger = [d for d in divisors if d > b]
+            if not larger:
+                break
+            b = larger[0]
+        r = num_perm // b
+    return b, r

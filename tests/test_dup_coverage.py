@@ -73,3 +73,46 @@ def test_case_and_whitespace_normalized(spark):
     rows = [(0, "  Alpha Beta  Gamma Delta Eps "), (1, "alpha beta gamma delta eps tail")]
     got = _run(spark, rows, n=5)
     assert got[0]["dup_gram_starts"] == 1 and got[0]["covered_tokens"] == 5
+
+
+# --- LSH banding parameter tuner (pure arithmetic, no Spark) ----------------
+
+
+def test_lsh_capture_probability_matches_brute_force():
+    import random
+
+    from spider_spark.operators.dedup import lsh_capture_probability
+
+    rng = random.Random(7)
+    b, r, s = 8, 4, 0.8
+    trials = 20000
+    hits = 0
+    for _ in range(trials):
+        # each band matches iff all r rows match; each row matches w.p. s
+        if any(all(rng.random() < s for _ in range(r)) for _ in range(b)):
+            hits += 1
+    est = hits / trials
+    assert abs(est - lsh_capture_probability(s, b, r)) < 0.02
+
+
+def test_choose_lsh_params_threshold_and_floor():
+    from spider_spark.operators.dedup import (
+        choose_lsh_params,
+        lsh_capture_probability,
+        lsh_threshold,
+    )
+
+    b, r = choose_lsh_params(0.8, num_perm=64)
+    assert b * r == 64
+    # the chosen curve must actually capture 0.9-similar pairs ≥95%
+    assert lsh_capture_probability(0.9, b, r) >= 0.95
+    # and its threshold is the closest divisor pair to the target among
+    # those meeting the floor (sanity: within a sane window of the target)
+    assert 0.45 <= lsh_threshold(b, r) <= 0.95
+
+    # without a floor, pure threshold matching
+    b2, r2 = choose_lsh_params(0.5, num_perm=16, min_capture_at=None)
+    assert b2 * r2 == 16
+    alt = [(bb, 16 // bb) for bb in (1, 2, 4, 8, 16)]
+    best = min(alt, key=lambda br: abs(lsh_threshold(*br) - 0.5))
+    assert (b2, r2) == best
