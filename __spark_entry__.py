@@ -1279,6 +1279,112 @@ def q_host_reputation(spark, sf_dir):
     return curation.host_reputation(d, "host", "keep", "score").orderBy("host")
 
 
+_MIXTURE_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+
+
+def _docs_with_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    )
+    return docs.select("doc_id", "source", toks.cast("long").alias("n_tokens"))
+
+
+def q_token_mixture(spark, sf_dir):
+    """Token-budget mixture planning (Pile/Dolma-style source recipes):
+    per-source token inventories vs target weights over a 5000-token
+    budget, with sampling rates capped at 2 epochs and unreachable targets
+    flagged instead of silently under-delivered."""
+    from spider_spark.operators import curation
+
+    d = _docs_with_tokens(spark, sf_dir)
+    return curation.token_budget_mixture(
+        d, _MIXTURE_WEIGHTS, budget_tokens=5000, max_epochs=2.0
+    ).orderBy("source")
+
+
+def q_mixture_materialize(spark, sf_dir):
+    """Deterministic materialization of the token mixture plan: each doc
+    appears floor(rate) full epochs plus one fractional epoch decided by
+    the engine-portable md5 bucket of (doc_id, epoch) — rerun-stable, no
+    RNG. Budget 20000 / max 3 epochs so upsampling (epoch > 0) is
+    exercised."""
+    from spider_spark.operators import curation
+
+    d = _docs_with_tokens(spark, sf_dir)
+    plan = curation.token_budget_mixture(
+        d, _MIXTURE_WEIGHTS, budget_tokens=20000, max_epochs=3.0
+    )
+    out = curation.materialize_mixture(d, plan)
+    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (embedding-cluster semantic dedup): corpus vectors plus 8
+    planted near-identical copies (same perturbation scheme as
+    embedding_near_dups_exact), clustered to the 16 smallest-id centroids;
+    inside each cluster every vector with a smaller-id neighbor at
+    cosine ≥ 0.9 is dropped (keep-min-id policy)."""
+    from spider_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 1000)
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(v AS FLOAT)"
+            " + CASE WHEN i = 0 THEN CAST(0.01 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)"
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    out = semdedup(allv, n_centroids=16, threshold=0.9)
+    return out.select(
+        "vec_id",
+        "cent_id",
+        "keep",
+        "dup_of",
+        F.round("max_dup_cos", 4).alias("max_dup_cos_r"),
+    ).orderBy("vec_id")
+
+
+def q_anchor_text(spark, sf_dir):
+    """Per-target anchor-text rollup (the off-page relevance signal a
+    focused crawler prioritizes on): inlink/source counts, distinct anchor
+    variants, and the modal normalized anchor per destination URL, over a
+    deterministic synthetic link table (3 outlinks per document)."""
+    from spider_spark.operators.graph import anchor_text_aggregate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    )
+    dst_id = (F.col("doc_id") * 7 + F.col("i") * 13) % 200
+    anchor = (
+        F.when((F.col("doc_id") + F.col("i")) % 10 == 0, F.lit(""))
+        .when(
+            (F.col("doc_id") + F.col("i")) % 3 == 0,
+            F.concat(F.lit("Page "), (dst_id % 7).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("topic-"), (dst_id % 5).cast("string")))
+    )
+    links = e.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".test/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"),
+            (dst_id % 20).cast("string"),
+            F.lit(".test/p"),
+            dst_id.cast("string"),
+        ).alias("dst"),
+        anchor.alias("anchor"),
+    )
+    return anchor_text_aggregate(links).orderBy("url")
+
+
 def q_priority_aging(spark, sf_dir):
     """Anti-starvation politeness: the REAL politeness_tag two-phase salted
     top-k over a deterministic synthetic frontier, with priority aging on
@@ -1564,6 +1670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "charset_decode": q_charset_decode,
         "host_reputation": q_host_reputation,
+        "anchor_text_rollup": q_anchor_text,
+        "semdedup_clusters": q_semdedup,
+        "token_mixture_plan": q_token_mixture,
+        "mixture_materialize": q_mixture_materialize,
         "priority_aging_selection": q_priority_aging,
         "adaptive_host_budgets": q_adaptive_budgets,
         "quality_classifier_score": q_quality_classifier,
@@ -2465,6 +2575,140 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
                          * AVG(score), 6) AS reputation
             FROM v GROUP BY host
+        """,
+        "token_mixture_plan": """
+            WITH d AS (
+              SELECT source,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '')) AS toks
+              FROM documents),
+            avail AS (
+              SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens_available
+              FROM d GROUP BY source),
+            w AS (
+              SELECT source, tokens_available,
+                     CASE source WHEN 'src0' THEN 3.0 / 5.5
+                                 WHEN 'src1' THEN 1.0 / 5.5
+                                 WHEN 'src2' THEN 1.0 / 5.5
+                                 WHEN 'src3' THEN 0.5 / 5.5
+                                 ELSE 0.0 END AS weight
+              FROM avail),
+            r AS (
+              SELECT source, tokens_available, weight,
+                     ROUND(weight * 5000.0, 2) AS target_tokens,
+                     CASE WHEN tokens_available > 0
+                          THEN weight * 5000.0 / tokens_available
+                          ELSE 0.0 END AS raw
+              FROM w)
+            SELECT source, tokens_available, weight, target_tokens,
+                   raw > 2.0 AS capped,
+                   ROUND(LEAST(raw, 2.0), 6) AS sample_rate,
+                   CAST(ROUND(tokens_available * ROUND(LEAST(raw, 2.0), 6), 0)
+                        AS BIGINT) AS planned_tokens
+            FROM r
+        """,
+        "mixture_materialize": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '')) AS toks
+              FROM documents),
+            avail AS (
+              SELECT source, SUM(toks) AS tokens_available FROM d GROUP BY source),
+            plan AS (
+              SELECT source,
+                     ROUND(LEAST(
+                       CASE WHEN tokens_available > 0
+                            THEN (CASE source WHEN 'src0' THEN 3.0 / 5.5
+                                              WHEN 'src1' THEN 1.0 / 5.5
+                                              WHEN 'src2' THEN 1.0 / 5.5
+                                              WHEN 'src3' THEN 0.5 / 5.5
+                                              ELSE 0.0 END) * 20000.0
+                                 / tokens_available
+                            ELSE 0.0 END, 3.0), 6) AS rate
+              FROM avail),
+            j AS (
+              SELECT d.doc_id, d.source, p.rate FROM d
+              JOIN plan p USING (source) WHERE p.rate > 0),
+            e AS (
+              SELECT doc_id, source, rate,
+                     unnest(generate_series(0, CAST(ceil(rate) AS INT) - 1)) AS epoch
+              FROM j)
+            SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+            FROM e
+            WHERE epoch < floor(rate)
+               OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                           || CAST(epoch AS VARCHAR)), 1, 8))::UBIGINT
+                       % 10000 AS INT)
+                  < (rate - floor(rate)) * 10000
+        """,
+        "semdedup_clusters": """
+            WITH planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_prepend(CAST(embedding[1] AS FLOAT) + CAST(0.01 AS FLOAT),
+                                  embedding[2:]) AS embedding
+              FROM embeddings WHERE vec_id < 8),
+            allv AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+              UNION ALL SELECT vec_id, embedding FROM planted),
+            cents AS (
+              SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM allv ORDER BY vec_id LIMIT 16),
+            corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM allv),
+            assign AS (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT c.vec_id, c.v, t.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.v, t.cv) DESC, t.cent_id) AS rn
+                FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+            dup AS (
+              SELECT l.vec_id,
+                     MIN(r.vec_id) AS dup_of,
+                     MAX(list_cosine_similarity(l.v, r.v)) AS mc
+              FROM assign l JOIN assign r
+                ON l.cent_id = r.cent_id AND l.vec_id > r.vec_id
+              WHERE list_cosine_similarity(l.v, r.v) >= 0.9
+              GROUP BY l.vec_id)
+            SELECT a.vec_id, a.cent_id,
+                   dup_of IS NULL AS keep, dup_of,
+                   ROUND(mc, 4) AS max_dup_cos_r
+            FROM assign a LEFT JOIN dup USING (vec_id)
+        """,
+        "anchor_text_rollup": """
+            WITH e AS (
+              SELECT doc_id, unnest([0, 1, 2]) AS i FROM documents),
+            l AS (
+              SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS src,
+                     (doc_id * 7 + i * 13) % 200 AS dst_id,
+                     CASE WHEN (doc_id + i) % 10 = 0 THEN ''
+                          WHEN (doc_id + i) % 3 = 0
+                            THEN 'Page ' || CAST((doc_id * 7 + i * 13) % 200 % 7 AS VARCHAR)
+                          ELSE 'topic-' || CAST((doc_id * 7 + i * 13) % 200 % 5 AS VARCHAR)
+                     END AS anchor
+              FROM e),
+            b AS (
+              SELECT 'https://h' || CAST(dst_id % 20 AS VARCHAR) || '.test/p'
+                       || CAST(dst_id AS VARCHAR) AS url,
+                     src,
+                     CASE WHEN lower(trim(anchor)) <> '' THEN lower(trim(anchor)) END AS a
+              FROM l),
+            tot AS (
+              SELECT url,
+                     CAST(count(*) AS BIGINT) AS n_inlinks,
+                     CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+                     CAST(count(DISTINCT a) AS BIGINT) AS n_anchor_variants
+              FROM b GROUP BY url),
+            pa AS (
+              SELECT url, a, count(*) AS c FROM b WHERE a IS NOT NULL GROUP BY url, a),
+            top AS (
+              SELECT url, a AS top_anchor, CAST(c AS BIGINT) AS top_anchor_count
+              FROM (SELECT url, a, c,
+                           ROW_NUMBER() OVER (PARTITION BY url ORDER BY c DESC, a) AS rn
+                    FROM pa) WHERE rn = 1)
+            SELECT tot.url, n_inlinks, n_sources, n_anchor_variants,
+                   top_anchor, top_anchor_count
+            FROM tot LEFT JOIN top USING (url)
         """,
         "priority_aging_selection": """
             WITH f AS (

@@ -385,3 +385,99 @@ def screen_by_host_reputation(
         F.col("host").alias(host_col)
     )
     return docs.join(F.broadcast(bad), host_col, "left_anti")
+
+
+# --- token-budget mixture planning (Pile/Dolma-style source mixing) ---------
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Plan a training mixture: given per-document token counts and target
+    source weights (Pile/Dolma-style "X% web, Y% code" recipes), compute
+    per-source sampling rates against a total token budget.
+
+    target_tokens(s) = budget · w(s)/Σw; sample_rate(s) = min(max_epochs,
+    target/available). ``max_epochs`` > 1 permits upsampling (repeating) a
+    scarce source; ``capped`` marks sources whose target is unreachable
+    under the cap — the planner makes the shortfall visible instead of
+    silently under-delivering the mixture. Sources absent from ``weights``
+    get weight 0 (rate 0, never sampled). Rates/targets are rounded (6/2)
+    so cross-engine float folds agree.
+
+    Scale shape: ONE partial-agg groupBy(source); output rows = distinct
+    sources. Feeds ``materialize_mixture``."""
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    pairs: list = []
+    for k, v in sorted(weights.items()):
+        pairs.extend([F.lit(k), F.lit(float(v) / total_w)])
+    wmap = F.create_map(*pairs)
+    avail = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(tokens_col)).alias("tokens_available")
+    )
+    out = avail.withColumn(
+        "weight", F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    ).withColumn(
+        "target_tokens", F.round(F.col("weight") * F.lit(float(budget_tokens)), 2)
+    )
+    raw_rate = F.when(
+        F.col("tokens_available") > 0,
+        F.col("weight") * F.lit(float(budget_tokens)) / F.col("tokens_available"),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("capped", raw_rate > max_epochs)
+        .withColumn(
+            "sample_rate", F.round(F.least(raw_rate, F.lit(float(max_epochs))), 6)
+        )
+        .withColumn(
+            "planned_tokens",
+            F.round(F.col("tokens_available") * F.col("sample_rate"), 0).cast("long"),
+        )
+    )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministically materialize a ``token_budget_mixture`` plan:
+    each document appears floor(rate) full times plus one more with
+    probability (rate − floor(rate)), decided by the engine-portable md5
+    bucket of (id, epoch) — rerun-stable, engine-portable, no RNG.
+    Output = input columns + ``epoch`` (0-based copy index; epoch > 0 rows
+    are upsampled repeats).
+
+    Scale shape: the plan is O(sources) → broadcast join; the epoch
+    explode inflates rows only for upsampled sources (rate > 1); the
+    fractional keep is a map-side filter."""
+    rates = plan.select(
+        F.col("source").alias(source_col), F.col("sample_rate").alias("_rate")
+    )
+    joined = docs.join(F.broadcast(rates), source_col).filter(F.col("_rate") > 0)
+    exploded = joined.withColumn(
+        "epoch",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("_rate")).cast("int") - F.lit(1))
+        ),
+    )
+    frac_bucket = col_hash_bucket(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), F.col("epoch").cast("string")
+        ),
+        10000,
+    )
+    keep = (F.col("epoch") < F.floor(F.col("_rate"))) | (
+        frac_bucket < (F.col("_rate") - F.floor(F.col("_rate"))) * 10000
+    )
+    return exploded.filter(keep).drop("_rate")

@@ -192,3 +192,62 @@ def frontier_rank_priority(
     return frontier.join(adj, "url_canon", "left").withColumn(
         "priority", F.coalesce(F.col("_rank_priority"), F.col("priority"))
     ).drop("_rank_priority")
+
+
+def anchor_text_aggregate(
+    links: DataFrame,
+    dst_col: str = "dst",
+    text_col: str = "anchor",
+    src_col: str = "src",
+) -> DataFrame:
+    """Per-target anchor-text rollup — the classic off-page relevance
+    signal (anchor text describes the TARGET page better than the source;
+    focused crawlers and search indexes both rank on it). Counterpart of
+    the reference's per-link anchor capture (links.ts Link.text): here the
+    extracted links are aggregated per destination so the frontier can
+    prioritize URLs whose inbound anchors look relevant before fetching
+    them.
+
+    Input: one row per extracted link (src page, dst url, anchor text).
+    Output per dst: ``n_inlinks`` (all inlinks), ``n_sources`` (distinct
+    source pages), ``n_anchor_variants`` (distinct non-empty normalized
+    anchors), ``top_anchor`` + ``top_anchor_count`` (modal normalized
+    anchor, ties broken lexicographically; null when every anchor is
+    empty). Anchors normalize by trim+lower; empty/null anchors count as
+    inlinks but not as anchor variants.
+
+    Scale shape: two partial-agg shuffles keyed on dst (counts, then the
+    modal pick via a per-dst max over (count, anchor) structs — no window
+    over raw links). Output rows = distinct targets; joins back to the
+    frontier broadcast-side like frontier_rank_priority."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = links.select(
+        F.col(dst_col).alias("url"),
+        F.col(src_col).alias("_src"),
+        F.when(norm != "", norm).alias("_anchor"),
+    )
+    totals = base.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("_src").alias("n_sources"),
+        F.countDistinct("_anchor").alias("n_anchor_variants"),
+    )
+    per_anchor = (
+        base.filter(F.col("_anchor").isNotNull())
+        .groupBy("url", "_anchor")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # modal anchor without a window over raw links: min_by over
+    # struct(-c, anchor) — smallest -c = highest count, tie toward the
+    # lexicographically smallest anchor
+    top = per_anchor.groupBy("url").agg(
+        F.expr("min_by(_anchor, struct(-c, _anchor))").alias("top_anchor"),
+        F.max("c").alias("top_anchor_count"),
+    )
+    return totals.join(top, "url", "left").select(
+        "url",
+        "n_inlinks",
+        "n_sources",
+        "n_anchor_variants",
+        "top_anchor",
+        "top_anchor_count",
+    )

@@ -179,6 +179,38 @@ def _nearest_centroids_udf(ids: np.ndarray, unit: np.ndarray, n: int):
     return near
 
 
+def _assign_to_centroids(
+    embeddings: DataFrame, rows: list, id_col: str, vec_col: str,
+    cent_id_col: str, cent_vec_col: str,
+) -> DataFrame:
+    """(id, vec) → (id, vec, cent_id): nearest-centroid assignment, map-only
+    either way — SQL-literal codebook under IVF_INLINE_MAX_CENTROIDS (stays
+    in whole-stage codegen), numpy-closure pandas UDF above it. Identical
+    semantics on both paths: cosine, ties toward the smallest centroid id.
+    Shared by ivf_topk (inverted lists) and semdedup (cluster keys)."""
+    if len(rows) <= IVF_INLINE_MAX_CENTROIDS:
+        cents = _centroid_literal(rows, cent_id_col, cent_vec_col)
+        dot = f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        nv = f"sqrt(aggregate({vec_col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+        nc = "sqrt(aggregate(c.cv, 0D, (acc, v) -> acc + v * v))"
+        cos = f"IF({nv} > 0D AND {nc} > 0D, {dot} / ({nv} * {nc}), 0D)"
+        scored = f"transform({cents}, c -> named_struct('cos', {cos}, 'ncid', -c.cid))"
+        return embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-F.expr(f"array_max({scored})").getField("ncid"))
+            .cast("long")
+            .alias("cent_id"),
+        )
+    ids, unit = _centroid_matrix(rows, cent_id_col, cent_vec_col)
+    near1 = _nearest_centroids_udf(ids, unit, 1)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(near1(F.col(vec_col)), 1).alias("cent_id"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -222,6 +254,9 @@ def ivf_topk(
         )
         cent_id_col, cent_vec_col = "cent_id", "cent_vec"
     rows = _collect_centroids(centroids, cent_id_col, cent_vec_col)
+    assigned = _assign_to_centroids(
+        embeddings, rows, id_col, vec_col, cent_id_col, cent_vec_col
+    )
 
     if len(rows) <= IVF_INLINE_MAX_CENTROIDS:
         cents = _centroid_literal(rows, cent_id_col, cent_vec_col)
@@ -232,15 +267,6 @@ def ivf_topk(
             nv = f"sqrt(aggregate({vcol}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
             nc = "sqrt(aggregate(c.cv, 0D, (acc, v) -> acc + v * v))"
             return f"IF({nv} > 0D AND {nc} > 0D, {dot} / ({nv} * {nc}), 0D)"
-
-        scored_cents = f"transform({cents}, c -> named_struct('cos', {cos_to(vec_col)}, 'ncid', -c.cid))"
-        assigned = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            (-F.expr(f"array_max({scored_cents})").getField("ncid"))
-            .cast("long")
-            .alias("cent_id"),
-        )
 
         scored_p = f"transform({cents}, c -> named_struct('negcos', -({cos_to(probe_vec_col)}), 'cid', c.cid))"
         probed = probes.select(
@@ -254,12 +280,6 @@ def ivf_topk(
         )
     else:
         ids, unit = _centroid_matrix(rows, cent_id_col, cent_vec_col)
-        near1 = _nearest_centroids_udf(ids, unit, 1)
-        assigned = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.element_at(near1(F.col(vec_col)), 1).alias("cent_id"),
-        )
         nearp = _nearest_centroids_udf(ids, unit, int(n_probe))
         probed = probes.select(
             F.col(probe_id_col),
@@ -381,3 +401,98 @@ def exact_near_duplicates(
         F.expr("aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"),
     )
     return scored.filter(F.col("cosine") >= cosine_threshold).select("id_a", "id_b", "cosine")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with a k-means-style codebook, then inside each cluster
+    drop every vector that has a near-identical neighbor — the embedding
+    analog of MinHash dedup, catching paraphrases exact/shingle methods
+    miss.
+
+    Deterministic keep policy: a vector is DROPPED iff some smaller-id
+    vector in the same cluster has cosine ≥ ``threshold`` with it (greedy
+    keep-min-id — rerun-stable and oracle-expressible, unlike the paper's
+    keep-farthest-from-centroid which ties to the random k-means init).
+
+    ``centroids`` is any (id, vector) table — train k-means offline and
+    pass it in; the default picks the ``n_centroids`` smallest-id corpus
+    vectors (deterministic, oracle-checkable; fine for tests, NOT a real
+    codebook).
+
+    Output per input row: (id, cent_id, keep, dup_of, max_dup_cos) where
+    dup_of = the smallest same-cluster id above threshold (null ⇒ keep)
+    and max_dup_cos = the strongest such similarity.
+
+    Scale shape: centroid assignment is map-only (shared
+    ``_assign_to_centroids``: literal codebook in codegen, or a numpy
+    closure above the inline gate — the corpus NEVER joins the codebook).
+    The only shuffles are the self-join keyed on cent_id and the per-id
+    agg. The self-join is quadratic per cluster — that is SemDeDup's cost
+    model; size the codebook so clusters average ≲10⁴ vectors (k ≈ n/10⁴).
+    ``max_cluster_size`` bounds the worst case: clusters above it skip
+    pairing entirely and their members are KEPT with
+    ``cluster_overflow=true`` (deterministic, visible — never a silent
+    drop); at 100 TB always set it."""
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+        cent_id_col, cent_vec_col = "cent_id", "cent_vec"
+    rows = _collect_centroids(centroids, cent_id_col, cent_vec_col)
+    assigned = _assign_to_centroids(
+        embeddings.select(id_col, vec_col), rows, id_col, vec_col,
+        cent_id_col, cent_vec_col,
+    )
+
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("_csz"))
+        assigned = assigned.join(sizes, "cent_id").withColumn(
+            "cluster_overflow", F.col("_csz") > max_cluster_size
+        ).drop("_csz")
+        pairable = assigned.filter(~F.col("cluster_overflow"))
+    else:
+        assigned = assigned.withColumn("cluster_overflow", F.lit(False))
+        pairable = assigned
+
+    left = pairable.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lv"),
+    )
+    right = pairable.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rv"),
+    )
+    dup = (
+        left.join(right, "cent_id")
+        .filter(F.col("_lid") > F.col("_rid"))
+        .withColumn("_cos", _cosine_expr("_lv", "_rv"))
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("_lid")
+        .agg(F.min("_rid").alias("dup_of"), F.max("_cos").alias("max_dup_cos"))
+    )
+    return (
+        assigned.join(dup, assigned[id_col] == dup["_lid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cent_id"),
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of"),
+            F.col("max_dup_cos"),
+            F.col("cluster_overflow"),
+        )
+    )

@@ -137,3 +137,34 @@ def test_components_cluster_minhash_pairs(spark):
         r.n for r in comp.groupBy("component").agg(F.count("*").alias("n")).collect()
     )
     assert sizes == [2, 3]
+
+
+# --- anchor-text aggregation -------------------------------------------------
+
+
+def test_anchor_text_aggregate_counts_and_mode(spark):
+    from spider_spark.operators.graph import anchor_text_aggregate
+
+    rows = [
+        # dst "a": 3 inlinks from 2 sources; anchors: "home" x2, "start" x1
+        ("s1", "a", "Home"),
+        ("s1", "a", " home "),
+        ("s2", "a", "start"),
+        # dst "b": anchors tie 1-1 -> lexicographically smallest wins
+        ("s1", "b", "zeta"),
+        ("s2", "b", "alpha"),
+        # dst "c": only empty/null anchors -> counted as inlinks, no mode
+        ("s1", "c", ""),
+        ("s2", "c", None),
+    ]
+    links = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {
+        r["url"]: r.asDict()
+        for r in anchor_text_aggregate(links).collect()
+    }
+    assert got["a"]["n_inlinks"] == 3 and got["a"]["n_sources"] == 2
+    assert got["a"]["n_anchor_variants"] == 2
+    assert got["a"]["top_anchor"] == "home" and got["a"]["top_anchor_count"] == 2
+    assert got["b"]["top_anchor"] == "alpha" and got["b"]["top_anchor_count"] == 1
+    assert got["c"]["n_inlinks"] == 2 and got["c"]["n_anchor_variants"] == 0
+    assert got["c"]["top_anchor"] is None and got["c"]["top_anchor_count"] is None
