@@ -1279,6 +1279,69 @@ def q_host_reputation(spark, sf_dir):
     return curation.host_reputation(d, "host", "keep", "score").orderBy("host")
 
 
+def q_meta_robots(spark, sf_dir):
+    """In-page robots directives (metarobots.py): <meta name=robots>
+    noindex/nofollow/none parsing across quoting styles + attribute order,
+    link-level rel=nofollow/ugc/sponsored detection, rel=canonical href
+    extraction, and meta-refresh (client-side redirect) parsing — all pure
+    Catalyst. HTML variants are generated per doc_id; the oracle
+    reconstructs the expected verdicts analytically."""
+    from spider_spark.metarobots import (
+        col_canonical_href,
+        col_meta_refresh,
+        col_meta_robots,
+        col_rel_nofollow,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = (F.col("doc_id") % 6).cast("int")
+    html = (
+        F.when(v == 0, F.lit("<html><p>plain</p></html>"))
+        .when(v == 1, F.lit('<html><meta name="robots" content="noindex"><p>a</p>'))
+        .when(v == 2, F.lit("<html><meta name='robots' content='nofollow'><p>b</p>"))
+        .when(
+            v == 3,
+            F.lit('<html><meta name=robots content="noindex, nofollow"><p>c</p>'),
+        )
+        .when(v == 4, F.lit('<html><META NAME="ROBOTS" CONTENT="none"><p>d</p>'))
+        .otherwise(F.lit('<html><meta content=nofollow name="robots"><p>e</p>'))
+    )
+    rel = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("nofollow"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("external ugc"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("external"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    c = (F.col("doc_id") % 5).cast("int")
+    canon_html = (
+        F.when(c == 1, F.lit('<link rel="canonical" href="https://c.test/a">'))
+        .when(c == 2, F.lit("<link href='/b' rel='canonical alternate'>"))
+        .when(c == 3, F.lit("<link rel=canonical href=/c>"))
+        .when(c == 4, F.lit('<link rel="stylesheet" href="/nope.css">'))
+        .otherwise(F.lit("<p>no link</p>"))
+    )
+    r = (F.col("doc_id") % 3).cast("int")
+    refresh_html = (
+        F.when(r == 1, F.lit('<meta http-equiv="refresh" content="0; url=/next">'))
+        .when(
+            r == 2,
+            F.lit("<meta http-equiv=REFRESH content='5;URL=\"https://r.test/x\"'>"),
+        )
+        .otherwise(F.lit("<p>no refresh</p>"))
+    )
+    m = col_meta_robots(html)
+    rf = col_meta_refresh(refresh_html)
+    return docs.select(
+        "doc_id",
+        m.getField("noindex").alias("noindex"),
+        m.getField("nofollow").alias("nofollow"),
+        col_rel_nofollow(rel).alias("link_nofollow"),
+        col_canonical_href(canon_html).alias("canonical_href"),
+        rf.getField("delay").alias("refresh_delay"),
+        rf.getField("url").alias("refresh_url"),
+    ).orderBy("doc_id")
+
+
 _MIXTURE_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
 
 
@@ -1674,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_clusters": q_semdedup,
         "token_mixture_plan": q_token_mixture,
         "mixture_materialize": q_mixture_materialize,
+        "meta_robots_directives": q_meta_robots,
         "priority_aging_selection": q_priority_aging,
         "adaptive_host_budgets": q_adaptive_budgets,
         "quality_classifier_score": q_quality_classifier,
@@ -2575,6 +2639,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
                          * AVG(score), 6) AS reputation
             FROM v GROUP BY host
+        """,
+        "meta_robots_directives": """
+            SELECT doc_id,
+                   CAST(doc_id % 6 AS INT) IN (1, 3, 4) AS noindex,
+                   CAST(doc_id % 6 AS INT) IN (2, 3, 4, 5) AS nofollow,
+                   CAST(doc_id % 4 AS INT) IN (1, 2) AS link_nofollow,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 1 THEN 'https://c.test/a'
+                     WHEN 2 THEN '/b'
+                     WHEN 3 THEN '/c'
+                     ELSE NULL END AS canonical_href,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 1 THEN 0 WHEN 2 THEN 5 ELSE NULL END AS refresh_delay,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 1 THEN '/next'
+                     WHEN 2 THEN 'https://r.test/x'
+                     ELSE NULL END AS refresh_url
+            FROM documents
         """,
         "token_mixture_plan": """
             WITH d AS (

@@ -148,6 +148,13 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_classifier_score",
         "dsir_importance_weights",
         "adaptive_host_budgets",
+        "charset_decode",
+        "host_reputation",
+        "anchor_text_rollup",
+        "semdedup_clusters",
+        "token_mixture_plan",
+        "mixture_materialize",
+        "meta_robots_directives",
     ]
     out = {}
     for name in names:

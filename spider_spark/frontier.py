@@ -136,6 +136,14 @@ class CrawlConfig:
     compact_seen_every: int | None = 8
     store_text: bool = True
     respect_robots: bool = True
+    # honor in-page robots directives (metarobots.py): page-level
+    # <meta name=robots ... nofollow> empties that page's outlink array at
+    # the parse projection (the snapshot's links column IS the directive's
+    # effect — no ledger schema change, resume replay-exact), and
+    # link-level rel=nofollow/ugc/sponsored links are dropped inside the
+    # link explode before keep-first. Off by default: the reference
+    # captures rel (types.ts:46) but follows everything.
+    honor_meta_robots: bool = False
     # adaptive per-host politeness (operators/adaptive.py): AIMD budget
     # state carried tick-to-tick in the checkpoint (host_state dirs) and
     # applied as a tightening-only override inside politeness_tag. The
@@ -508,11 +516,15 @@ def extract_new_links(
             F.posexplode_outer(F.col("links")).alias("pos", "link"),
         )
         .filter(F.col("link.href_canon").isNotNull())
-        .select(
-            "parent_seq",
-            "pos",
-            F.col("link.href_canon").alias("url_canon"),
-        )
+    )
+    if cfg.honor_meta_robots:
+        from .metarobots import col_rel_nofollow
+
+        links = links.filter(~col_rel_nofollow(F.col("link.rel")))
+    links = links.select(
+        "parent_seq",
+        "pos",
+        F.col("link.href_canon").alias("url_canon"),
     )
     cand = links.withColumn(
         "seq",
@@ -614,6 +626,18 @@ def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFr
     """Tick ledger row per fetch, including the extracted link structs —
     the results snapshot doubles as the link-graph edge source, and the
     next-frontier stage re-reads ONLY the (status, seq, links) columns."""
+    links_col = F.col("parsed.links")
+    if cfg.honor_meta_robots:
+        from .metarobots import col_meta_robots
+
+        # page-level nofollow: the written snapshot's links column carries
+        # the directive's effect (empty array), so replay/resume re-derive
+        # the identical frontier without re-reading html
+        links_col = F.when(
+            col_meta_robots(F.col("html")).getField("nofollow")
+            & F.col("parsed.links").isNotNull(),
+            F.array().cast(ArrayType(udfs.LINK_STRUCT)),
+        ).otherwise(F.col("parsed.links"))
     cols = [
         F.lit(tick).alias("tick"),
         "url_canon",
@@ -632,8 +656,8 @@ def results_projection(parsed: DataFrame, cfg: CrawlConfig, tick: int) -> DataFr
         F.col("parsed.description").alias("description"),
         F.col("parsed.detected").alias("detected"),
         F.col("parsed.is_pdf").alias("is_pdf"),
-        F.size(F.coalesce(F.col("parsed.links"), F.array())).alias("link_count"),
-        F.col("parsed.links").alias("links"),
+        F.size(F.coalesce(links_col, F.array())).alias("link_count"),
+        links_col.alias("links"),
         F.col("page_lang").alias("lang"),
         F.spark_partition_id().alias("partition_id"),  # per-partition lineage
     ]

@@ -1,0 +1,149 @@
+"""Robots META directives + rel=nofollow link hygiene.
+
+The reference captures each link's ``rel`` attribute verbatim
+(src/shared/types.ts:46, links.ts Link.rel) but never acts on it; a
+crawl-tier engine must, or it re-enqueues everything publishers asked it
+not to follow. This module implements the two standard in-page robots
+surfaces (Google/Bing documented semantics, robots-meta-tag spec):
+
+- ``<meta name="robots" content="noindex, nofollow">`` — page-level:
+  ``noindex`` excludes the page's TEXT from corpus export, ``nofollow``
+  drops ALL its outlinks from the frontier. ``none`` ≡ both; ``all`` ≡
+  neither; multiple robots metas union (most restrictive wins).
+- ``rel="nofollow"`` (also ``ugc``/``sponsored``, which imply nofollow
+  for crawling purposes) — link-level: that one link is not enqueued.
+
+Everything here is pure Catalyst (higher-order functions over
+regexp_extract_all) — no UDF, no shuffle; the page-level flags are one
+codegen projection over the html the parse stage already holds, and the
+link-level check is a filter inside the existing link explode. Patterns
+are restricted to the Java↔RE2-identical syntax subset so the DuckDB
+oracle evaluates the SAME regexes (the PII-masking discipline,
+operators/curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one <meta ...> tag (case-insensitive); [^>]* keeps it linear-time
+_META_TAG_RE = "(?i)<meta\\b[^>]*>"
+# name attribute names the robots processor this tag addresses
+_NAME_ROBOTS_RE = "(?i)\\bname\\s*=\\s*[\"']?robots\\b"
+# content attribute, three quoting styles (group 1 = the value)
+_CONTENT_DQ_RE = "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\""
+_CONTENT_SQ_RE = "(?i)\\bcontent\\s*=\\s*'([^']*)'"
+_CONTENT_UQ_RE = "(?i)\\bcontent\\s*=\\s*([^\\s\"'>]+)"
+
+
+def _meta_content_tokens(html: Column) -> Column:
+    """All directive tokens across every ``<meta name=robots>`` tag:
+    content values split on commas, trimmed, lowercased."""
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), F.lit(0))
+    robots = F.filter(metas, lambda m: m.rlike(_NAME_ROBOTS_RE))
+    content = lambda m: F.lower(  # noqa: E731 - local expression builder
+        F.coalesce(
+            F.nullif(F.regexp_extract(m, _CONTENT_DQ_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(m, _CONTENT_SQ_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(m, _CONTENT_UQ_RE, 1), F.lit("")),
+            F.lit(""),
+        )
+    )
+    tokens = F.flatten(
+        F.transform(robots, lambda m: F.split(content(m), ","))
+    )
+    return F.transform(tokens, lambda t: F.trim(t))
+
+
+def col_meta_robots(html: Column | str) -> Column:
+    """html → struct(noindex boolean, nofollow boolean). Null html ⇒
+    (false, false) — absent content carries no directives."""
+    h = F.col(html) if isinstance(html, str) else html
+    toks = _meta_content_tokens(F.coalesce(h, F.lit("")))
+    noindex = F.exists(toks, lambda t: (t == "noindex") | (t == "none"))
+    nofollow = F.exists(toks, lambda t: (t == "nofollow") | (t == "none"))
+    return F.struct(noindex.alias("noindex"), nofollow.alias("nofollow"))
+
+
+def col_rel_nofollow(rel: Column | str) -> Column:
+    """rel attribute (space-separated token list, HTML spec) → true when
+    the link must not be followed: nofollow, or the ugc/sponsored
+    refinements that imply it for crawling. Null/absent rel ⇒ false."""
+    r = F.col(rel) if isinstance(rel, str) else rel
+    toks = F.split(F.lower(F.trim(F.coalesce(r, F.lit("")))), "\\s+")
+    return F.exists(
+        toks, lambda t: (t == "nofollow") | (t == "ugc") | (t == "sponsored")
+    )
+
+
+def screen_noindex(
+    pages: DataFrame, html_col: str = "html", flag_only: bool = False
+) -> DataFrame:
+    """Corpus-export hygiene: drop (or, with ``flag_only``, mark) pages
+    whose robots meta says ``noindex``. Map-only projection/filter — run
+    it in the export job, where the html column is being read anyway."""
+    flag = col_meta_robots(F.col(html_col)).getField("noindex")
+    if flag_only:
+        return pages.withColumn("noindex", flag)
+    return pages.filter(~flag)
+
+
+# one <link ...> tag; rel attribute may list multiple space-separated
+# tokens ("canonical alternate"), so match the token not the literal value
+_LINK_TAG_RE = "(?i)<link\\b[^>]*>"
+_REL_CANONICAL_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bcanonical\\b"
+_HREF_DQ_RE = "(?i)\\bhref\\s*=\\s*\"([^\"]*)\""
+_HREF_SQ_RE = "(?i)\\bhref\\s*=\\s*'([^']*)'"
+_HREF_UQ_RE = "(?i)\\bhref\\s*=\\s*([^\\s\"'>]+)"
+
+_EQUIV_REFRESH_RE = "(?i)\\bhttp-equiv\\s*=\\s*[\"']?refresh\\b"
+# content="5; url=/next" — delay integer, then an optional url= part whose
+# value may be quoted; the quotes are NOT part of the URL
+_REFRESH_DELAY_RE = "^\\s*([0-9]+)"
+_REFRESH_URL_RE = "(?i)url\\s*=\\s*[\"']?([^\"'\\s>]+)"
+
+
+def _first_attr(tag: Column, dq: str, sq: str, uq: str) -> Column:
+    return F.coalesce(
+        F.nullif(F.regexp_extract(tag, dq, 1), F.lit("")),
+        F.nullif(F.regexp_extract(tag, sq, 1), F.lit("")),
+        F.nullif(F.regexp_extract(tag, uq, 1), F.lit("")),
+    )
+
+
+def col_canonical_href(html: Column | str) -> Column:
+    """html → the FIRST ``<link rel=canonical>`` href in document order
+    (the dedup/cluster signal search engines honor), or null. The href is
+    returned raw — resolve it against the page's final URL with the same
+    WHATWG resolver links go through (urlops.resolve_href) when an
+    absolute form is needed."""
+    h = F.col(html) if isinstance(html, str) else html
+    tags = F.regexp_extract_all(F.coalesce(h, F.lit("")), F.lit(_LINK_TAG_RE), F.lit(0))
+    canon = F.filter(tags, lambda t: t.rlike(_REL_CANONICAL_RE))
+    hrefs = F.transform(
+        canon, lambda t: _first_attr(t, _HREF_DQ_RE, _HREF_SQ_RE, _HREF_UQ_RE)
+    )
+    nonnull = F.filter(hrefs, lambda x: x.isNotNull())
+    return F.get(nonnull, 0)
+
+
+def col_meta_refresh(html: Column | str) -> Column:
+    """html → struct(delay int, url string) from the FIRST
+    ``<meta http-equiv=refresh>`` tag, or (null, null). A zero/low-delay
+    refresh with a url is a client-side redirect — crawl engines treat it
+    like a 3xx hop (the reference's redirect chase handles only HTTP
+    redirects; this surfaces the in-page kind so the frontier can follow
+    or cap them)."""
+    h = F.col(html) if isinstance(html, str) else html
+    metas = F.regexp_extract_all(
+        F.coalesce(h, F.lit("")), F.lit(_META_TAG_RE), F.lit(0)
+    )
+    refresh = F.filter(metas, lambda m: m.rlike(_EQUIV_REFRESH_RE))
+    first = F.get(refresh, 0)
+    content = _first_attr(first, _CONTENT_DQ_RE, _CONTENT_SQ_RE, _CONTENT_UQ_RE)
+    delay = F.nullif(F.regexp_extract(content, _REFRESH_DELAY_RE, 1), F.lit("")).cast(
+        "int"
+    )
+    url = F.nullif(F.regexp_extract(content, _REFRESH_URL_RE, 1), F.lit(""))
+    return F.struct(delay.alias("delay"), url.alias("url"))
