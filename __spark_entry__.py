@@ -744,6 +744,52 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+def q_gif_decode(spark, sf_dir):
+    """REAL GIF decode (from-scratch LZW + palette + interlace over the
+    public GIF89a spec, `operators/imagecodecs.py`): dimensions, the
+    red-gradient mean, and the constant blue plane come from actually
+    LZW-decompressing and palette-expanding the pixel bytes — odd ids are
+    interlaced, so the oracle only matches if the row reordering is right.
+    The oracle reconstructs everything analytically from the deterministic
+    pattern."""
+    media = multimodal.generate_gif_images(spark, 64)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("embedding", 1).cast("double"), 3).alias("red_mean"),
+        F.round(F.element_at("embedding", 3).cast("double"), 4).alias("blue_mean"),
+    )
+
+
+def q_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode (ITU T.81 Huffman + dequant + IDCT,
+    `operators/imagecodecs.py`): the corpus is flat-color rasters encoded
+    at quality 100, where the decode is bit-EXACT (zero AC energy,
+    all-ones quant tables) — so the channel means are exact integers the
+    oracle reproduces analytically. Lossy settings are pytest-covered
+    (test_imagecodecs.py / test_multimodal_codecs.py)."""
+    media = multimodal.generate_jpeg_images(spark, 64)
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("embedding", 1).cast("double") * 255, 0).cast("int").alias("mean_r"),
+        F.round(F.element_at("embedding", 2).cast("double") * 255, 0).cast("int").alias("mean_g"),
+        F.round(F.element_at("embedding", 3).cast("double") * 255, 0).cast("int").alias("mean_b"),
+    )
+
+
+def q_gif_video_frames(spark, sf_dir):
+    """REAL video frame sampling: animated GIFs (3 + id%4 flat-color
+    frames) decoded frame-by-frame with per-frame composition, sampled at
+    evenly spaced indices floor(fi·n/3), sampled frames re-encoded as P6
+    and re-decoded by frame_stats — two real codec passes per row. Flat
+    frames make every channel mean exact, so the whole chain is
+    oracle-checkable."""
+    media = multimodal.generate_gif_videos(spark, 32)
+    frames = multimodal.sample_video_frames(media, frames_per_video=3)
+    return multimodal.frame_stats(frames)
+
+
 def q_wav_features(spark, sf_dir):
     """REAL audio decode (stdlib wave + numpy FFT): duration and dominant
     frequency from actually decoding the PCM payload; oracle reconstructs
@@ -1706,6 +1752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_scrape_metrics": q_tree_scrape_metrics,
         "multimodal_ppm_decode": q_ppm_decode,
         "multimodal_png_decode": q_png_decode,
+        "multimodal_gif_decode": q_gif_decode,
+        "multimodal_jpeg_decode": q_jpeg_decode,
+        "video_frame_sample_gif": q_gif_video_frames,
         "audio_wav_features": q_wav_features,
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
@@ -1960,6 +2009,42 @@ def oracle_sql() -> dict[str, str]:
                       / CAST(16 + i % 17 AS DOUBLE)) / 255.0, 3) AS red_mean,
                    ROUND((i % 256) / 255.0, 4) AS blue_mean
             FROM generate_series(0, 79) t(i)
+        """,
+        "multimodal_gif_decode": """
+            SELECT i AS media_id,
+                   CAST(16 + i % 17 AS INT) AS width,
+                   CAST(12 + (i * 3) % 13 AS INT) AS height,
+                   ROUND((list_sum(list_transform(
+                        generate_series(0, CAST(16 + i % 17 AS INT) - 1),
+                        x -> x * 255 // (16 + i % 17 - 1)))
+                      / CAST(16 + i % 17 AS DOUBLE)) / 255.0, 3) AS red_mean,
+                   ROUND((i % 256) / 255.0, 4) AS blue_mean
+            FROM generate_series(0, 63) t(i)
+        """,
+        "multimodal_jpeg_decode": """
+            SELECT i AS media_id,
+                   CAST(16 + i % 17 AS INT) AS width,
+                   CAST(12 + (i * 3) % 13 AS INT) AS height,
+                   CAST((i * 37) % 256 AS INT) AS mean_r,
+                   CAST((i * 59) % 256 AS INT) AS mean_g,
+                   CAST((i * 83) % 256 AS INT) AS mean_b
+            FROM generate_series(0, 63) t(i)
+        """,
+        "video_frame_sample_gif": """
+            WITH sampled AS (
+                SELECT i, fi,
+                       LEAST(fi * (3 + i % 4) // 3, (3 + i % 4) - 1) AS f
+                FROM generate_series(0, 31) t(i)
+                CROSS JOIN generate_series(0, 2) s(fi)
+            )
+            SELECT i AS media_id,
+                   CAST(fi AS INT) AS frame_idx,
+                   CAST(24 + i % 9 AS INT) AS width,
+                   CAST(18 + (i * 5) % 7 AS INT) AS height,
+                   CAST((i * 37 + f * 49) % 256 AS INT) AS mean_r,
+                   CAST((f * 61) % 256 AS INT) AS mean_g,
+                   CAST((i + f * 13) % 256 AS INT) AS mean_b
+            FROM sampled
         """,
         "audio_wav_features": """
             SELECT i AS media_id,

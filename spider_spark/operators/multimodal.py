@@ -16,10 +16,19 @@ Codec status in this container (no Pillow/ffmpeg/torchaudio):
   depth 8, palette expansion. The encoder writes truecolor PNG with a
   selectable per-row filter type so every filter path is roundtrip-
   tested.
+- **GIF87a/89a images + animations: REAL decode/encode** (from-scratch
+  LZW both directions, interlace, transparency, multi-frame composition —
+  see `imagecodecs.py`). Animated GIF is the REAL path for
+  :func:`sample_video_frames`: actual moving-image payloads decoded
+  frame-by-frame, sampled frames re-encoded as P6.
+- **JPEG baseline (ITU T.81): REAL decode** (Huffman + dequant + IDCT +
+  chroma upsampling for 4:4:4/4:2:2/4:2:0, restart markers, grayscale)
+  plus a minimal encoder the tests use as a differential — also in
+  `imagecodecs.py`.
 - **WAV/PCM audio: REAL decode + features** via the stdlib ``wave``
   module (duration, RMS, zero-crossing rate, dominant frequency by FFT),
-- JPEG/MP4: STUBBED — ``deterministic=True`` produces a seeded fake
-  (stable bytes → stable features, good enough to test
+- MP4/other video containers: STUBBED — ``deterministic=True`` produces
+  a seeded fake (stable bytes → stable features, good enough to test
   schema/partitioning/batching end-to-end); ``deterministic=False``
   raises NotImplementedError where the codec call belongs.
 
@@ -40,6 +49,15 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .imagecodecs import (
+    GIF_SIGS,
+    JPEG_SIG,
+    decode_gif,
+    decode_jpeg,
+    encode_gif,
+    encode_jpeg,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -338,6 +356,32 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+def _real_image_sig(payload: bytes) -> bool:
+    """True when the payload is a format this sandbox can REALLY decode:
+    netpbm P6, PNG, GIF, baseline JPEG."""
+    return (
+        payload.startswith(b"P6")
+        or payload.startswith(PNG_SIG)
+        or payload[:6] in GIF_SIGS
+        or payload.startswith(JPEG_SIG)
+    )
+
+
+def _decode_any_image(payload: bytes) -> np.ndarray:
+    """Signature-dispatched REAL decode → (h, w, 3) uint8. GIF decodes the
+    first frame (the still-image semantic). Raises ValueError on formats
+    without a shipped codec."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(PNG_SIG):
+        return decode_png(payload)
+    if payload[:6] in GIF_SIGS:
+        return decode_gif(payload, max_frames=1)[0]
+    if payload.startswith(JPEG_SIG):
+        return decode_jpeg(payload)
+    raise ValueError("no shipped codec for this image format")
+
+
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     """Deterministic payload → feature vector (sha256-seeded); stands in for
     the real decoder so the distributed plumbing is testable."""
@@ -437,6 +481,113 @@ def generate_png_images(spark, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def generate_gif_images(spark, n: int) -> DataFrame:
+    """Deterministic REAL GIF images: the same id-dependent red gradient
+    and constant blue plane as :func:`generate_ppm_images` (so the same
+    analytic red/blue oracle applies) but with green constant too — the
+    pattern then has exactly w ≤ 32 distinct colors, always within one GIF
+    color table. Palettized per image; interlaced for odd ids so the
+    corpus exercises both row orders."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 16 + i % 17, 12 + (i * 3) % 13
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [(xx * 255 // max(w - 1, 1)), np.full((h, w), (i * 3) % 256),
+                     np.full((h, w), i % 256)], axis=2
+                ).astype(np.uint8)
+                pal, inv = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "url": f"https://cdn.crawl.test/gif/{i}",
+                        "kind": "image",
+                        "content_type": "image/gif",
+                        "payload": encode_gif(
+                            inv.reshape(h, w).astype(np.uint8), pal, interlace=bool(i % 2)
+                        ),
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_jpeg_images(spark, n: int) -> DataFrame:
+    """Deterministic REAL JPEG images: flat-color rasters (color a fixed
+    function of id) encoded baseline at quality 100. A flat block has zero
+    AC energy and the q=100 table is all ones, so the decode is EXACT —
+    which is what lets the JPEG decode path be oracle-checked; lossy
+    settings (q<100, 4:2:0, restarts) are covered by the pytest
+    differential instead."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 16 + i % 17, 12 + (i * 3) % 13
+                color = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+                arr = np.tile(np.array(color, dtype=np.uint8), (h, w, 1))
+                rows.append(
+                    {
+                        "media_id": i,
+                        "url": f"https://cdn.crawl.test/jpg/{i}",
+                        "kind": "image",
+                        "content_type": "image/jpeg",
+                        "payload": encode_jpeg(arr, quality=100),
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_gif_videos(spark, n: int) -> DataFrame:
+    """Deterministic REAL videos: animated GIFs of 3 + id%4 flat-color
+    frames (frame f's color is a fixed function of (id, f)), so the whole
+    decode→sample→stats chain is analytically checkable."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 24 + i % 9, 18 + (i * 5) % 7
+                nf = 3 + i % 4
+                pal = np.array(
+                    [[(i * 37 + f * 49) % 256, (f * 61) % 256, (i + f * 13) % 256]
+                     for f in range(nf)],
+                    dtype=np.uint8,
+                )
+                frames = [np.full((h, w), f, dtype=np.uint8) for f in range(nf)]
+                rows.append(
+                    {
+                        "media_id": i,
+                        "url": f"https://cdn.crawl.test/gifv/{i}",
+                        "kind": "video",
+                        "content_type": "image/gif",
+                        "payload": encode_gif(frames, pal, delay_cs=4),
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": nf * 40,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def generate_wav_audio(spark, n: int, rate: int = 16000, seconds: float = 0.25) -> DataFrame:
     """Deterministic REAL audio: WAV/PCM sine payloads (id-dependent
     frequency) — decodable with the stdlib wave module."""
@@ -480,9 +631,9 @@ def extract_image_features(
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                if payload.startswith(b"P6") or payload.startswith(PNG_SIG):
+                if _real_image_sig(payload):
                     try:
-                        arr = decode_ppm(payload) if payload.startswith(b"P6") else decode_png(payload)
+                        arr = _decode_any_image(payload)
                     except (ValueError, zlib.error):
                         # corrupt/truncated image: null features, never a
                         # task failure (decode errors don't scale row-wise)
@@ -576,17 +727,36 @@ def sample_video_frames(
     media: DataFrame, frames_per_video: int = 4, deterministic: bool = True
 ) -> DataFrame:
     """video binary → N sampled frame rows (row explosion inside the UDF —
-    batch shape changes, which is why this is mapInPandas, not a UDF col)."""
+    batch shape changes, which is why this is mapInPandas, not a UDF col).
+
+    Animated GIF payloads take the REAL path: the full frame sequence is
+    decoded (LZW + per-frame composition), ``frames_per_video`` frames are
+    sampled at evenly spaced indices ``floor(fi * n / frames_per_video)``,
+    and each sampled frame ships as real P6 pixel bytes. Other containers
+    (MP4) use the deterministic stub or raise where the codec belongs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg/decord — plug the codec call here"
-                )
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
+                if payload[:6] in GIF_SIGS:
+                    frames = decode_gif(payload)
+                    n = len(frames)
+                    for fi in range(frames_per_video):
+                        src = frames[min(fi * n // frames_per_video, n - 1)]
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": fi,
+                                "frame": encode_ppm(src),
+                            }
+                        )
+                    continue
+                if not deterministic:
+                    raise NotImplementedError(
+                        "real frame sampling for this container requires ffmpeg/decord — plug the codec call here"
+                    )
                 for fi in range(frames_per_video):
                     rows.append(
                         {
@@ -598,6 +768,47 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", IntegerType()),
+        StructField("mean_g", IntegerType()),
+        StructField("mean_b", IntegerType()),
+    ]
+)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Sampled-frame table (P6 binary frames) → per-frame dimensions and
+    rounded channel means. Pure decode verification stage: on the flat-color
+    synthetic videos the means are EXACT channel values, which is what makes
+    the GIF video path oracle-checkable end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_ppm(bytes(r["frame"]))
+                m = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "frame_idx": int(r["frame_idx"]),
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "mean_r": int(round(m[0])),
+                        "mean_g": int(round(m[1])),
+                        "mean_b": int(round(m[2])),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields])
+
+    return frames.mapInPandas(run, FRAME_STATS_SCHEMA)
 
 
 def resize_images(media: DataFrame, max_px: int = 256, deterministic: bool = True) -> DataFrame:
@@ -617,16 +828,32 @@ def resize_images(media: DataFrame, max_px: int = 256, deterministic: bool = Tru
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                is_ppm = payload.startswith(b"P6")
-                if is_ppm or payload.startswith(PNG_SIG):
+                if _real_image_sig(payload):
                     # REAL resize: decode → nearest-neighbor → re-encode in
-                    # the same container format
-                    arr = decode_ppm(payload) if is_ppm else decode_png(payload)
+                    # the same container format (GIF stays GIF when the
+                    # resized raster still fits one color table; JPEG
+                    # re-encodes baseline 4:4:4 at quality 90)
+                    arr = _decode_any_image(payload)
                     h, w = arr.shape[0], arr.shape[1]
                     scale = min(1.0, max_px / max(w, h, 1))
                     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
                     out = resize_nearest(arr, nw, nh)
-                    enc = encode_ppm(out) if is_ppm else encode_png(out)
+                    if payload.startswith(b"P6"):
+                        enc = encode_ppm(out)
+                    elif payload.startswith(PNG_SIG):
+                        enc = encode_png(out)
+                    elif payload.startswith(JPEG_SIG):
+                        enc = encode_jpeg(out, quality=90)
+                    else:  # GIF
+                        pal, inv = np.unique(
+                            out.reshape(-1, 3), axis=0, return_inverse=True
+                        )
+                        if pal.shape[0] <= 256:
+                            enc = encode_gif(
+                                inv.reshape(nh, nw).astype(np.uint8), pal
+                            )
+                        else:  # nearest-neighbor can't add colors, but be safe
+                            enc = encode_png(out)
                     rows.append(
                         {"media_id": r["media_id"], "payload": enc, "width": nw, "height": nh}
                     )
