@@ -679,6 +679,37 @@ def q_dup_ngram_coverage(spark, sf_dir):
     return dedup.dup_ngram_coverage(docs, n=5).orderBy("id")
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Duplicate-span REMOVAL (the rewrite companion to dup_ngram_coverage,
+    Lee et al. 2022 keep-first discipline): word 5-grams shared by ≥2 docs
+    are removed everywhere except the owning (smallest-id) document, and
+    the cleaned text is reassembled in original token order. Result ships
+    the md5 of the cleaned text so the value compare stays narrow."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup.remove_duplicate_spans(docs, n=5, min_docs=2)
+    return out.select(
+        "id", "n_tokens", "removed_tokens", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("id")
+
+
+def q_bff_paragraph_dedupe(spark, sf_dir):
+    """Dolma-BFF-style corpus-wide keep-first paragraph dedup with the
+    bloom accelerator ON (the 100 TB path: unique paragraphs skip the
+    owner join entirely via a broadcast bloom over duplicated-paragraph
+    fingerprints; bloom false positives only cost extra exact-join rows,
+    never a wrong drop — so the DuckDB keep-first oracle must match
+    bit-for-bit). Docs are reflowed into 3-word lines (same regex reflow
+    as line_dedup_c4) so the single-line corpus has real paragraphs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){2}\S+) ", "$1\n").alias("text"),
+    )
+    out = dedup.bff_paragraph_dedup(docs, use_bloom=True)
+    return out.select(
+        "id", "n_paras", "n_removed", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("id")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """LSH self-join + exact-cosine verify for embedding near-duplicates.
 
@@ -1760,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_document_links": q_find_document_links,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "dup_ngram_coverage": q_dup_ngram_coverage,
+        "remove_dup_spans": q_remove_dup_spans,
+        "bff_paragraph_dedupe": q_bff_paragraph_dedupe,
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "winnowing_deterministic": q_winnowing_md5,
@@ -2145,6 +2178,72 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(toks)
                               ELSE 0 END, 4) AS dup_coverage
             FROM tt LEFT JOIN ds USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "remove_dup_spans": """
+            WITH tt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+4], ' ') AS gram
+              FROM tt, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
+            flagged AS (
+              SELECT gram, min(doc_id) AS owner
+              FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+            removable AS (
+              SELECT g.doc_id, g.pos FROM g JOIN flagged f USING (gram)
+              WHERE g.doc_id <> f.owner),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + o AS p
+              FROM removable, UNNEST(generate_series(0, 4)) AS v(o)),
+            tok AS (
+              SELECT doc_id, i - 1 AS p, toks[i] AS tok
+              FROM tt, UNNEST(generate_series(1, len(toks))) AS w(i)),
+            kept AS (
+              SELECT t.doc_id, t.p, t.tok
+              FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.doc_id IS NULL),
+            assembled AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS kept_tokens,
+                     string_agg(tok, ' ' ORDER BY p) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT tt.doc_id AS id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(toks) - COALESCE(a.kept_tokens, 0) AS INT) AS removed_tokens,
+                   md5(COALESCE(a.clean_text, '')) AS clean_md5
+            FROM tt LEFT JOIN assembled a USING (doc_id)
+        """,
+        "bff_paragraph_dedupe": """
+            WITH reflow AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS para,
+                     unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+              FROM reflow),
+            nz AS (
+              SELECT doc_id, pos, para,
+                     lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS norm
+              FROM lines
+              WHERE lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) <> ''),
+            ranked AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+              FROM nz),
+            kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+            assembled AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+            totals AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras FROM nz GROUP BY doc_id)
+            SELECT t.doc_id AS id, t.n_paras,
+                   CAST(t.n_paras - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+                   md5(COALESCE(a.clean_text, '')) AS clean_md5
+            FROM totals t LEFT JOIN assembled a USING (doc_id)
         """,
         "winnowing_deterministic": """
             WITH h AS (

@@ -155,6 +155,11 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "token_mixture_plan",
         "mixture_materialize",
         "meta_robots_directives",
+        "remove_dup_spans",
+        "bff_paragraph_dedupe",
+        "multimodal_gif_decode",
+        "multimodal_jpeg_decode",
+        "video_frame_sample_gif",
     ]
     out = {}
     for name in names:

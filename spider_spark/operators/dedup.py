@@ -461,3 +461,180 @@ def choose_lsh_params(
             b = larger[0]
         r = num_perm // b
     return b, r
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL (the rewrite companion to
+    :func:`dup_ngram_coverage`): any word n-gram appearing in ≥
+    ``min_docs`` distinct documents is removed from every document EXCEPT
+    the owning one (smallest id — keep-first, so exactly one copy of each
+    duplicated span survives the corpus, the discipline of Lee et al.
+    2022's suffix-array dedup restated over fixed-length spans).
+
+    Output: one row per input document —
+    (id, n_tokens, removed_tokens, clean_text) where clean_text keeps the
+    surviving tokens in original order, single-space joined (tokens were
+    whitespace-split, so the original inter-token whitespace is not
+    preserved — same normalization contract as the coverage operator).
+
+    Scale shape (100 TB): identical to dup_ngram_coverage through the gram
+    census (codegen gram build, partial-agg census keyed on the gram with
+    min(id) riding it as one extra agg, semi-join back); removal explodes
+    only REMOVABLE starts ×n before a distinct, and reassembly is a per-doc
+    array_sort over that doc's own kept tokens (bounded by doc length,
+    never a global sort — the line_dedup pattern). Docs whose every token
+    is covered still emit a row (left join + coalesce)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
+    flagged = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("id").alias("n_docs"), F.min("id").alias("owner"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram", "owner")
+    )
+    removable = (
+        g.join(flagged, "gram")
+        .filter(F.col("id") != F.col("owner"))
+        .select("id", "pos")
+    )
+    covered = removable.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p")
+    ).distinct()
+    tok_rows = base.select("id", F.posexplode("toks").alias("p", "tok"))
+    kept = tok_rows.join(covered, ["id", "p"], "left_anti")
+    assembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("tok").alias("t")))),
+                lambda s: s.t,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(assembled, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("int")
+            .alias("removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def bff_paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    num_shards: int = 16,
+    bits_per_shard: int = 1 << 18,
+    num_hashes: int = 5,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup, bloom-accelerated — the
+    distributed restatement of Dolma's Bloom-Filter Deduper (BFF): only
+    the FIRST occurrence (smallest (id, pos)) of each normalized paragraph
+    survives anywhere in the corpus.
+
+    Dolma's BFF is a sequential filter (first writer wins as the stream
+    populates the filter); distributed, that order dependence becomes a
+    census: min(struct(id, pos)) per normalized paragraph is the owner.
+    The bloom's role moves to where it helps at 100 TB: the owner map only
+    contains DUPLICATED paragraphs (count ≥ 2 — usually a small fraction),
+    and a broadcast bloom over their xxhash64 fingerprints lets every
+    unique paragraph skip the owner join entirely (map-only keep). Bloom
+    false positives send a few extra rows into the exact join — never a
+    wrong drop — so ``use_bloom=True`` and ``False`` are bit-identical
+    (asserted in tests), the same FP-only-costs-work contract as the
+    URL-seen accelerator (`bloom.py`).
+
+    Output: (id, n_paras, n_removed, clean_text) — surviving paragraphs in
+    original order, joined with ``delim``; blank paragraphs dropped.
+    """
+    from ..bloom import build_bloom_shards, split_by_bloom
+
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+        )
+        .withColumn("norm", F.lower(F.trim(F.regexp_replace("para", r"\s+", " "))))
+        .filter(F.col("norm") != "")
+    )
+    owners = (
+        paras.groupBy("norm")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("id", "pos")).alias("owner"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("norm", "owner")
+    )
+    if use_bloom:
+        dup_hashes = owners.select(F.xxhash64("norm").alias("url_hash"))
+        bloom = build_bloom_shards(
+            dup_hashes, num_shards=num_shards, bits_per_shard=bits_per_shard, num_hashes=num_hashes
+        )
+        candidates = paras.withColumn("url_hash", F.xxhash64("norm"))
+        definitely_unique, maybe_dup = split_by_bloom(
+            candidates,
+            bloom,
+            num_shards=num_shards,
+            bits_per_shard=bits_per_shard,
+            num_hashes=num_hashes,
+        )
+        resolved = maybe_dup.join(owners, "norm", "left")
+        kept_from_maybe = resolved.filter(
+            F.col("owner").isNull()  # bloom false positive: not a dup at all
+            | (F.struct("id", "pos") == F.col("owner"))
+        )
+        kept = definitely_unique.select("id", "pos", "para").unionByName(
+            kept_from_maybe.select("id", "pos", "para")
+        )
+    else:
+        resolved = paras.join(owners, "norm", "left")
+        kept = resolved.filter(
+            F.col("owner").isNull() | (F.struct("id", "pos") == F.col("owner"))
+        ).select("id", "pos", "para")
+
+    assembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para").alias("q")))),
+                lambda s: s.q,
+            ),
+            delim,
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).cast("int").alias("n_paras"))
+    return (
+        totals.join(assembled, "id", "left")
+        .select(
+            "id",
+            "n_paras",
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
