@@ -679,6 +679,80 @@ def q_dup_ngram_coverage(spark, sf_dir):
     return dedup.dup_ngram_coverage(docs, n=5).orderBy("id")
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Distributed BPE (Sennrich et al. 2016): train 12 merges on the
+    corpus (word census touched once; every sweep runs on the
+    vocabulary-bound census, argmax collected with lexicographic
+    tie-break so the merge table is partitioning-invariant), then encode
+    every document rank-greedily. Rows-only by driver necessity (training
+    is iterative); exact ground truth is the pure-Python differential in
+    tests/test_bpe.py (identical merge tables + encodings)."""
+    from spider_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe(docs, num_merges=12)
+    return bpe.encode_with_merges(docs, merges).orderBy("id")
+
+
+def q_main_content(spark, sf_dir):
+    """jusText/Boilerpipe-style main-content extraction (pure Catalyst:
+    block segmentation, link density, word-count classes, one context-
+    promotion pass — `operators/content.py`). Deterministic synthetic
+    pages: nav + two content blocks + link footer, where the second block
+    carries the LAST doc_id%7 tokens — so across the corpus the classifier
+    hits every class: absent (0), short-unpromotable (1-2 words),
+    short-promoted (3-4, rescued by the good neighbor; when the split
+    leaves the FIRST block short it gets rescued in the other direction),
+    and good (5-6). The oracle encodes the same thresholds analytically."""
+    from spider_spark.operators import content
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    w2 = (F.col("doc_id") % 7).cast("int")
+    w1 = (n - w2).cast("int")
+    h1 = F.array_join(F.slice(toks, F.lit(1), w1), " ")
+    h2 = F.when(w2 > 0, F.array_join(F.slice(toks, w1 + 1, w2), " ")).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><title>T</title></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav><p>'),
+        h1, F.lit("</p><div>"), h2,
+        F.lit('</div><footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer></body></html>'),
+    )
+    pages = docs.select(F.col("doc_id"), html.alias("html"))
+    out = content.extract_main_content(pages, id_col="doc_id", html_col="html")
+    return out.select(
+        "id", "n_blocks", "n_good", "main_chars", F.md5("main_text").alias("main_md5")
+    ).orderBy("id")
+
+
+def q_wet_roundtrip(spark, sf_dir):
+    """WET source connector (Common Crawl's extracted-text artifact,
+    completing the WARC/CDX/WET trio): conversion records serialized and
+    parsed back entirely inside executors. The text gets a hostile suffix
+    containing a bare 'WARC/1.0' line + CRLFs, so the oracle only matches
+    if framing is strictly Content-Length (payload never scanned for
+    delimiters)."""
+    from spider_spark import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    hostile = F.concat(
+        F.col("text"),
+        F.lit("\nWARC/1.0\r\nContent-Length: 999\r\n\r\nnot a record"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://wet.test/doc/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("warc_ts"),
+        hostile.alias("text"),
+    )
+    back = warc_mod.wet_roundtrip(pages, compress=True)
+    return back.select(
+        "url",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("url")
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """Duplicate-span REMOVAL (the rewrite companion to dup_ngram_coverage,
     Lee et al. 2022 keep-first discipline): word 5-grams shared by ≥2 docs
@@ -1793,6 +1867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "remove_dup_spans": q_remove_dup_spans,
         "bff_paragraph_dedupe": q_bff_paragraph_dedupe,
+        "main_content_extract": q_main_content,
+        "wet_roundtrip": q_wet_roundtrip,
+        "bpe_tokenize": q_bpe_tokenize,
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "winnowing_deterministic": q_winnowing_md5,
@@ -2178,6 +2255,50 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(toks)
                               ELSE 0 END, 4) AS dup_coverage
             FROM tt LEFT JOIN ds USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "main_content_extract": """
+            WITH tt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CAST(doc_id % 7 AS INT) AS w2,
+                     CAST(len(toks) - doc_id % 7 AS INT) AS w1,
+                     array_to_string(toks[1 : len(toks) - CAST(doc_id % 7 AS INT)], ' ') AS h1,
+                     CASE WHEN doc_id % 7 > 0
+                          THEN array_to_string(
+                                 toks[len(toks) - CAST(doc_id % 7 AS INT) + 1 : len(toks)], ' ')
+                          ELSE '' END AS h2
+              FROM tt),
+            cls AS (SELECT *, (w1 >= 5) AS g1, (w2 >= 5) AS g2 FROM d),
+            fin AS (
+              SELECT *,
+                     (w1 > 0) AND (g1 OR (w1 >= 3 AND g2)) AS f1,
+                     (w2 > 0) AND (g2 OR (w2 >= 3 AND g1)) AS f2
+              FROM cls)
+            SELECT doc_id AS id,
+                   CAST(2 + (CASE WHEN w1 > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN w2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_blocks,
+                   CAST((CASE WHEN f1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN f2 THEN 1 ELSE 0 END) AS INT) AS n_good,
+                   CAST((CASE WHEN f1 THEN strlen(h1) ELSE 0 END)
+                      + (CASE WHEN f2 THEN strlen(h2) ELSE 0 END) AS INT) AS main_chars,
+                   md5(CASE WHEN f1 AND f2 THEN h1 || chr(10) || h2
+                            WHEN f1 THEN h1
+                            WHEN f2 THEN h2
+                            ELSE '' END) AS main_md5
+            FROM fin
+        """,
+        "wet_roundtrip": """
+            SELECT 'https://wet.test/doc/' || doc_id AS url,
+                   CAST(strlen(text || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+                        || 'Content-Length: 999' || chr(13) || chr(10)
+                        || chr(13) || chr(10) || 'not a record') AS BIGINT) AS n_chars,
+                   md5(text || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+                        || 'Content-Length: 999' || chr(13) || chr(10)
+                        || chr(13) || chr(10) || 'not a record') AS text_md5
+            FROM documents
         """,
         "remove_dup_spans": """
             WITH tt AS (

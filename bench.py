@@ -157,6 +157,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "meta_robots_directives",
         "remove_dup_spans",
         "bff_paragraph_dedupe",
+        "main_content_extract",
+        "wet_roundtrip",
         "multimodal_gif_decode",
         "multimodal_jpeg_decode",
         "video_frame_sample_gif",

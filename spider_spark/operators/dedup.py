@@ -582,6 +582,10 @@ def bff_paragraph_dedup(
         .withColumn("norm", F.lower(F.trim(F.regexp_replace("para", r"\s+", " "))))
         .filter(F.col("norm") != "")
     )
+    # the exploded paragraph table feeds the census, the bloom probe AND the
+    # per-doc totals — persist so the corpus is split+normalized once, not
+    # three times (the minhash persisted-signatures discipline)
+    paras = paras.persist()
     owners = (
         paras.groupBy("norm")
         .agg(

@@ -227,3 +227,125 @@ def cdx_index(
         )
         .orderBy("surt", "cdx_ts")
     )
+
+
+# --- WET (extracted-text conversion records): the third Common Crawl
+# artifact next to WARC and CDX — one text/plain `conversion` record per
+# page, referencing the response record it was derived from ----------------
+
+
+def build_wet_record(url: str, warc_ts: _dt.datetime, text: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record carrying extracted plain text.
+    Deterministic like :func:`build_record` (ids from the URL hash);
+    WARC-Refers-To points at the response record :func:`build_record`
+    would emit for the same URL."""
+    rid = hashlib.md5(("wet:" + url).encode("utf-8")).hexdigest()
+    ref = hashlib.md5(url.encode("utf-8")).hexdigest()
+    payload = text.encode("utf-8")
+
+    def _uuid(h: str) -> str:
+        return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + f"WARC-Record-ID: {_uuid(rid)}\r\n".encode("ascii")
+        + f"WARC-Refers-To: {_uuid(ref)}\r\n".encode("ascii")
+        + f"WARC-Date: {_warc_date(warc_ts)}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode("ascii")
+    )
+    return headers + _CRLF + payload + _CRLF + _CRLF
+
+
+def build_wet(records: list[tuple[str, _dt.datetime, str]], compress: bool = False) -> bytes:
+    """Concatenate conversion records into one WET blob (per-record gzip
+    members when ``compress``, the Common Crawl layout, mtime pinned)."""
+    out = io.BytesIO()
+    for url, ts, text in records:
+        rec = build_wet_record(url, ts, text)
+        if compress:
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def parse_wet(data: bytes) -> Iterator[tuple[str, _dt.datetime, str]]:
+    """Yield (url, warc_ts, text) from WET bytes. Same strict
+    Content-Length framing as :func:`parse_warc`; only ``conversion``
+    records are yielded, so a combined WARC+WET stream reads correctly."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        header_block = data[pos:head_end].decode("utf-8", "replace")
+        headers: dict[str, str] = {}
+        for line in header_block.split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
+        yield url, ts, payload.decode("utf-8", "replace")
+
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files → (url, warc_ts, text) DataFrame. One task per file, like
+    :func:`read_warc`."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"url": u, "warc_ts": ts, "text": txt}
+                for blob in pdf["content"]
+                for u, ts, txt in parse_wet(bytes(blob))
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    return files.mapInPandas(parse_files, WET_SCHEMA)
+
+
+def wet_roundtrip(pages: DataFrame, compress: bool = False) -> DataFrame:
+    """(url, warc_ts, text) → WET bytes → parsed back, entirely inside
+    executors (the :func:`roundtrip_pages` discipline) — the test/oracle
+    surface proving conversion-record framing is fidelity-preserving for
+    arbitrary text, including text containing ``WARC/1.0`` and CRLFs."""
+    import pandas as pd
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                (r.url, r.warc_ts.to_pydatetime(), r.text)
+                for r in pdf.itertuples(index=False)
+            ]
+            blob = build_wet(recs, compress=compress)
+            rows = [
+                {"url": u, "warc_ts": ts, "text": txt} for u, ts, txt in parse_wet(blob)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    return pages.select("url", "warc_ts", "text").mapInPandas(rt, WET_SCHEMA)

@@ -1,0 +1,129 @@
+"""Main-content extraction (operators/content.py) and the WET connector."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark import warc
+from spider_spark.operators import content
+
+
+PAGE = """<html><head><title>Ignore me</title><style>p{color:red}</style>
+<script>var words = "many words in script must not leak";</script></head>
+<body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+<p>This is the first real content paragraph with plenty of words in it.</p>
+<p>Tiny follow up.</p>
+<div>Another long and substantive paragraph of body content lives right here today.</div>
+<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>
+<!-- hidden comment with words words words words words words -->
+</body></html>"""
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, ["url", "html"])
+
+
+def test_boilerplate_dropped_content_kept(spark):
+    out = content.extract_main_content(_pages(spark, [("u", PAGE)])).collect()[0]
+    assert out.n_blocks == 5  # nav, p, p, div, footer (head/script/comment gone)
+    assert out.n_good == 3  # two long paragraphs + the promoted short one
+    assert "Home About Contact" not in out.main_text
+    assert "Privacy" not in out.main_text
+    assert "script" not in out.main_text and "hidden comment" not in out.main_text
+    assert out.main_text.split("\n") == [
+        "This is the first real content paragraph with plenty of words in it.",
+        "Tiny follow up.",
+        "Another long and substantive paragraph of body content lives right here today.",
+    ]
+
+
+def test_short_block_not_promoted_without_good_neighbor(spark):
+    html = (
+        "<html><body><nav><a href=x>A</a> <a href=y>B</a> <a href=z>C</a></nav>"
+        "<p>Tiny follow up.</p>"
+        "<footer><a href=p>P</a> <a href=q>Q</a></footer></body></html>"
+    )
+    out = content.extract_main_content(_pages(spark, [("u", html)])).collect()[0]
+    assert out.n_good == 0 and out.main_text == ""
+
+
+def test_link_heavy_block_never_rescued(spark):
+    # a link list between two good paragraphs stays boilerplate (bad class
+    # is excluded from promotion regardless of neighbors)
+    html = (
+        "<html><body>"
+        "<p>One genuinely long paragraph of real body content sits here first.</p>"
+        "<ul><li><a href=1>First related article teaser</a></li></ul>"
+        "<p>Another genuinely long paragraph of real body content closes the page.</p>"
+        "</body></html>"
+    )
+    out = content.extract_main_content(_pages(spark, [("u", html)])).collect()[0]
+    assert out.n_good == 2
+    assert "teaser" not in out.main_text
+
+
+def test_entities_decoded_in_block_text(spark):
+    html = "<html><body><p>Fish &amp; chips &quot;today&quot; are &lt;great&gt; here friends</p></body></html>"
+    out = content.extract_main_content(_pages(spark, [("u", html)])).collect()[0]
+    assert out.main_text == 'Fish & chips "today" are <great> here friends'
+
+
+def test_all_boilerplate_page_still_emits_row(spark):
+    html = "<html><body><nav><a href=x>Home</a> <a href=y>More</a> <a href=y>Nav</a></nav></body></html>"
+    out = content.extract_main_content(_pages(spark, [("u", html)])).collect()
+    assert len(out) == 1 and out[0].main_text == "" and out[0].n_good == 0
+
+
+def test_page_blocks_link_density(spark):
+    html = '<html><body><p>four plain words <a href="/x">and a link</a></p></body></html>'
+    b = content.page_blocks(_pages(spark, [("u", html)])).collect()[0]
+    assert b.n_words == 6
+    assert b.link_chars == len("and a link")
+    assert b.link_density == pytest.approx(10 / 27, abs=1e-4)
+
+
+# --- WET ---------------------------------------------------------------------
+
+
+def test_wet_roundtrip_hostile_payload():
+    recs = [
+        ("https://a.test/1", dt.datetime(2024, 1, 1), "plain text"),
+        ("https://a.test/2", dt.datetime(2024, 1, 2, 3, 4, 5),
+         "text with\r\nWARC/1.0\r\nContent-Length: 7\r\n\r\nfake record inside"),
+        ("https://a.test/3", dt.datetime(2024, 1, 3), "unicode: naïve café — ✓"),
+    ]
+    for compress in (False, True):
+        back = list(warc.parse_wet(warc.build_wet(recs, compress=compress)))
+        assert back == recs
+
+
+def test_wet_parser_skips_response_records():
+    # a combined stream: response record (WARC) + conversion record (WET)
+    resp = warc.build_record("https://a.test/r", dt.datetime(2024, 1, 1), b"<html>x</html>")
+    conv = warc.build_wet_record("https://a.test/c", dt.datetime(2024, 1, 1), "clean text")
+    combined = resp + conv
+    wet = list(warc.parse_wet(combined))
+    assert [u for u, _, _ in wet] == ["https://a.test/c"]
+    pages = list(warc.parse_warc(combined))
+    assert [u for u, _, _ in pages] == ["https://a.test/r"]
+
+
+def test_wet_spark_roundtrip_and_file_read(spark, tmp_path):
+    df = spark.range(20).select(
+        F.concat(F.lit("https://w.test/"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.col("id") + 1_700_000_000).alias("warc_ts"),
+        F.concat(F.lit("document body number "), F.col("id")).alias("text"),
+    )
+    back = warc.wet_roundtrip(df, compress=True)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+    # file ingestion path
+    recs = [(f"https://f.test/{i}", dt.datetime(2024, 2, 1, 0, 0, i), f"body {i}") for i in range(5)]
+    (tmp_path / "part0.warc.wet.gz").write_bytes(warc.build_wet(recs, compress=True))
+    got = sorted(map(tuple, warc.read_wet(spark, str(tmp_path)).collect()))
+    assert got == sorted(recs)
