@@ -584,8 +584,13 @@ def bff_paragraph_dedup(
     )
     # the exploded paragraph table feeds the census, the bloom probe AND the
     # per-doc totals — persist so the corpus is split+normalized once, not
-    # three times (the minhash persisted-signatures discipline)
-    paras = paras.persist()
+    # three times. Cache ownership follows the minhash persisted-signatures
+    # discipline (dedup.py:180-183): MEMORY_AND_DISK under the session LRU;
+    # long-lived sessions calling this repeatedly should clearCache() or
+    # materialize the paragraph table, the at-scale deployment shape anyway.
+    from pyspark import StorageLevel
+
+    paras = paras.persist(StorageLevel.MEMORY_AND_DISK)
     owners = (
         paras.groupBy("norm")
         .agg(
