@@ -915,3 +915,140 @@ def encode_jpeg(
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# =============================================================================
+# MP4/ISO-BMFF container metadata (ISO/IEC 14496-12 box structure)
+# =============================================================================
+#
+# Frame DECODE for MP4 needs a video codec (H.264 etc.) this sandbox does
+# not have — that stays honestly stubbed in multimodal.py. The container
+# STRUCTURE, however, is a plain length-prefixed box tree, and a training
+# pipeline wants duration/dimensions/track counts without decoding a single
+# frame. Parsed from the public ISO base-media spec: `moov/mvhd` (timescale
+# + duration), `moov/trak/tkhd` (track id, 16.16 fixed-point display size).
+
+MP4_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1", b"M4V ")
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def is_mp4(payload: bytes) -> bool:
+    """True when the payload starts with an ftyp box (the MP4 signature)."""
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for sibling boxes in
+    [start, end). Strict bounds: a box whose declared size escapes its
+    parent raises ValueError (truncated/corrupt container)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("mp4: box size escapes its parent")
+        yield typ, body, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """MP4 bytes → {brand, duration_ms, timescale, n_tracks, width, height}.
+
+    width/height come from the first track whose tkhd carries a nonzero
+    display size (video tracks; audio tracks store 0×0). Raises ValueError
+    on non-MP4 or structurally corrupt input.
+    """
+    if not is_mp4(payload):
+        raise ValueError("not an MP4/ISO-BMFF payload")
+    brand = payload[8:12].decode("latin-1")
+    duration_ms = None
+    timescale = None
+    n_tracks = 0
+    width = height = None
+
+    def visit(start: int, end: int) -> None:
+        nonlocal duration_ms, timescale, n_tracks, width, height
+        for typ, body, box_end in _walk_boxes(payload, start, end):
+            if typ == b"mvhd":
+                ver = payload[body]
+                if ver == 1:  # 64-bit times
+                    ts = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(payload[body + 16 : body + 20], "big")
+                timescale = ts
+                duration_ms = int(dur * 1000 // ts) if ts else None
+            elif typ == b"tkhd":
+                n_tracks += 1
+                ver = payload[body]
+                # width/height are the LAST 8 bytes of the box, 16.16 fixed
+                w = int.from_bytes(payload[box_end - 8 : box_end - 4], "big") >> 16
+                h = int.from_bytes(payload[box_end - 4 : box_end], "big") >> 16
+                if width is None and (w or h):
+                    width, height = w, h
+            elif typ in _MP4_CONTAINERS:
+                visit(body, box_end)
+
+    visit(0, len(payload))
+    return {
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "timescale": timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def build_mp4(
+    duration_ms: int,
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    n_audio_tracks: int = 0,
+    mdat: bytes = b"",
+) -> bytes:
+    """Minimal valid ISO-BMFF file for tests/synthesis: ftyp +
+    moov(mvhd + one video tkhd + optional 0×0 audio tkhds) + mdat.
+    Deterministic bytes for deterministic inputs."""
+    dur = duration_ms * timescale // 1000
+    mvhd = _box(
+        b"mvhd",
+        b"\0\0\0\0"  # version 0 + flags
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + b"\0" * 80,  # rate/volume/reserved/matrix/predefines/next_track_id
+    )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return _box(
+            b"tkhd",
+            b"\0\0\0\x07"
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+            + track_id.to_bytes(4, "big") + b"\0" * 4
+            + dur.to_bytes(4, "big") + b"\0" * 8
+            + b"\0" * 8  # layer/alternate/volume/reserved
+            + b"\0" * 36  # matrix
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+        )
+
+    traks = [_box(b"trak", tkhd(1, width, height))]
+    for i in range(n_audio_tracks):
+        traks.append(_box(b"trak", tkhd(2 + i, 0, 0)))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", mdat)
