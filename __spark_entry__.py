@@ -925,6 +925,18 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_video_container_meta(spark, sf_dir):
+    """MP4/ISO-BMFF container metadata WITHOUT decoding a frame: the real
+    box walk (moov/mvhd duration+timescale, trak/tkhd 16.16 display size,
+    track count) over deterministic hand-built containers
+    (`imagecodecs.build_mp4`). What a training pipeline wants from video
+    at 100 TB — duration/size/track screening — needs the container
+    structure only; frame decode stays honestly stubbed (no video codec
+    in the sandbox)."""
+    media = multimodal.generate_mp4_videos(spark, 32)
+    return multimodal.extract_video_metadata(media).orderBy("media_id")
+
+
 def q_winnowing(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     fp = textqc.winnowing_fingerprints_udf(k=5, window=4)
@@ -1318,6 +1330,60 @@ def q_cdx_index(spark, sf_dir):
     return warc_mod.cdx_index(pages)
 
 
+def q_cdx_lookup(spark, sf_dir):
+    """Archive lookup over a CDX index (warc.cdx_lookup): SURT path-prefix
+    queries equi-joined on the host key (never a nested-loop startswith
+    scan), prefix test as a post-join codegen filter, latest_only via one
+    partial-agg max_by — the CDX-server `limit=1 sort=reverse` idiom. Two
+    captures exist per URL (generation 0/1, different digests); prefixes
+    select the /p/1* path cohort per host."""
+    from spider_spark import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    caps = docs.select(d.alias("doc_id"), "text", F.lit(0).alias("g")).unionAll(
+        docs.select(d.alias("doc_id"), "text", F.lit(1).alias("g"))
+    )
+    pages = caps.select(
+        F.concat(
+            F.lit("https://www.ex"),
+            F.col("doc_id") % 50,
+            F.lit(".example.com/p/"),
+            F.col("doc_id"),
+            F.lit("?b=2&a=1"),
+        ).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") + F.col("g") * 1000000).alias("warc_ts"),
+        F.encode(
+            F.when(F.col("g") == 0, F.col("text")).otherwise(F.concat(F.col("text"), F.lit("!"))),
+            "utf-8",
+        ).alias("html"),
+    )
+    index = warc_mod.cdx_index(pages)
+    prefixes = docs.select(
+        F.concat(F.lit("com,example,ex"), d % 50, F.lit(",www)/p/1")).alias("prefix")
+    ).distinct()
+    return warc_mod.cdx_lookup(index, prefixes, latest_only=True)
+
+
+def q_revisit_plan(spark, sf_dir):
+    """Archive-side dedup (WARC 1.1 §6.7.2 revisit records,
+    warc.revisit_plan): identical payloads store ONCE — the earliest
+    capture per digest becomes the response record, every later identical
+    capture a bodiless revisit pointing at it. One partial-agg groupBy on
+    the digest + one equi-join; payloads hash once and never shuffle
+    twice. 97 payload groups planted across the documents table."""
+    from spider_spark import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("https://h"), d % 7, F.lit(".test/p/"), d).alias("url"),
+        F.timestamp_seconds(d).alias("warc_ts"),
+        F.encode(F.concat(F.lit("payload-"), d % 97), "utf-8").alias("html"),
+    )
+    return warc_mod.revisit_plan(pages).select("url", "kind", "digest", "refers_to_url")
+
+
 def q_strip_tracking(spark, sf_dir):
     """Tracking-param stripping (utm_*, gclid, fbclid, …) as a pure-Catalyst
     canonicalization step ahead of the seen-filter — per-campaign aliases of
@@ -1365,6 +1431,96 @@ def q_perplexity_buckets(spark, sf_dir):
         F.round("ce_nats", 6).alias("ce_r"),
         "ppl_bucket",
     ).orderBy("doc_id")
+
+
+def q_feed_extract(spark, sf_dir):
+    """RSS 2.0 + Atom feed extraction (feeds.feed_entries), pure Catalyst:
+    item/entry blocks → (title, link, guid, published) rows. Even doc_ids
+    publish RSS (CDATA title kept verbatim, entity-decoded link text,
+    RFC 822 pubDate with the banned-in-Spark day-name token stripped before
+    parsing); odd doc_ids publish Atom (href ATTRIBUTE with rel=alternate
+    preferred over rel=self, RFC 3339 published)."""
+    from spider_spark import feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><item>'
+              "<title><![CDATA[Post & co #"),
+        d,
+        F.lit("]]></title><link>https://ex.test/p/"),
+        d,
+        F.lit("?a=1&amp;b=2</link><pubDate>Mon, 02 Jan 2006 15:04:0"),
+        d % 10,
+        F.lit(" GMT</pubDate><guid>tag:ex,"),
+        d,
+        F.lit("</guid></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>Entry '),
+        d,
+        F.lit('</title><link rel="self" href="https://ex.test/feed.xml"/>'
+              '<link rel="alternate" href="https://ex.test/a/'),
+        d,
+        F.lit('"/><id>urn:'),
+        d,
+        F.lit("</id><published>2021-07-1"),
+        d % 9 + 1,
+        F.lit("T08:09:10Z</published></entry></feed>"),
+    )
+    feeds_df = docs.select(
+        F.concat(F.lit("https://ex.test/feed/"), d).alias("url"),
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    out = feeds.feed_entries(feeds_df)
+    return out.select(
+        "url",
+        "feed_kind",
+        "pos",
+        "title",
+        "link",
+        "guid",
+        F.date_format("published_ts", "yyyy-MM-dd HH:mm:ss").alias("published"),
+    )
+
+
+def q_feed_discovery(spark, sf_dir):
+    """Feed autodiscovery from page HTML: <link rel=alternate type=rss/atom>
+    tags → (page_url, feed_url, feed_type), attribute order and quoting
+    style varying by doc_id, stylesheet links ignored, keep-first dedupe.
+    The hrefs are absolute so the WHATWG-resolution passthrough is
+    oracle-expressible."""
+    from spider_spark import feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" type="application/rss+xml" href="https://h'),
+                d % 7,
+                F.lit(".test/rss/"),
+                d,
+                F.lit('">'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<link href='https://h"),
+                d % 7,
+                F.lit(".test/atom/"),
+                d,
+                F.lit("' type='application/atom+xml' rel='alternate'/>"),
+            )
+        ),
+        F.lit("</head></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://h"), d % 7, F.lit(".test/page/"), d).alias("url"),
+        html.alias("html"),
+    )
+    return feeds.discover_feed_urls(pages)
 
 
 def q_charset_decode(spark, sf_dir):
@@ -1808,6 +1964,37 @@ def q_change_rate(spark, sf_dir):
     )
 
 
+def q_http_freshness(spark, sf_dir):
+    """RFC 9111 server-declared freshness lifetime per response
+    (recrawl.http_freshness): Cache-Control no-store/no-cache → 0,
+    s-maxage ≻ max-age, Expires−Date, 10% heuristic with cap — the
+    precedence chain exercised branch-by-branch over analytically-built
+    headers so the oracle is pure arithmetic (IMF-fixdate strings built
+    and parsed with the same tz cancel exactly)."""
+    from spider_spark.operators import recrawl
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    b = d % 6
+    httpdate = lambda ts: F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss 'GMT'")  # noqa: E731
+    epoch = F.timestamp_seconds(F.lit(1000000))
+    resp = docs.select(
+        F.concat(F.lit("https://h"), d % 7, F.lit(".test/p/"), d).alias("url"),
+        F.when(b == 0, F.concat(F.lit("public, max-age="), d * 10))
+        .when(b == 1, F.concat(F.lit("max-age=60, s-maxage="), d + 5))
+        .when(b == 2, F.lit("no-cache"))
+        .alias("cache_control"),
+        F.when(b == 3, httpdate(F.timestamp_seconds(F.lit(1000000) + d * 100))).alias(
+            "expires"
+        ),
+        F.when(b.isin(3, 4), httpdate(epoch)).alias("http_date"),
+        F.when(b == 4, httpdate(F.timestamp_seconds(F.lit(1000000) - d * 1000))).alias(
+            "last_modified"
+        ),
+    )
+    return recrawl.http_freshness(resp).select("url", "freshness_s", "freshness_source")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-2-iteration PageRank over a deterministic link graph — the
     frontier-prioritization signal (OPIC/PageRank-ordered crawling).
@@ -1823,6 +2010,110 @@ def q_pagerank(spark, sf_dir):
     )
     ranks = graph_ops.pagerank(e1.unionByName(e2), iters=2)
     return ranks.select("node", F.round("rank", 6).alias("rank_r")).orderBy("node")
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (packing.pack_concat_chunks):
+    per md5-hash shard, docs laid end-to-end (+1 EOD slot each) in id
+    order, cut every 256 tokens. One row per doc×chunk piece — the
+    loader index for materializing training sequences. The oracle
+    restates the running-sum window + generate_series span in SQL."""
+    from spider_spark.operators import packing, textqc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textqc.col_token_count("text").cast("long").alias("n_tokens"),
+    )
+    return packing.pack_concat_chunks(docs, seq_len=256, n_shards=8)
+
+
+def q_sequence_pack_stats(spark, sf_dir):
+    """Per-shard packing audit: chunks, content tokens, overhead and
+    utilization over the q_sequence_pack output."""
+    from spider_spark.operators import packing, textqc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textqc.col_token_count("text").cast("long").alias("n_tokens"),
+    )
+    packed = packing.pack_concat_chunks(docs, seq_len=256, n_shards=8)
+    st = packing.packing_stats(packed, 256)
+    return st.select(
+        "shard",
+        "n_chunks",
+        "content_tokens",
+        "n_docs",
+        "overhead_tokens",
+        F.round("utilization", 6).alias("utilization_r"),
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic export manifest: per shard doc count, char sum and
+    an order-independent md5-prefix-sum checksum — the integrity record
+    a shard export ships with (engine-portable, DuckDB-reproducible)."""
+    from spider_spark.operators import packing
+
+    return packing.shard_manifest(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_pack_bins_ffd(spark, sf_dir):
+    """First-fit-decreasing bin packing, documents atomic (rows-only:
+    FFD's first-fit scan is not SQL-expressible; the pytest differential
+    against a brute-force reference is the correctness gate)."""
+    from spider_spark.operators import packing, textqc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textqc.col_token_count("text").cast("long").alias("n_tokens"),
+    )
+    return packing.pack_bins_ffd(docs, seq_len=512, n_shards=8)
+
+
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (textnorm.normalize_unicode, Arrow-
+    batched pandas UDF with C-level ASCII fast path): documents text is
+    salted with DECOMPOSED fragments (combining acute U+0301 / ring
+    U+030A) that NFC must recompose. Oracle: DuckDB nfc_normalize over
+    the same chr()-built fragments — two independent NFC
+    implementations (Python unicodedata vs DuckDB's utf8proc) must
+    produce byte-identical text."""
+    from spider_spark.operators import textnorm
+
+    docs = _t(spark, sf_dir, "documents")
+    frag = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(" Café")
+    ).when(F.col("doc_id") % 3 == 1, F.lit(" Ångström")).otherwise(
+        F.lit(" ascii")
+    )
+    salted = docs.select(
+        "doc_id", F.concat(F.col("text"), frag).alias("text")
+    )
+    return textnorm.normalize_unicode(salted).select(
+        "doc_id", F.col("text").alias("nfc_text")
+    )
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake repair (textnorm.fix_mojibake, ftfy-lite inverse
+    transcoding): each doc's text is salted with non-ASCII, garbled the
+    way a charset bug garbles it (UTF-8 bytes decoded as cp1252), then
+    repaired. Oracle: the UN-garbled salted text — repair must be an
+    exact inverse, so the oracle is pure string concat."""
+    from spider_spark.operators import textnorm
+
+    docs = _t(spark, sf_dir, "documents")
+    # fragment chars chosen so every UTF-8 byte is cp1252-mappable
+    frag = F.lit(" é—“ok")
+    salted = docs.select(
+        "doc_id", F.concat(F.col("text"), frag).alias("text")
+    )
+    garbled = salted.select(
+        "doc_id", textnorm.col_garble_cp1252("text").alias("text")
+    )
+    return textnorm.fix_mojibake(garbled).select(
+        "doc_id", F.col("text").alias("fixed_text")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1860,7 +2151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": q_gif_decode,
         "multimodal_jpeg_decode": q_jpeg_decode,
         "video_frame_sample_gif": q_gif_video_frames,
+        "video_container_meta": q_video_container_meta,
         "audio_wav_features": q_wav_features,
+        "feed_extract": q_feed_extract,
+        "feed_discovery": q_feed_discovery,
         "cache_read_through_misses": q_cache_read_through,
         "find_document_links": q_find_document_links,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1880,12 +2174,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "robots_sitemaps": q_robots_sitemaps,
         "cdx_surt_index": q_cdx_index,
+        "cdx_lookup_latest": q_cdx_lookup,
+        "warc_revisit_plan": q_revisit_plan,
         "dup_clusters": q_dup_clusters,
         "pagerank_2iter": q_pagerank,
         "clean_corpus": q_clean_corpus,
         "strip_tracking_params": q_strip_tracking,
         "decontaminate_benchmark_overlap": q_decontaminate,
         "recrawl_change_rate": q_change_rate,
+        "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
@@ -1910,7 +2207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_line_filters": q_c4_line_filters,
         "url_prefetch_filters": q_url_filters,
+        "sequence_pack_chunks": q_sequence_pack,
+        "sequence_pack_stats": q_sequence_pack_stats,
+        "shard_manifest": q_shard_manifest,
+        "unicode_nfc": q_unicode_nfc,
+        "mojibake_repair": q_mojibake_repair,
         # rows-only (custom distributed operators)
+        "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2155,6 +2458,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST((f * 61) % 256 AS INT) AS mean_g,
                    CAST((i + f * 13) % 256 AS INT) AS mean_b
             FROM sampled
+        """,
+        "feed_extract": """
+            SELECT 'https://ex.test/feed/' || doc_id AS url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+                   CAST(0 AS INT) AS pos,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Post & co #' || doc_id
+                        ELSE 'Entry ' || doc_id END AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://ex.test/p/' || doc_id || '?a=1&b=2'
+                        ELSE 'https://ex.test/a/' || doc_id END AS link,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'tag:ex,' || doc_id
+                        ELSE 'urn:' || doc_id END AS guid,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '2006-01-02 15:04:0' || (doc_id % 10)
+                        ELSE '2021-07-1' || (doc_id % 9 + 1) || ' 08:09:10' END AS published
+            FROM documents
+        """,
+        "feed_discovery": """
+            SELECT 'https://h' || (doc_id % 7) || '.test/page/' || doc_id AS page_url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://h' || (doc_id % 7) || '.test/rss/' || doc_id
+                        ELSE 'https://h' || (doc_id % 7) || '.test/atom/' || doc_id
+                   END AS feed_url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'application/rss+xml'
+                        ELSE 'application/atom+xml' END AS feed_type
+            FROM documents
+        """,
+        "video_container_meta": """
+            SELECT i AS media_id,
+                   'isom' AS brand,
+                   CAST(1000 + (i * 137) % 9000 AS INT) AS duration_ms,
+                   CAST(1 + i % 3 AS INT) AS n_tracks,
+                   CAST(320 + (i % 8) * 80 AS INT) AS width,
+                   CAST(180 + (i % 8) * 45 AS INT) AS height
+            FROM generate_series(0, 31) t(i)
         """,
         "audio_wav_features": """
             SELECT i AS media_id,
@@ -2826,6 +3167,43 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS digest
             FROM documents
         """,
+        "warc_revisit_plan": """
+            WITH caps AS (
+              SELECT doc_id, doc_id % 97 AS grp,
+                     'https://h' || (doc_id % 7) || '.test/p/' || doc_id AS url
+              FROM documents),
+            first AS (SELECT grp, min(doc_id) AS fid FROM caps GROUP BY grp)
+            SELECT c.url,
+                   CASE WHEN c.doc_id = f.fid THEN 'response' ELSE 'revisit' END AS kind,
+                   'sha256:' || sha256('payload-' || c.grp) AS digest,
+                   CASE WHEN c.doc_id = f.fid THEN NULL
+                        ELSE 'https://h' || (f.fid % 7) || '.test/p/' || f.fid
+                   END AS refers_to_url
+            FROM caps c JOIN first f USING (grp)
+        """,
+        "cdx_lookup_latest": """
+            WITH caps AS (
+              SELECT doc_id, g,
+                     'com,example,ex' || (doc_id % 50) || ',www)/p/' || doc_id
+                       || '?a=1&b=2' AS surt,
+                     'https://www.ex' || (doc_id % 50) || '.example.com/p/' || doc_id
+                       || '?b=2&a=1' AS url,
+                     strftime(epoch_ms((doc_id + g * 1000000) * 1000),
+                              '%Y%m%d%H%M%S') AS cdx_ts,
+                     sha256(CASE WHEN g = 0 THEN text ELSE text || '!' END) AS digest
+              FROM documents, (VALUES (0), (1)) t(g)),
+            prefixes AS (
+              SELECT DISTINCT 'com,example,ex' || (doc_id % 50) || ',www)/p/1' AS prefix
+              FROM documents),
+            hits AS (
+              SELECT p.prefix, c.surt, c.cdx_ts, c.url, c.digest
+              FROM prefixes p JOIN caps c ON c.surt LIKE p.prefix || '%')
+            SELECT prefix, surt,
+                   max(cdx_ts) AS cdx_ts,
+                   arg_max(url, cdx_ts) AS url,
+                   arg_max(digest, cdx_ts) AS digest
+            FROM hits GROUP BY prefix, surt
+        """,
         "decontaminate_benchmark_overlap": """
             WITH tok AS (
               SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -2843,6 +3221,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 10) d
             JOIN bench USING (gram)
             GROUP BY doc_id
+        """,
+        "http_freshness": """
+            SELECT 'https://h' || (doc_id % 7) || '.test/p/' || doc_id AS url,
+                   CASE doc_id % 6
+                     WHEN 0 THEN doc_id * 10
+                     WHEN 1 THEN doc_id + 5
+                     WHEN 2 THEN 0
+                     WHEN 3 THEN doc_id * 100
+                     WHEN 4 THEN LEAST(doc_id * 100, 604800)
+                     ELSE NULL
+                   END AS freshness_s,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'max-age'
+                     WHEN 1 THEN 's-maxage'
+                     WHEN 2 THEN 'no-cache'
+                     WHEN 3 THEN 'expires'
+                     WHEN 4 THEN 'heuristic'
+                     ELSE 'none'
+                   END AS freshness_source
+            FROM documents
         """,
         "recrawl_change_rate": """
             WITH lagged AS (
@@ -3327,6 +3725,93 @@ def oracle_sql() -> dict[str, str]:
                      CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(c2.in_sum, 0) AS rank
               FROM r1 LEFT JOIN c2 USING (node))
             SELECT node, ROUND(rank, 6) AS rank_r FROM r2
+        """,
+        # NFC: DuckDB's utf8proc vs Python's unicodedata must agree
+        # byte-for-byte on the recomposition of the salted fragments.
+        "unicode_nfc": """
+            SELECT doc_id,
+                   nfc_normalize(text ||
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN ' Cafe' || chr(769)
+                       WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                       ELSE ' ascii' END) AS nfc_text
+            FROM documents
+        """,
+        # Repair must be an exact inverse of the cp1252 garble, so the
+        # oracle is the UN-garbled salted text (pure concat).
+        "mojibake_repair": """
+            SELECT doc_id,
+                   text || ' ' || chr(233) || chr(8212) || chr(8220) || 'ok'
+                     AS fixed_text
+            FROM documents
+        """,
+        # Concat-and-chunk packing: identical per-shard running sum +
+        # chunk-span expansion in SQL. w = ws-token count + 1 EOD slot.
+        "sequence_pack_chunks": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          % 8 AS INT) AS shard,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) + 1 AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, shard, w,
+                     CAST(SUM(w) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM d WHERE w > 0
+            ), x AS (
+              SELECT shard, doc_id, w, e - w AS st, e,
+                     unnest(generate_series((e - w) // 256, (e - 1) // 256)) AS chunk
+              FROM s
+            )
+            SELECT shard, chunk, doc_id,
+                   greatest(st, chunk * 256) - st AS doc_offset,
+                   greatest(st, chunk * 256) - chunk * 256 AS chunk_offset,
+                   greatest(least(least(e, (chunk + 1) * 256), st + w - 1)
+                            - greatest(st, chunk * 256), 0) AS piece_len
+            FROM x
+        """,
+        "sequence_pack_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          % 8 AS INT) AS shard,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) + 1 AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, shard, w,
+                     CAST(SUM(w) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM d WHERE w > 0
+            ), x AS (
+              SELECT shard, doc_id, w, e - w AS st, e,
+                     unnest(generate_series((e - w) // 256, (e - 1) // 256)) AS chunk
+              FROM s
+            ), p AS (
+              SELECT shard, chunk, doc_id,
+                     greatest(least(least(e, (chunk + 1) * 256), st + w - 1)
+                              - greatest(st, chunk * 256), 0) AS piece_len
+              FROM x
+            )
+            SELECT shard,
+                   MAX(chunk) + 1 AS n_chunks,
+                   SUM(piece_len) AS content_tokens,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   (MAX(chunk) + 1) * 256 - SUM(piece_len) AS overhead_tokens,
+                   ROUND(SUM(piece_len) / ((MAX(chunk) + 1) * 256.0), 6) AS utilization_r
+            FROM p GROUP BY shard
+        """,
+        "shard_manifest": """
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                        % 16 AS INT) AS shard,
+                   COUNT(*) AS doc_count,
+                   SUM(length(COALESCE(text, ''))) AS char_sum,
+                   SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                           || COALESCE(text, '')), 1, 8))::UBIGINT)
+                     AS checksum
+            FROM documents GROUP BY shard
         """,
     }
 

@@ -162,6 +162,11 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "multimodal_gif_decode",
         "multimodal_jpeg_decode",
         "video_frame_sample_gif",
+        "video_container_meta",
+        "feed_extract",
+        "feed_discovery",
+        "cdx_lookup_latest",
+        "http_freshness",
     ]
     out = {}
     for name in names:

@@ -66,6 +66,13 @@ DEFAULT_HEADERS = {
     "Upgrade-Insecure-Requests": "1",
 }
 
+#: The reference's fetch() runs on undici, which ADDS accept-encoding and
+#: transparently decompresses per the Fetch spec — it is not part of the
+#: simple.ts:64-75 literal header set, so it lives in its own constant and
+#: a user-supplied Accept-Encoding always wins. Only codings the stdlib
+#: can undo are advertised (no brotli/zstd in this container).
+ACCEPT_ENCODING = "gzip, deflate"
+
 MAX_REDIRECTS = 5  # simple.ts:100 / frontier.MAX_REDIRECTS — one rule
 DEFAULT_TIMEOUT = 30.0  # types.ts:127 (ms in the reference; seconds here)
 
@@ -76,6 +83,8 @@ FETCH_FIELDS = [
     StructField("html", BinaryType(), True),
     StructField("status", IntegerType(), True),
     StructField("fetch_error", StringType(), True),
+    StructField("etag", StringType(), True),
+    StructField("last_modified", StringType(), True),
 ]
 
 
@@ -87,6 +96,43 @@ def merge_headers(headers: dict | None, user_agent: str | None = None) -> dict:
         out["User-Agent"] = user_agent
     out.update(headers or {})
     return out
+
+
+def _header(resp_headers: dict | None, name: str) -> str | None:
+    """Case-insensitive single-header lookup (HTTP field names are
+    case-insensitive; transports differ in what casing they surface)."""
+    lname = name.lower()
+    for k, v in (resp_headers or {}).items():
+        if k.lower() == lname:
+            return v
+    return None
+
+
+def decode_content(body: bytes, content_encoding: str | None) -> bytes:
+    """Undo Content-Encoding the way the reference's undici fetch does
+    transparently. Codings apply right-to-left over the comma list
+    (RFC 9110 §8.4); 'deflate' tries zlib-wrapped first then raw — real
+    servers ship both under the same label. Unknown codings raise
+    ValueError (the caller turns that into a status row, not a task
+    failure)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    if not content_encoding or body is None:
+        return body
+    for coding in reversed([c.strip().lower() for c in content_encoding.split(",") if c.strip()]):
+        if coding in ("identity", ""):
+            continue
+        if coding in ("gzip", "x-gzip"):
+            body = _gzip.decompress(body)
+        elif coding == "deflate":
+            try:
+                body = _zlib.decompress(body)
+            except _zlib.error:
+                body = _zlib.decompress(body, -_zlib.MAX_WBITS)
+        else:
+            raise ValueError(f"unsupported content-encoding: {coding}")
+    return body
 
 
 def urllib_transport(url: str, headers: dict, timeout: float):
@@ -109,21 +155,52 @@ def urllib_transport(url: str, headers: dict, timeout: float):
         return e.code, dict(e.headers.items()) if e.headers else {}, body
 
 
-def make_table_transport(pages: dict[str, bytes], redirects: dict[str, str] | None = None):
+def make_table_transport(
+    pages: dict[str, bytes],
+    redirects: dict[str, str] | None = None,
+    etags: dict[str, str] | None = None,
+    last_modified: dict[str, str] | None = None,
+    gzip_urls: set[str] | frozenset[str] | None = None,
+):
     """Offline fake transport from lookup tables — the unit-test and
     differential-test seam. Known URLs → (200, html bytes); redirect
-    sources → (301, Location); everything else → (404, b'')."""
+    sources → (301, Location); everything else → (404, b'').
+
+    Optional HTTP-semantics tables: ``etags``/``last_modified`` attach
+    validators to responses AND honor If-None-Match / If-Modified-Since
+    (exact-match revalidation → 304 with no body, like a well-behaved
+    origin); ``gzip_urls`` serves those URLs gzip-compressed with
+    ``Content-Encoding: gzip`` so the decode path is exercised offline."""
     redirects = dict(redirects or {})
     pages = dict(pages)
+    etags = dict(etags or {})
+    last_modified = dict(last_modified or {})
+    gzip_urls = frozenset(gzip_urls or ())
 
     def transport(url: str, headers: dict, timeout: float):
         if url in redirects:
             return 301, {"Location": redirects[url]}, b""
         if url in pages:
+            resp = {"Content-Type": "text/html"}
+            if url in etags:
+                resp["ETag"] = etags[url]
+            if url in last_modified:
+                resp["Last-Modified"] = last_modified[url]
+            sent_inm = next((v for k, v in headers.items() if k.lower() == "if-none-match"), None)
+            sent_ims = next((v for k, v in headers.items() if k.lower() == "if-modified-since"), None)
+            if (sent_inm is not None and sent_inm == etags.get(url)) or (
+                sent_inm is None and sent_ims is not None and sent_ims == last_modified.get(url)
+            ):
+                return 304, resp, b""
             body = pages[url]
             if isinstance(body, str):
                 body = body.encode("utf-8")
-            return 200, {"Content-Type": "text/html"}, body
+            if url in gzip_urls:
+                import gzip as _gzip
+
+                body = _gzip.compress(body)
+                resp["Content-Encoding"] = "gzip"
+            return 200, resp, body
         return 404, {}, b""
 
     return transport
@@ -141,33 +218,45 @@ def _resolve_location(base: str, location: str) -> str:
 
 def fetch_one(url: str, transport, headers: dict, timeout: float):
     """One frontier row through the redirect-following fetch contract.
-    Returns (final_url, html_bytes | None, status, error | None)."""
+    Returns (final_url, html_bytes | None, status, error | None,
+    etag | None, last_modified | None).
+
+    - Content-Encoding is undone transparently (``decode_content``) — a
+      body that fails to decode becomes a 599 status row, never a task
+      failure;
+    - 304 Not Modified (the conditional-request success) passes through
+      as its own status with no body — the caller keeps its cached copy;
+    - response ETag / Last-Modified validators are captured so the next
+      crawl of this URL can revalidate instead of refetch."""
     current = url
     try:
         for _hop in range(MAX_REDIRECTS + 1):
             status, resp_headers, body = transport(current, headers, timeout)
             if status in _REDIRECT_STATUSES:
-                loc = None
-                for k, v in (resp_headers or {}).items():
-                    if k.lower() == "location":
-                        loc = v
-                        break
+                loc = _header(resp_headers, "Location")
                 if loc is None:
                     # a redirect status with no Location is a dead hop
-                    return current, None, int(status), "redirect without Location"
+                    return current, None, int(status), "redirect without Location", None, None
                 if _hop == MAX_REDIRECTS:
                     # still redirecting after the limit → 599, like
                     # frontier.resolve_redirects (strict divergence)
-                    return current, None, 599, "too many redirects"
+                    return current, None, 599, "too many redirects", None, None
                 current = _resolve_location(current, loc)
                 continue
+            etag = _header(resp_headers, "ETag")
+            last_mod = _header(resp_headers, "Last-Modified")
+            if status == 304:
+                # Not Modified: our cached copy is current (RFC 9110 §15.4.5)
+                return current, None, 304, None, etag, last_mod
             if status >= 400:
                 # NetworkError → status row (simple.ts:104-109 made row-wise)
-                return current, None, int(status), f"HTTP {status}"
-            return current, bytes(body) if body is not None else None, int(status), None
+                return current, None, int(status), f"HTTP {status}", etag, last_mod
+            if body is not None:
+                body = decode_content(bytes(body), _header(resp_headers, "Content-Encoding"))
+            return current, body, int(status), None, etag, last_mod
     except Exception as e:  # timeout / refused / DNS — undici throw path
-        return current, None, 599, f"{type(e).__name__}: {e}"
-    return current, None, 599, "unreachable"
+        return current, None, 599, f"{type(e).__name__}: {e}", None, None
+    return current, None, 599, "unreachable", None, None
 
 
 def live_fetch(
@@ -177,31 +266,61 @@ def live_fetch(
     timeout: float = DEFAULT_TIMEOUT,
     headers: dict | None = None,
     user_agent: str | None = None,
+    accept_encoding: bool = True,
+    etag_col: str | None = None,
+    last_modified_col: str | None = None,
 ) -> DataFrame:
     """The fetch stage as mapInPandas: input rows pass through unchanged
-    plus (final_url, html BINARY, status, fetch_error). Arrow-batched; one
-    Python loop per batch over politeness-bounded rows (the fetch is
-    network-bound — this is the stage where per-row Python is the design,
-    not a smell). Pass ``transport=None`` for the stdlib HTTP transport."""
+    plus (final_url, html BINARY, status, fetch_error, etag,
+    last_modified). Arrow-batched; one Python loop per batch over
+    politeness-bounded rows (the fetch is network-bound — this is the
+    stage where per-row Python is the design, not a smell). Pass
+    ``transport=None`` for the stdlib HTTP transport.
+
+    ``accept_encoding=True`` advertises the codings ``decode_content`` can
+    undo (undici adds this header itself; a user-supplied Accept-Encoding
+    wins). Name ``etag_col`` / ``last_modified_col`` to make the fetch
+    CONDITIONAL: rows with a non-null stored validator send If-None-Match
+    / If-Modified-Since, and an unchanged resource comes back as a 304
+    status row with no body — revalidation at header cost instead of a
+    refetch (RFC 9110 §13; pair with ``catalog``'s latest_capture or the
+    downloaded page store for the cached bytes)."""
     tp = transport or urllib_transport
     hdrs = merge_headers(headers, user_agent)
+    if accept_encoding:
+        if not any(k.lower() == "accept-encoding" for k in hdrs):
+            hdrs["Accept-Encoding"] = ACCEPT_ENCODING
     out_schema = StructType(list(urls.schema.fields) + FETCH_FIELDS)
     in_cols = [f.name for f in urls.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            finals, bodies, statuses, errors = [], [], [], []
-            for u in pdf[url_col]:
-                f, b, s, e = fetch_one(u, tp, hdrs, timeout)
-                finals.append(f)
-                bodies.append(b)
-                statuses.append(s)
-                errors.append(e)
+            cols = {name: [] for name in ("final_url", "html", "status", "fetch_error", "etag", "last_modified")}
+            etags = pdf[etag_col] if etag_col else None
+            lastmods = pdf[last_modified_col] if last_modified_col else None
+            for i, u in enumerate(pdf[url_col]):
+                row_hdrs = hdrs
+                cond_etag = etags.iloc[i] if etags is not None else None
+                cond_lm = lastmods.iloc[i] if lastmods is not None else None
+                if (cond_etag is not None and not pd.isna(cond_etag)) or (
+                    cond_lm is not None and not pd.isna(cond_lm)
+                ):
+                    row_hdrs = dict(hdrs)
+                    if cond_etag is not None and not pd.isna(cond_etag):
+                        row_hdrs["If-None-Match"] = str(cond_etag)
+                    if cond_lm is not None and not pd.isna(cond_lm):
+                        row_hdrs["If-Modified-Since"] = str(cond_lm)
+                f, b, s, e, tg, lm = fetch_one(u, tp, row_hdrs, timeout)
+                cols["final_url"].append(f)
+                cols["html"].append(b)
+                cols["status"].append(s)
+                cols["fetch_error"].append(e)
+                cols["etag"].append(tg)
+                cols["last_modified"].append(lm)
             out = pdf[in_cols].copy()
-            out["final_url"] = pd.Series(finals, index=pdf.index, dtype=object)
-            out["html"] = pd.Series(bodies, index=pdf.index, dtype=object)
-            out["status"] = pd.Series(statuses, index=pdf.index, dtype="int32")
-            out["fetch_error"] = pd.Series(errors, index=pdf.index, dtype=object)
+            for name in ("final_url", "html", "fetch_error", "etag", "last_modified"):
+                out[name] = pd.Series(cols[name], index=pdf.index, dtype=object)
+            out["status"] = pd.Series(cols["status"], index=pdf.index, dtype="int32")
             yield out
 
     return urls.mapInPandas(run, out_schema)

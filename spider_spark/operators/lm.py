@@ -70,7 +70,7 @@ def unigram_lm(
     log-prob `unk_log_prob` derives from the same totals.
 
     One explode + one groupBy (map-side combined); the totals ride a
-    broadcast 1-row cross join, so no second pass over the corpus.
+    broadcast 1-row hash join, so no second pass over the corpus.
     """
     counts = (
         reference.select(F.explode(col_lm_tokens(text_col)).alias("token"))
@@ -81,7 +81,9 @@ def unigram_lm(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
     denom = F.col("total") + F.lit(alpha) * (F.col("v") + F.lit(1))
-    return counts.crossJoin(F.broadcast(totals)).select(
+    from . import join_scalar_frame
+
+    return join_scalar_frame(counts, totals).select(
         "token",
         F.log((F.col("c") + F.lit(alpha)) / denom).alias("log_prob"),
         F.log(F.lit(alpha) / denom).alias("unk_log_prob"),

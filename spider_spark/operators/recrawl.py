@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["change_rate", "recrawl_intervals"]
+__all__ = ["change_rate", "recrawl_intervals", "col_http_date", "http_freshness"]
 
 
 def change_rate(
@@ -106,3 +106,117 @@ def recrawl_intervals(
         F.greatest(raw, F.lit(float(min_interval_s))), F.lit(float(max_interval_s))
     )
     return rates.withColumn("interval_s", clamped)
+
+
+# --- Server-declared freshness (RFC 9111 §4.2): the other recrawl signal ----
+# change_rate learns how often content ACTUALLY changes; HTTP caching
+# headers say how long the ORIGIN promises the response stays fresh. A
+# polite crawler honors the stronger of the two (don't refetch inside the
+# declared lifetime; revalidate with the stored validators via
+# fetch.live_fetch(etag_col=..., last_modified_col=...) once it lapses).
+
+#: IMF-fixdate (RFC 9110 §5.6.7, 'Sun, 06 Nov 1994 08:49:37 GMT') — the
+#: optional day name is stripped first (Spark's parser bans the day-name
+#: token), zone names parse under zzz and numeric offsets under Z, same
+#: discipline as feeds._RFC822_*.
+_HTTPDATE_ZONE = "dd MMM yyyy HH:mm:ss zzz"
+_HTTPDATE_OFFSET = "dd MMM yyyy HH:mm:ss Z"
+_HTTPDATE_DAY_PREFIX = r"^\s*[A-Za-z]{3},\s*"
+
+
+def col_http_date(raw: Column) -> Column:
+    """Lenient IMF-fixdate → timestamp; unparseable → NULL (try_to_timestamp
+    throughout — a garbage Date header must never abort a 100 TB scan)."""
+    no_day = F.regexp_replace(F.trim(raw), _HTTPDATE_DAY_PREFIX, "")
+    return F.coalesce(
+        F.try_to_timestamp(no_day, F.lit(_HTTPDATE_ZONE)),
+        F.try_to_timestamp(no_day, F.lit(_HTTPDATE_OFFSET)),
+    )
+
+
+def _cc_directive(cc: Column, name: str) -> Column:
+    """True iff the Cache-Control value contains `name` as its own
+    directive token (case-insensitive, comma list, never a substring of a
+    longer token — 'no-cache' must not fire on 'stale-while-revalidate'
+    and 'max-age' must not fire on 's-maxage')."""
+    return cc.rlike(rf"(?i)(?:^|[\s,]){name}(?:$|[\s,=;])")
+
+
+def _cc_seconds(cc: Column, name: str) -> Column:
+    """Integer argument of a `name=N` directive (optionally quoted), NULL
+    when absent/malformed."""
+    got = F.regexp_extract(cc, rf'(?i)(?:^|[\s,]){name}\s*=\s*"?(\d+)', 1)
+    return F.nullif(got, F.lit("")).cast("long")
+
+
+def http_freshness(
+    responses: DataFrame,
+    shared: bool = True,
+    heuristic_fraction: float = 0.1,
+    heuristic_cap_s: int = 7 * 24 * 3600,
+    cc_col: str = "cache_control",
+    expires_col: str = "expires",
+    date_col: str = "http_date",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """Freshness lifetime per response from its caching headers — RFC 9111
+    §4.2.1 precedence, appended as ``(freshness_s BIGINT, freshness_source
+    STRING)``:
+
+    1. ``no-store`` / ``no-cache`` → 0 (always revalidate; a crawler
+       treats qualified no-cache="field" the same — conservative).
+    2. ``s-maxage=N`` when ``shared=True`` (a crawl cache is a shared
+       cache), else skipped.
+    3. ``max-age=N``.
+    4. ``Expires − Date`` (clamped ≥ 0); an Expires that exists but does
+       not parse ('0', '-1' — the classic "already stale" idioms) is 0
+       per §5.3. A parseable Expires with an unparseable Date falls
+       through (no receipt-time column to substitute).
+    5. Heuristic §4.2.2: ``heuristic_fraction × (Date − Last-Modified)``
+       clamped to [0, heuristic_cap_s].
+    6. Otherwise freshness_s NULL, source 'none' (caller policy decides —
+       recrawl_intervals' change-rate estimate is the usual fallback).
+
+    The ``Age`` request/response header is deliberately NOT subtracted:
+    the crawler stores origin-declared lifetime and computes staleness
+    against its own capture wall-clock (latest_capture.committed_at), so
+    resident age is known exactly. Pure codegen — regex + date arithmetic,
+    no shuffle, no Python."""
+    cc = F.coalesce(F.col(cc_col), F.lit(""))
+    expires_raw = F.col(expires_col)
+    date_ts = col_http_date(F.col(date_col))
+    lm_ts = col_http_date(F.col(last_modified_col))
+    expires_ts = col_http_date(expires_raw)
+    expires_delta = F.greatest(
+        F.lit(0).cast("long"),
+        (expires_ts.cast("double") - date_ts.cast("double")).cast("long"),
+    )
+    heuristic = F.least(
+        F.greatest(
+            F.lit(0).cast("long"),
+            ((lm_ts.cast("double") - date_ts.cast("double")) * F.lit(-heuristic_fraction)).cast(
+                "long"
+            ),
+        ),
+        F.lit(int(heuristic_cap_s)).cast("long"),
+    )
+    chain = [
+        (_cc_directive(cc, "no-store"), F.lit(0).cast("long"), "no-store"),
+        (_cc_directive(cc, "no-cache"), F.lit(0).cast("long"), "no-cache"),
+    ]
+    if shared:
+        chain.append((_cc_seconds(cc, "s-maxage").isNotNull(), _cc_seconds(cc, "s-maxage"), "s-maxage"))
+    chain.extend(
+        [
+            (_cc_seconds(cc, "max-age").isNotNull(), _cc_seconds(cc, "max-age"), "max-age"),
+            (expires_raw.isNotNull() & expires_ts.isNull(), F.lit(0).cast("long"), "expires"),
+            (expires_ts.isNotNull() & date_ts.isNotNull(), expires_delta, "expires"),
+            (date_ts.isNotNull() & lm_ts.isNotNull(), heuristic, "heuristic"),
+        ]
+    )
+    fresh = F.lit(None).cast("long")
+    source = F.lit("none")
+    for cond, val, name in reversed(chain):
+        fresh = F.when(cond, val).otherwise(fresh)
+        source = F.when(cond, F.lit(name)).otherwise(source)
+    return responses.withColumn("freshness_s", fresh).withColumn("freshness_source", source)

@@ -115,12 +115,14 @@ def train_token_weights(
         F.coalesce("pos_n", F.lit(0)).alias("pos_n"),
         F.coalesce("neg_n", F.lit(0)).alias("neg_n"),
     )
-    # totals via a 1-row cross join (map-side; both sides already tiny)
+    # totals via a 1-row broadcast hash join (map-side; both sides tiny)
     totals = joined.agg(
         F.sum("pos_n").alias("pos_tot"), F.sum("neg_n").alias("neg_tot")
     )
     b = float(n_buckets)
-    return joined.crossJoin(F.broadcast(totals)).select(
+    from . import join_scalar_frame
+
+    return join_scalar_frame(joined, totals).select(
         "bucket",
         (
             F.log((F.col("pos_n") + alpha) / (F.col("pos_tot") + alpha * b))
@@ -206,10 +208,12 @@ def dsir_log_weights(
     # with count 0, so no driver-side total is ever needed)
     q_tot = q_cnt.agg(F.sum("qn").alias("qtot"))
     p_tot = p_cnt.agg(F.sum("pn").alias("ptot"))
+    from . import join_scalar_frame
+
     ratios = (
-        q_cnt.join(p_cnt, "bucket", "full")
-        .crossJoin(F.broadcast(q_tot))
-        .crossJoin(F.broadcast(p_tot))
+        join_scalar_frame(
+            join_scalar_frame(q_cnt.join(p_cnt, "bucket", "full"), q_tot), p_tot
+        )
         .select(
             "bucket",
             (

@@ -30,6 +30,13 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from .synth import PAGES_SCHEMA
 
@@ -90,12 +97,14 @@ def build_warc(records: list[tuple[str, _dt.datetime, bytes]], compress: bool = 
     return out.getvalue()
 
 
-def parse_warc(data: bytes) -> Iterator[tuple[str, _dt.datetime, bytes]]:
-    """Yield (url, warc_ts, html_bytes) from WARC bytes (plain or gzipped,
-    including per-record gzip members). Non-``response`` records
-    (warcinfo, request, metadata) are skipped. Framing is strictly by
+def _iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Walk WARC bytes (plain or gzipped) record by record, yielding
+    (lowercased header dict, payload bytes). Framing is strictly by
     Content-Length — record payloads are never scanned for delimiters, so
-    binary bodies containing ``WARC/1.0`` can't desync the parser."""
+    binary bodies containing ``WARC/1.0`` can't desync the parser. A
+    corrupt Content-Length makes the rest of the file unframeable — stop
+    (yielding what we have) instead of raising and killing the whole
+    ingestion task."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     pos, n = 0, len(data)
@@ -117,19 +126,27 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, _dt.datetime, bytes]]:
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
-            # a corrupt Content-Length makes the rest of the file
-            # unframeable — stop parsing this file (yielding what we have)
-            # instead of raising and killing the whole ingestion task
             break
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
+        yield headers, payload
+
+
+def _http_body(payload: bytes) -> bytes:
+    http_end = payload.find(_CRLF + _CRLF)
+    return payload[http_end + 4 :] if http_end >= 0 else payload
+
+
+def parse_warc(data: bytes) -> Iterator[tuple[str, _dt.datetime, bytes]]:
+    """Yield (url, warc_ts, html_bytes) from WARC bytes (plain or gzipped,
+    including per-record gzip members). Non-``response`` records
+    (warcinfo, request, revisit, metadata) are skipped."""
+    for headers, payload in _iter_records(data):
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
         ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
-        http_end = payload.find(_CRLF + _CRLF)
-        html = payload[http_end + 4 :] if http_end >= 0 else payload
-        yield url, ts, html
+        yield url, ts, _http_body(payload)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -182,6 +199,231 @@ def roundtrip_pages(pages: DataFrame, compress: bool = False) -> DataFrame:
     )
 
 
+# --- Revisit records (WARC 1.1 §6.7.2): the archive-side dedup --------------
+# A real crawl refetches unchanged pages constantly; web archives store the
+# payload ONCE and write a bodiless `revisit` record for every later
+# identical capture, pointing back at the stored one. At 100 TB this is the
+# difference between an archive that grows with crawl frequency and one
+# that grows with actual change.
+
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+_REVISIT_FIELDS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("kind", StringType(), False),  # response | revisit
+        StructField("html", BinaryType(), True),  # null on revisit rows
+        StructField("digest", StringType(), False),
+        StructField("refers_to_url", StringType(), True),
+        StructField("refers_to_ts", TimestampType(), True),
+    ]
+)
+
+
+def payload_digest(html: bytes) -> str:
+    """WARC-Payload-Digest value: labelled sha256 hex (matches the CDX
+    index's digest column byte-for-byte after the label strip)."""
+    return "sha256:" + hashlib.sha256(html).hexdigest()
+
+
+def build_revisit_record(
+    url: str,
+    warc_ts: _dt.datetime,
+    digest: str,
+    refers_to_url: str,
+    refers_to_ts: _dt.datetime,
+    status: int = 200,
+) -> bytes:
+    """One WARC ``revisit`` record under the identical-payload-digest
+    profile: HTTP response headers only, NO body — the payload lives in
+    the referred-to ``response`` record. Deterministic like
+    ``build_record`` (record id from the URL+date, no wall clock)."""
+    rid = hashlib.md5(f"{url}@{_warc_date(warc_ts)}".encode("utf-8")).hexdigest()
+    http = (
+        f"HTTP/1.1 {status} OK\r\n" f"Content-Type: text/html; charset=utf-8\r\n\r\n"
+    ).encode("ascii")
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        + f"WARC-Profile: {REVISIT_PROFILE}\r\n".encode("ascii")
+        + f"WARC-Record-ID: <urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>\r\n".encode("ascii")
+        + f"WARC-Date: {_warc_date(warc_ts)}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + f"WARC-Payload-Digest: {digest}\r\n".encode("ascii")
+        + f"WARC-Refers-To-Target-URI: {refers_to_url}\r\n".encode("ascii")
+        + f"WARC-Refers-To-Date: {_warc_date(refers_to_ts)}\r\n".encode("ascii")
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode("ascii")
+    )
+    return headers + _CRLF + http + _CRLF + _CRLF
+
+
+def build_archive(rows: list[dict], compress: bool = False) -> bytes:
+    """Rows from a :func:`revisit_plan` (dicts with url/warc_ts/kind/html/
+    digest/refers_to_url/refers_to_ts) → one WARC blob mixing ``response``
+    and ``revisit`` records. Deterministic for fixtures, like
+    ``build_warc``."""
+    out = io.BytesIO()
+    for r in rows:
+        if r["kind"] == "revisit":
+            rec = build_revisit_record(
+                r["url"], r["warc_ts"], r["digest"], r["refers_to_url"], r["refers_to_ts"]
+            )
+        else:
+            rec = build_record(r["url"], r["warc_ts"], r["html"])
+        if compress:
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def parse_archive(data: bytes) -> Iterator[dict]:
+    """Yield response AND revisit records as dicts shaped like
+    ``_REVISIT_FIELDS`` rows. Response records get their digest computed
+    (so hydration joins never trust a possibly-absent header); revisit
+    records surface their stored WARC-Payload-Digest and Refers-To
+    pointers with a null body."""
+    for headers, payload in _iter_records(data):
+        kind = headers.get("warc-type")
+        if kind not in ("response", "revisit"):
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
+        if kind == "response":
+            body = _http_body(payload)
+            yield {
+                "url": url,
+                "warc_ts": ts,
+                "kind": "response",
+                "html": body,
+                "digest": payload_digest(body),
+                "refers_to_url": None,
+                "refers_to_ts": None,
+            }
+        else:
+            yield {
+                "url": url,
+                "warc_ts": ts,
+                "kind": "revisit",
+                "html": None,
+                "digest": headers.get("warc-payload-digest", ""),
+                "refers_to_url": headers.get("warc-refers-to-target-uri"),
+                "refers_to_ts": _parse_warc_date(
+                    headers.get("warc-refers-to-date", "1970-01-01T00:00:00Z")
+                ),
+            }
+
+
+def revisit_plan(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts", html_col: str = "html"
+) -> DataFrame:
+    """Decide, per capture, whether to store the payload or a revisit
+    pointer: the FIRST capture of each distinct payload (by timestamp,
+    URL tiebreak — deterministic under any partitioning) becomes the
+    stored ``response``; every later identical capture becomes a
+    ``revisit`` referring to it. Output: ``_REVISIT_FIELDS`` shape.
+
+    Scale shape: one partial-aggregable groupBy on the digest (min_by of
+    a (ts, url) struct — never a per-digest window sort), then one
+    equi-join of captures back to their group's winner. Payload bytes
+    hash once in projection; the digest shuffle carries
+    (digest, ts, url) — never the bodies twice."""
+    d = F.concat(F.lit("sha256:"), F.sha2(F.col(html_col), 256))
+    caps = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(html_col).alias("html"),
+        d.alias("digest"),
+    )
+    first = (
+        caps.groupBy("digest")
+        .agg(F.min(F.struct("warc_ts", "url")).alias("_w"))
+        .select("digest", F.col("_w.url").alias("_furl"), F.col("_w.warc_ts").alias("_fts"))
+    )
+    out = caps.join(first, "digest").select(
+        "url",
+        "warc_ts",
+        F.when(
+            (F.col("url") == F.col("_furl")) & (F.col("warc_ts") == F.col("_fts")),
+            F.lit("response"),
+        )
+        .otherwise(F.lit("revisit"))
+        .alias("kind"),
+        F.col("html"),
+        "digest",
+        "_furl",
+        "_fts",
+    )
+    return out.select(
+        "url",
+        "warc_ts",
+        "kind",
+        F.when(F.col("kind") == "response", F.col("html")).alias("html"),
+        "digest",
+        F.when(F.col("kind") == "revisit", F.col("_furl")).alias("refers_to_url"),
+        F.when(F.col("kind") == "revisit", F.col("_fts")).alias("refers_to_ts"),
+    )
+
+
+def hydrate_revisits(records: DataFrame) -> DataFrame:
+    """Inverse of :func:`revisit_plan`: restore full (url, warc_ts, html)
+    captures from a mixed response/revisit record table. Revisit rows
+    equi-join to their stored response on (refers_to_url, refers_to_ts)
+    — the WARC 1.1 resolution rule — and take its body; an orphaned
+    revisit (its response record lost) keeps a NULL body rather than
+    vanishing, so archive damage is visible, not silent. One equi-join,
+    bodies shuffle once (only the stored side carries them)."""
+    resp = records.filter(F.col("kind") == "response").select(
+        F.col("url").alias("refers_to_url"),
+        F.col("warc_ts").alias("refers_to_ts"),
+        F.col("html").alias("_stored"),
+    )
+    rev = (
+        records.filter(F.col("kind") == "revisit")
+        .join(resp, ["refers_to_url", "refers_to_ts"], "left")
+        .select("url", "warc_ts", F.col("_stored").alias("html"))
+    )
+    return records.filter(F.col("kind") == "response").select(
+        "url", "warc_ts", "html"
+    ).unionByName(rev)
+
+
+def archive_roundtrip(pages: DataFrame, compress: bool = False) -> DataFrame:
+    """revisit_plan → serialize (one blob per Arrow batch) → parse_archive,
+    entirely inside executors — the distributed test surface for the
+    revisit write/read path, like ``roundtrip_pages`` for plain WARC.
+    Feed the result to :func:`hydrate_revisits` to recover full pages."""
+    import pandas as pd
+
+    plan = revisit_plan(pages)
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _REVISIT_FIELDS.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    {
+                        "url": r.url,
+                        "warc_ts": r.warc_ts.to_pydatetime(),
+                        "kind": r.kind,
+                        "html": bytes(r.html) if r.html is not None else None,
+                        "digest": r.digest,
+                        "refers_to_url": r.refers_to_url,
+                        "refers_to_ts": r.refers_to_ts.to_pydatetime()
+                        if r.refers_to_ts is not None and not pd.isna(r.refers_to_ts)
+                        else None,
+                    }
+                )
+            blob = build_archive(rows, compress=compress)
+            yield pd.DataFrame(list(parse_archive(blob)), columns=cols)
+
+    return plan.mapInPandas(rt, _REVISIT_FIELDS)
+
+
 # --- CDX-style archive index (the companion artifact to WARC: web archives
 # ship a sorted URL index so lookups don't scan segments) --------------------
 
@@ -227,6 +469,60 @@ def cdx_index(
         )
         .orderBy("surt", "cdx_ts")
     )
+
+
+#: measured gate for broadcasting the lookup side of cdx_lookup — the same
+#: limit-bounded-count discipline as Crawler.redirect_broadcast_rows
+CDX_QUERY_BROADCAST_ROWS = 100_000
+
+
+def cdx_lookup(
+    index: DataFrame,
+    prefixes: DataFrame,
+    prefix_col: str = "prefix",
+    latest_only: bool = False,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Archive lookup over a :func:`cdx_index` table: for each SURT prefix,
+    every capture whose ``surt`` starts with it —
+    ``(prefix, surt, cdx_ts, url, digest)``.
+
+    Scale shape: a naive ``startswith`` join is a nested loop over the
+    whole archive. Instead both sides derive the SURT HOST KEY (everything
+    before ``)``) and EQUI-join on it — the index shuffles on host hash
+    (or the query side broadcasts under a measured ``limit(N+1).count()``
+    gate), and the prefix test runs as a post-join codegen filter within
+    the matched host. This is the CDX-server key convention: exact-URL and
+    path-prefix queries (``com,example,www)/docs/…``) share the host key,
+    so each prefix MUST include the full host part up to ``)``.
+    Domain-level queries (``matchType=domain``) key differently — run them
+    as a ``startswith`` filter scan instead, where parquet min/max pruning
+    over the (surt-sorted) index files bounds the read.
+
+    ``latest_only=True`` keeps only the newest capture per (prefix, surt)
+    — one partial-agg ``max_by``, the CDX ``limit=1 sort=reverse`` idiom.
+    """
+    q = prefixes.select(F.col(prefix_col).alias("prefix"))
+    if broadcast is None:
+        broadcast = (
+            q.limit(CDX_QUERY_BROADCAST_ROWS + 1).count() <= CDX_QUERY_BROADCAST_ROWS
+        )
+    qk = q.withColumn("_hk", F.substring_index("prefix", ")", 1))
+    qk = F.broadcast(qk) if broadcast else qk
+    ik = index.withColumn("_hk", F.substring_index("surt", ")", 1))
+    hits = (
+        ik.join(qk, "_hk")
+        .filter(F.col("surt").startswith(F.col("prefix")))
+        .select("prefix", "surt", "cdx_ts", "url", "digest")
+    )
+    if not latest_only:
+        return hits
+    latest = (
+        hits.groupBy("prefix", "surt")
+        .agg(F.max_by(F.struct("cdx_ts", "url", "digest"), "cdx_ts").alias("_m"))
+        .select("prefix", "surt", "_m.cdx_ts", "_m.url", "_m.digest")
+    )
+    return latest
 
 
 # --- WET (extracted-text conversion records): the third Common Crawl

@@ -22,7 +22,7 @@ def test_fetch_one_follows_redirects_to_final_url():
         {"https://a.test/page": b"<html>hi</html>"},
         {"https://a.test/r1": "https://a.test/r2", "https://a.test/r2": "https://a.test/page"},
     )
-    final, html, status, err = fetch.fetch_one(
+    final, html, status, err, _etag, _lm = fetch.fetch_one(
         "https://a.test/r1", tp, fetch.DEFAULT_HEADERS, 5.0
     )
     assert (final, html, status, err) == ("https://a.test/page", b"<html>hi</html>", 200, None)
@@ -32,7 +32,7 @@ def test_fetch_one_redirect_limit_is_599():
     # a 6-hop chain: five follows allowed, the 6th response still redirects
     chain = {f"https://a.test/h{i}": f"https://a.test/h{i+1}" for i in range(6)}
     tp = fetch.make_table_transport({"https://a.test/h6": b"x"}, chain)
-    final, html, status, err = fetch.fetch_one(
+    final, html, status, err, _etag, _lm = fetch.fetch_one(
         "https://a.test/h0", tp, fetch.DEFAULT_HEADERS, 5.0
     )
     assert status == 599 and html is None and "redirect" in err
@@ -44,7 +44,7 @@ def test_fetch_one_redirect_limit_is_599():
 
 def test_fetch_one_http_error_is_status_row():
     tp = fetch.make_table_transport({})
-    final, html, status, err = fetch.fetch_one(
+    final, html, status, err, _etag, _lm = fetch.fetch_one(
         "https://a.test/missing", tp, fetch.DEFAULT_HEADERS, 5.0
     )
     assert status == 404 and html is None and err == "HTTP 404"
@@ -54,7 +54,7 @@ def test_fetch_one_transport_exception_is_599():
     def boom(url, headers, timeout):
         raise TimeoutError("connect timed out")
 
-    final, html, status, err = fetch.fetch_one("https://a.test/", boom, {}, 1.0)
+    final, html, status, err, _etag, _lm = fetch.fetch_one("https://a.test/", boom, {}, 1.0)
     assert status == 599 and "TimeoutError" in err
 
 
@@ -66,7 +66,7 @@ def test_fetch_one_relative_location_resolves_against_current_hop():
             return 200, {}, b"ok"
         return 404, {}, b""
 
-    final, html, status, err = fetch.fetch_one(
+    final, html, status, err, _etag, _lm = fetch.fetch_one(
         "https://a.test/dir/start", tp, {}, 5.0
     )
     assert (final, status) == ("https://a.test/other/page", 200)
@@ -172,3 +172,104 @@ def test_crawl_tick_live_adapter_matches_join_adapter(spark, tmp_path):
     sj = {r.url_canon for r in cj.seen().collect()}
     sl = {r.url_canon for r in cl.seen().collect()}
     assert sj == sl
+
+
+# --- content-encoding + conditional revalidation ----------------------------
+
+
+def test_fetch_one_decodes_gzip_and_deflate():
+    import gzip as _gzip
+    import zlib as _zlib
+
+    def tp(url, headers, timeout):
+        if url.endswith("/gz"):
+            return 200, {"Content-Encoding": "gzip"}, _gzip.compress(b"<html>gz</html>")
+        if url.endswith("/zl"):
+            return 200, {"content-encoding": "deflate"}, _zlib.compress(b"<html>zl</html>")
+        if url.endswith("/raw-deflate"):
+            co = _zlib.compressobj(wbits=-_zlib.MAX_WBITS)
+            return 200, {"Content-Encoding": "deflate"}, co.compress(b"<html>raw</html>") + co.flush()
+        if url.endswith("/bad"):
+            return 200, {"Content-Encoding": "gzip"}, b"not gzip at all"
+        if url.endswith("/br"):
+            return 200, {"Content-Encoding": "br"}, b"\x00"
+        return 404, {}, b""
+
+    assert fetch.fetch_one("https://a.test/gz", tp, {}, 5.0)[1] == b"<html>gz</html>"
+    assert fetch.fetch_one("https://a.test/zl", tp, {}, 5.0)[1] == b"<html>zl</html>"
+    assert fetch.fetch_one("https://a.test/raw-deflate", tp, {}, 5.0)[1] == b"<html>raw</html>"
+    # undecodable body → 599 status row, never a raised task failure
+    assert fetch.fetch_one("https://a.test/bad", tp, {}, 5.0)[2] == 599
+    # unadvertised/unsupported coding (brotli absent in this container) → 599
+    _, body, status, err, _, _ = fetch.fetch_one("https://a.test/br", tp, {}, 5.0)
+    assert status == 599 and "content-encoding" in err
+
+
+def test_fetch_one_captures_validators_and_304():
+    tp = fetch.make_table_transport(
+        {"https://a.test/x": b"<html>v1</html>"},
+        etags={"https://a.test/x": '"abc123"'},
+        last_modified={"https://a.test/x": "Mon, 02 Jan 2006 15:04:05 GMT"},
+    )
+    final, html, status, err, etag, lm = fetch.fetch_one(
+        "https://a.test/x", tp, fetch.DEFAULT_HEADERS, 5.0
+    )
+    assert status == 200 and etag == '"abc123"' and lm.startswith("Mon, 02 Jan")
+    # send the stored validator back → 304, no body, no error
+    cond = dict(fetch.DEFAULT_HEADERS, **{"If-None-Match": '"abc123"'})
+    final, html, status, err, etag, lm = fetch.fetch_one("https://a.test/x", tp, cond, 5.0)
+    assert (status, html, err) == (304, None, None)
+    assert etag == '"abc123"'  # origin repeats validators on 304 (RFC 9110)
+    # a STALE validator refetches in full
+    stale = dict(fetch.DEFAULT_HEADERS, **{"If-None-Match": '"old"'})
+    assert fetch.fetch_one("https://a.test/x", tp, stale, 5.0)[2] == 200
+    # If-Modified-Since alone also revalidates
+    ims = dict(fetch.DEFAULT_HEADERS, **{"If-Modified-Since": "Mon, 02 Jan 2006 15:04:05 GMT"})
+    assert fetch.fetch_one("https://a.test/x", tp, ims, 5.0)[2] == 304
+
+
+def test_live_fetch_conditional_columns(spark):
+    tp = fetch.make_table_transport(
+        {"https://a.test/a": b"<html>a</html>", "https://a.test/b": b"<html>b</html>"},
+        etags={"https://a.test/a": '"ea"', "https://a.test/b": '"eb"'},
+    )
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url_canon": ["https://a.test/a", "https://a.test/b"],
+                "stored_etag": ['"ea"', None],  # a: current validator; b: none stored
+            }
+        )
+    )
+    rows = {
+        r.url_canon: r
+        for r in fetch.live_fetch(urls, tp, etag_col="stored_etag").collect()
+    }
+    a, b = rows["https://a.test/a"], rows["https://a.test/b"]
+    assert a.status == 304 and a.html is None and a.etag == '"ea"'
+    assert b.status == 200 and bytes(b.html) == b"<html>b</html>" and b.etag == '"eb"'
+
+
+def test_live_fetch_serves_gzip_transparently(spark):
+    tp = fetch.make_table_transport(
+        {"https://a.test/x": b"<html>zipped</html>"}, gzip_urls={"https://a.test/x"}
+    )
+    urls = spark.createDataFrame(pd.DataFrame({"url_canon": ["https://a.test/x"]}))
+    row = fetch.live_fetch(urls, tp).collect()[0]
+    assert row.status == 200 and bytes(row.html) == b"<html>zipped</html>"
+
+
+def test_accept_encoding_advertised_but_user_header_wins():
+    captured = {}
+
+    def tp(url, headers, timeout):
+        captured.update(headers)
+        return 200, {}, b"ok"
+
+    # default: advertised with stdlib-decodable codings only
+    h = fetch.merge_headers(None)
+    assert "Accept-Encoding" not in h  # NOT in the verbatim simple.ts set
+    # live_fetch adds it (checked via the behavior-level test above); at
+    # the merge level a user-supplied value must survive
+    user = fetch.merge_headers({"Accept-Encoding": "identity"})
+    assert user["Accept-Encoding"] == "identity"

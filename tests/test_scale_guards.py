@@ -68,11 +68,14 @@ def test_decontaminate_gate_both_sides(spark, no_auto_broadcast, monkeypatch):
 def test_doc_cross_entropy_gate_both_sides(spark, no_auto_broadcast, monkeypatch):
     docs = _docs(spark)
     model = lmod.unigram_lm(docs)
+    # The gate governs the VOCAB join (key: token). The model plan also
+    # carries unigram_lm's intentional 1-row totals broadcast (keyed on
+    # __scalar_key), so assert on the token-keyed join specifically.
     under = lmod.doc_cross_entropy(docs, model)
-    assert "BroadcastHashJoin" in _physical(under)
+    assert "BroadcastHashJoin [token" in _physical(under)
     monkeypatch.setattr(lmod, "LM_BROADCAST_ROWS", 1)
     over = lmod.doc_cross_entropy(docs, model)
-    assert "BroadcastHashJoin" not in _physical(over)
+    assert "BroadcastHashJoin [token" not in _physical(over)
     u = {r.doc_id: round(r.ce_nats, 10) for r in under.collect()}
     o = {r.doc_id: round(r.ce_nats, 10) for r in over.collect()}
     assert u == o

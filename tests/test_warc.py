@@ -144,3 +144,133 @@ def test_warc_pages_drive_a_crawl_tick(spark, tmp_path):
     c = Crawler(spark, ingested, str(tmp_path / "ckpt"), cfg)
     stats = c.run(synth.seed_urls(40, 2), max_ticks=2)
     assert sum(s.ok for s in stats) > 0
+
+
+def _lookup_fixture(spark):
+    """Two hosts, two captures of one URL (for latest_only), plus a
+    same-host URL outside every queried path prefix."""
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/docs/1", TS, b"<html>v1</html>"),
+            ("https://a.test/docs/1", TS + dt.timedelta(days=1), b"<html>v2</html>"),
+            ("https://a.test/docs/2", TS, b"<html>d2</html>"),
+            ("https://a.test/other/9", TS, b"<html>no</html>"),
+            ("https://b.test/docs/1", TS, b"<html>bb</html>"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    index = warc.cdx_index(pages)
+    prefixes = spark.createDataFrame([("test,a)/docs/",), ("test,c)/",)], "prefix string")
+    return index, prefixes
+
+
+def test_cdx_lookup_prefix_scoped_to_host_key(spark):
+    """Only a.test /docs/ captures match; b.test and /other/ excluded;
+    the unmatched prefix test,c)/ yields nothing (inner join)."""
+    index, prefixes = _lookup_fixture(spark)
+    rows = warc.cdx_lookup(index, prefixes).orderBy("surt", "cdx_ts").collect()
+    assert [(r.surt, r.cdx_ts) for r in rows] == [
+        ("test,a)/docs/1", "20240101120000"),
+        ("test,a)/docs/1", "20240102120000"),
+        ("test,a)/docs/2", "20240101120000"),
+    ]
+    assert all(r.prefix == "test,a)/docs/" for r in rows)
+
+
+def test_cdx_lookup_latest_only_keeps_newest_capture(spark):
+    import hashlib
+
+    index, prefixes = _lookup_fixture(spark)
+    rows = warc.cdx_lookup(index, prefixes, latest_only=True).orderBy("surt").collect()
+    assert [(r.surt, r.cdx_ts) for r in rows] == [
+        ("test,a)/docs/1", "20240102120000"),
+        ("test,a)/docs/2", "20240101120000"),
+    ]
+    assert rows[0].digest == hashlib.sha256(b"<html>v2</html>").hexdigest()
+
+
+def test_cdx_lookup_broadcast_gate_plans_and_parity(spark):
+    """broadcast=True plans a broadcast join of the prefix side;
+    broadcast=False shuffles on the host key — identical rows either way."""
+    index, prefixes = _lookup_fixture(spark)
+    bc = warc.cdx_lookup(index, prefixes, broadcast=True)
+    sh = warc.cdx_lookup(index, prefixes, broadcast=False)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in sh._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+
+# --- Revisit records (WARC 1.1 §6.7.2, identical-payload-digest) ------------
+
+
+def test_revisit_record_roundtrip_bytes():
+    """build_revisit_record → parse_archive surfaces the pointers; the
+    stored response's digest is recomputed from its body."""
+    body = b"<html>once</html>"
+    resp = warc.build_record("https://a.test/p", TS, body)
+    rev = warc.build_revisit_record(
+        "https://a.test/p",
+        TS + dt.timedelta(days=1),
+        warc.payload_digest(body),
+        "https://a.test/p",
+        TS,
+    )
+    recs = list(warc.parse_archive(resp + rev))
+    assert [r["kind"] for r in recs] == ["response", "revisit"]
+    assert recs[0]["digest"] == recs[1]["digest"] == warc.payload_digest(body)
+    assert recs[1]["html"] is None
+    assert recs[1]["refers_to_url"] == "https://a.test/p"
+    assert recs[1]["refers_to_ts"] == TS
+    # plain parse_warc skips the bodiless revisit entirely
+    assert len(list(warc.parse_warc(resp + rev))) == 1
+
+
+def test_revisit_plan_first_capture_wins(spark):
+    """Identical payloads collapse to one stored response (earliest ts,
+    url tiebreak); distinct payloads all store."""
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/1", TS + dt.timedelta(days=1), b"same"),
+            ("https://b.test/1", TS, b"same"),
+            ("https://b.test/2", TS, b"same"),  # ts tie → url order
+            ("https://c.test/1", TS, b"other"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    rows = {r.url: r for r in warc.revisit_plan(pages).collect()}
+    assert rows["https://b.test/1"].kind == "response"
+    assert rows["https://b.test/2"].kind == "revisit"
+    assert rows["https://a.test/1"].kind == "revisit"
+    assert rows["https://c.test/1"].kind == "response"
+    assert rows["https://a.test/1"].refers_to_url == "https://b.test/1"
+    assert rows["https://a.test/1"].html is None
+    assert bytes(rows["https://c.test/1"].html) == b"other"
+
+
+def test_archive_roundtrip_and_hydration_restores_pages(spark):
+    """pages → revisit_plan → WARC bytes → parse → hydrate ≡ pages, with
+    payload bytes stored exactly once per distinct digest."""
+    pages = synth.generate_pages(spark, 30, n_hosts=3).select("url", "warc_ts", "html")
+    dup = pages.limit(10).select(
+        F.concat(F.col("url"), F.lit("?copy=1")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        "html",
+    )
+    allp = pages.unionByName(dup)
+    recs = warc.archive_roundtrip(allp, compress=True).persist()
+    kinds = {r["kind"]: r["count"] for r in recs.groupBy("kind").count().collect()}
+    assert kinds == {"response": 30, "revisit": 10}
+    got = warc.hydrate_revisits(recs)
+    want = allp.select("url", "warc_ts", F.sha2("html", 256).alias("d"))
+    have = got.select("url", "warc_ts", F.sha2("html", 256).alias("d"))
+    assert want.exceptAll(have).count() == 0 and have.exceptAll(want).count() == 0
+    recs.unpersist()
+
+
+def test_hydrate_orphan_revisit_keeps_null_body(spark):
+    recs = spark.createDataFrame(
+        [("https://x.test/a", TS, "revisit", None, "sha256:dead", "https://gone.test/", TS)],
+        warc._REVISIT_FIELDS,
+    )
+    rows = warc.hydrate_revisits(recs).collect()
+    assert len(rows) == 1 and rows[0].html is None
