@@ -2116,6 +2116,28 @@ def q_mojibake_repair(spark, sf_dir):
     )
 
 
+def q_nb_langid(spark, sf_dir):
+    """Trained char-trigram Naive Bayes language ID
+    (operators/langid.py): train on the deterministic 80% split
+    (doc_id % 10 < 8) of `documents` using its `lang` labels, score the
+    held-out 20%. Pure Catalyst train AND score, so the DuckDB oracle
+    replays the whole pipeline (Lidstone smoothing, per-label unknown
+    mass, prior-only gram-less docs, (score, label)-greatest argmax)
+    end-to-end. Scores rounded to 4 decimals — summation order differs
+    between engines and doubles carry ~1e-9 absolute error at these
+    magnitudes."""
+    from spider_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 < 8)
+    probe = docs.where(F.col("doc_id") % 10 >= 8)
+    grams, labels = langid.train_nb_langid(train)
+    preds = langid.nb_classify(probe, grams, labels)
+    return preds.select(
+        "doc_id", "pred_label", F.round("score", 4).alias("score_r")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2212,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "unicode_nfc": q_unicode_nfc,
         "mojibake_repair": q_mojibake_repair,
+        "nb_langid_train_score": q_nb_langid,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -3812,6 +3835,66 @@ def oracle_sql() -> dict[str, str]:
                                            || COALESCE(text, '')), 1, 8))::UBIGINT)
                      AS checksum
             FROM documents GROUP BY shard
+        """,
+        # Full NB train+score replay: same 80/20 split, same Lidstone
+        # smoothing, same per-label unknown mass, same prior-only path
+        # for gram-less docs, same (score DESC, label DESC) argmax.
+        "nb_langid_train_score": """
+            WITH train AS (
+              SELECT lang AS label, substr(text, 1, 1000) AS head
+              FROM documents WHERE doc_id % 10 < 8
+            ), exploded AS (
+              SELECT label, substr(head, CAST(i AS INT), 3) AS gram
+              FROM (SELECT label, head,
+                           unnest(generate_series(1, length(head) - 2)) AS i
+                    FROM train WHERE length(head) >= 3)
+            ), counts AS (
+              SELECT label, gram, COUNT(*) AS c FROM exploded GROUP BY 1, 2
+            ), vocab AS (
+              SELECT COUNT(DISTINCT gram) AS v_all FROM counts
+            ), denom_side AS (
+              SELECT label, total + 0.5 * (v_all + 1) AS denom
+              FROM (SELECT label, SUM(c) AS total FROM counts GROUP BY 1), vocab
+            ), grams AS (
+              SELECT c.label, c.gram, ln((c.c + 0.5) / d.denom) AS log_prob
+              FROM counts c JOIN denom_side d USING (label)
+            ), labels AS (
+              SELECT ld.label,
+                     ln(ld.docs / nd.n_docs) AS log_prior,
+                     ln(0.5 / d.denom) AS unk_log_prob
+              FROM (SELECT lang AS label, COUNT(*) AS docs
+                    FROM documents WHERE doc_id % 10 < 8 GROUP BY 1) ld
+              CROSS JOIN (SELECT COUNT(*) AS n_docs
+                          FROM documents WHERE doc_id % 10 < 8) nd
+              JOIN denom_side d USING (label)
+            ), probe AS (
+              SELECT doc_id, substr(text, 1, 1000) AS head
+              FROM documents WHERE doc_id % 10 >= 8
+            ), probe_grams AS (
+              SELECT doc_id, substr(head, CAST(i AS INT), 3) AS gram
+              FROM (SELECT doc_id, head,
+                           unnest(generate_series(1, length(head) - 2)) AS i
+                    FROM probe WHERE length(head) >= 3)
+            ), per_label AS (
+              SELECT pg.doc_id, l.label,
+                     SUM(COALESCE(g.log_prob, l.unk_log_prob)) AS gram_ll
+              FROM probe_grams pg
+              CROSS JOIN labels l
+              LEFT JOIN grams g ON g.gram = pg.gram AND g.label = l.label
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT p.doc_id, l.label,
+                     l.log_prior + COALESCE(pl.gram_ll, 0.0) AS score
+              FROM probe p
+              CROSS JOIN labels l
+              LEFT JOIN per_label pl
+                ON pl.doc_id = p.doc_id AND pl.label = l.label
+            )
+            SELECT doc_id, label AS pred_label, ROUND(score, 4) AS score_r
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, label DESC) AS rn
+                  FROM scored)
+            WHERE rn = 1
         """,
     }
 

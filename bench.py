@@ -167,6 +167,12 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "feed_discovery",
         "cdx_lookup_latest",
         "http_freshness",
+        "sequence_pack_chunks",
+        "pack_bins_ffd",
+        "shard_manifest",
+        "unicode_nfc",
+        "mojibake_repair",
+        "nb_langid_train_score",
     ]
     out = {}
     for name in names:
