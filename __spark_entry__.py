@@ -2138,6 +2138,68 @@ def q_nb_langid(spark, sf_dir):
     )
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Release data card (operators/datacard.py): per-(source, lang) /
+    per-source / grand-total doc, token, char counts + length bands,
+    all grouping sets in ONE rollup pass (single Exchange — asserted in
+    tests). Exact aggregates only, so DuckDB's GROUP BY ROLLUP replays
+    it bit-for-bit (GROUPING() shares grouping_id()'s bit encoding)."""
+    from spider_spark.operators import datacard
+
+    return datacard.corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.py): sources are hosts,
+    md5-prefix(text) the content fingerprint. Mirrors are PLANTED
+    deterministically — every 5th doc is re-served by '<source>-m' —
+    and a boilerplate fingerprint (fp 42) is planted on EVERY host so
+    the hot-fp guard provably fires (20 sources > MAX_HOSTS_PER_FP=16;
+    without the guard every host pair would share it). The oracle
+    replays plant → profile → guard → pair census → overlap."""
+    from spider_spark.operators import mirrors
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    real = docs.select(F.col("source").alias("host"), fp.alias("content_fp"))
+    mirrored = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.col("source"), F.lit("-m")).alias("host"),
+        fp.alias("content_fp"),
+    )
+    boiler = docs.select(F.col("source").alias("host")).union(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.col("source"), F.lit("-m")).alias("host")
+        )
+    ).distinct().select("host", F.lit(42).cast("long").alias("content_fp"))
+    pages = real.union(mirrored).union(boiler)
+    return mirrors.mirror_candidates(pages, min_overlap=0.5, min_shared=3)
+
+
+def q_soft404_screen(spark, sf_dir):
+    """Soft-404 screening (textqc.soft404_flags): error phrases are
+    planted on every 7th doc (every 11th doc gets a REAL 404 status so
+    the 200-gate is exercised), tiny pages on doc_id%7==1. The oracle
+    inlines the SAME SOFT404_RE — Java regex and DuckDB RE2 agree on
+    this ASCII alternation with (?i) and word boundaries."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("Sorry, Page Not Found. "), F.col("text")),
+        )
+        .when(F.col("doc_id") % 7 == 1, F.lit("tiny landing page"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textqc.soft404_flags(salted).select(
+        "doc_id", "s404_phrase", "suspect_tiny", "soft404"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2235,6 +2297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "mojibake_repair": q_mojibake_repair,
         "nb_langid_train_score": q_nb_langid,
+        "corpus_datacard": q_corpus_datacard,
+        "mirror_hosts": q_mirror_hosts,
+        "soft404_screen": q_soft404_screen,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -3895,6 +3960,89 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, label DESC) AS rn
                   FROM scored)
             WHERE rn = 1
+        """,
+        # GROUPING(source, lang) shares Spark grouping_id()'s standard
+        # bit encoding; all aggregates exact, sums cast back to BIGINT
+        # (DuckDB SUM(BIGINT) widens to HUGEINT).
+        "corpus_datacard": """
+            WITH d AS (
+              SELECT source, lang,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     length(COALESCE(text, '')) AS n_chars
+              FROM documents
+            )
+            SELECT COALESCE(source, '<all>') AS source,
+                   COALESCE(lang, '<all>') AS lang,
+                   GROUPING(source, lang) AS level,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   ROUND(AVG(n_tokens), 4) AS mean_tokens_r,
+                   MAX(n_tokens) AS max_tokens,
+                   CAST(SUM(CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS short_docs,
+                   CAST(SUM(CASE WHEN n_tokens > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS long_docs
+            FROM d GROUP BY ROLLUP (source, lang)
+        """,
+        # plant -> profile -> hot-fp guard (16) -> pair census -> overlap
+        "mirror_hosts": """
+            WITH pages AS (
+              SELECT source AS host,
+                     ('0x' || substr(md5(text), 1, 8))::UBIGINT::BIGINT AS fp
+              FROM documents
+              UNION ALL
+              SELECT source || '-m' AS host,
+                     ('0x' || substr(md5(text), 1, 8))::UBIGINT::BIGINT AS fp
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT DISTINCT host, 42 AS fp FROM (
+                SELECT source AS host FROM documents
+                UNION ALL
+                SELECT source || '-m' FROM documents WHERE doc_id % 5 = 0)
+            ), prof AS (
+              SELECT DISTINCT host, fp FROM pages WHERE fp IS NOT NULL
+            ), sizes AS (
+              SELECT host, COUNT(*) AS size FROM prof GROUP BY 1
+            ), quiet AS (
+              SELECT p.host, p.fp FROM prof p
+              JOIN (SELECT fp FROM prof GROUP BY fp HAVING COUNT(*) <= 16) k
+                USING (fp)
+            ), shared AS (
+              SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+              FROM quiet a JOIN quiet b ON a.fp = b.fp AND a.host < b.host
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            )
+            SELECT host_a, host_b, shared,
+                   sa.size AS size_a, sb.size AS size_b,
+                   ROUND(shared / least(sa.size, sb.size), 4) AS overlap_r
+            FROM shared
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+            WHERE ROUND(shared / least(sa.size, sb.size), 4) >= 0.5
+        """,
+        "soft404_screen": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+                     CASE WHEN doc_id % 7 = 0
+                            THEN 'Sorry, Page Not Found. ' || text
+                          WHEN doc_id % 7 = 1 THEN 'tiny landing page'
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_matches(substr(COALESCE(text, ''), 1, 400),
+                                  '{textqc.SOFT404_RE}') AS s404_phrase,
+                   status = 200 AND
+                     len(list_filter(string_split_regex(trim(COALESCE(text, '')),
+                                                        '\\s+'),
+                                     x -> x <> '')) <= 20 AS suspect_tiny,
+                   status = 200 AND
+                     regexp_matches(substr(COALESCE(text, ''), 1, 400),
+                                    '{textqc.SOFT404_RE}') AS soft404
+            FROM salted
         """,
     }
 

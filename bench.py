@@ -173,6 +173,9 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "unicode_nfc",
         "mojibake_repair",
         "nb_langid_train_score",
+        "corpus_datacard",
+        "mirror_hosts",
+        "soft404_screen",
     ]
     out = {}
     for name in names:

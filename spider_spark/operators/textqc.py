@@ -517,6 +517,59 @@ def clean_corpus(
     return j.select(F.col(id_col), reason.isNull().alias("keep"), reason.alias("drop_reason"))
 
 
+#: Soft-404 phrase alternation — ASCII literals only, `(?i)` inline
+#: flag and `\b` boundaries behave identically under Java regex and
+#: DuckDB's RE2, so the ORACLE INLINES THIS EXACT STRING. Heuristic per
+#: Bar-Yossef et al., "Sic transit gloria telae" (WWW'04): servers that
+#: answer 200 with an error page.
+SOFT404_RE = (
+    r"(?i)\b(page not found|404 not found|error 404|http 404"
+    r"|no longer available|page does not exist|page cannot be found"
+    r"|page unavailable|nothing was found)\b"
+)
+
+#: Soft-404 phrase must appear this early — real articles QUOTING an
+#: error phrase deep in their body shouldn't be dropped.
+SOFT404_HEAD_CHARS = 400
+
+#: 200-status pages at/below this token count are suspicious on their
+#: own (empty templates); combined with a phrase hit they are certain.
+SOFT404_TINY_TOKENS = 20
+
+
+def soft404_flags(
+    pages: DataFrame,
+    status_col: str = "status",
+    text_col: str = "text",
+    head_chars: int = SOFT404_HEAD_CHARS,
+    tiny_tokens: int = SOFT404_TINY_TOKENS,
+) -> DataFrame:
+    """Soft-404 detection: 200-status responses that are really error
+    pages. Emits per-signal columns plus the verdict — a crawler drops
+    the page from the corpus AND distrusts its outlinks (error
+    templates link to the site chrome, not content).
+
+    ``soft404`` = status 200 AND an error phrase in the first
+    ``head_chars`` chars; ``suspect_tiny`` additionally marks 200-pages
+    at/below ``tiny_tokens`` tokens (audit column — tiny alone is not
+    a verdict, landing pages are legitimately short). Pure codegen
+    projection, no shuffle, no Python.
+    """
+    status = F.col(status_col)
+    body = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    head = F.substring(body, 1, head_chars)
+    phrase_hit = head.rlike(SOFT404_RE)
+    tiny = col_token_count(body) <= tiny_tokens
+    return pages.select(
+        "*",
+        phrase_hit.alias("s404_phrase"),
+        ((status == 200) & tiny).alias("suspect_tiny"),
+        ((status == 200) & phrase_hit).alias("soft404"),
+    )
+
+
 def quality_report(df: DataFrame, text_col: str = "text", lang_col: str | None = None) -> DataFrame:
     """Per-document QC columns, one codegen stage, no shuffle."""
     lang = F.col(lang_col) if lang_col else col_lang_id(text_col)
