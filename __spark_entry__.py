@@ -2200,6 +2200,38 @@ def q_soft404_screen(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl delta (recrawl.snapshot_diff): two snapshots are
+    derived deterministically from `documents` — the new wave drops
+    every 13th URL (removed), rewrites every 7th body (changed), adds a
+    new URL per 17th doc, and null-fps every 19th new row (a 304 ledger
+    row: value→null must read `changed`, null==null `unchanged`). One
+    full-outer join on the canonical key is the whole plan."""
+    from spider_spark.operators import recrawl
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    url = F.concat(F.lit("u"), F.col("doc_id"))
+    old = docs.select(url.alias("url_canon"), fp.alias("content_fp"))
+    kept = docs.where(F.col("doc_id") % 13 != 0)
+    new_body = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new_fp = F.when(
+        F.col("doc_id") % 19 == 0, F.lit(None).cast("long")
+    ).otherwise(F.conv(F.substring(F.md5(new_body), 1, 8), 16, 10).cast("long"))
+    new = kept.select(url.alias("url_canon"), new_fp.alias("content_fp"))
+    added = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.concat(F.lit("u"), F.col("doc_id") + 1000000).alias("url_canon"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit(" new"))), 1, 8),
+            16,
+            10,
+        ).cast("long").alias("content_fp"),
+    )
+    return recrawl.snapshot_diff(old, new.union(added))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2300,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "mirror_hosts": q_mirror_hosts,
         "soft404_screen": q_soft404_screen,
+        "snapshot_diff": q_snapshot_diff,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4043,6 +4076,36 @@ def oracle_sql() -> dict[str, str]:
                      regexp_matches(substr(COALESCE(text, ''), 1, 400),
                                     '{textqc.SOFT404_RE}') AS soft404
             FROM salted
+        """,
+        # full-outer join delta; presence tracked apart from the fp so
+        # null fps (304 rows) compare null-safely
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT 'u' || doc_id AS k,
+                     ('0x' || substr(md5(text), 1, 8))::UBIGINT::BIGINT AS old_fp,
+                     TRUE AS in_old
+              FROM documents
+            ), new AS (
+              SELECT 'u' || doc_id AS k,
+                     CASE WHEN doc_id % 19 = 0 THEN NULL
+                          ELSE ('0x' || substr(md5(
+                                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                      ELSE text END), 1, 8))::UBIGINT::BIGINT
+                     END AS new_fp,
+                     TRUE AS in_new
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 'u' || (doc_id + 1000000),
+                     ('0x' || substr(md5(text || ' new'), 1, 8))::UBIGINT::BIGINT,
+                     TRUE
+              FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT COALESCE(old.k, new.k) AS url_canon, old_fp, new_fp,
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS verdict
+            FROM old FULL OUTER JOIN new ON old.k = new.k
         """,
     }
 

@@ -176,6 +176,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "corpus_datacard",
         "mirror_hosts",
         "soft404_screen",
+        "snapshot_diff",
     ]
     out = {}
     for name in names:

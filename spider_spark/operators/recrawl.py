@@ -220,3 +220,50 @@ def http_freshness(
         fresh = F.when(cond, val).otherwise(fresh)
         source = F.when(cond, F.lit(name)).otherwise(source)
     return responses.withColumn("freshness_s", fresh).withColumn("freshness_source", source)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url_canon",
+    fp_col: str = "content_fp",
+) -> DataFrame:
+    """Crawl-to-crawl delta: per URL, `added` / `removed` / `changed` /
+    `unchanged` from the content fingerprints of two snapshots — the
+    report an operator reads after every recrawl wave (and the input
+    `change_rate`'s estimator consumes as ground truth).
+
+    ONE full-outer equi-join on the canonical key is the whole plan; at
+    10^10 URLs both sides are the `latest_capture` snapshots the catalog
+    already maintains, so with both written bucketed by `url_canon` the
+    join is co-located and shuffle-free. Null fingerprints (fetched but
+    body-less, e.g. 304 ledger rows) compare via null-safe equality:
+    null == null reads `unchanged`, null vs value reads `changed`.
+    """
+    # presence is tracked separately from the fp (which may be
+    # legitimately null on a present row) — fp columns can't encode it
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(fp_col).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(fp_col).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, "k", "full_outer")
+    verdict = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("k").alias(key_col), "old_fp", "new_fp", verdict.alias("verdict")
+    )
+
+
+def snapshot_diff_rollup(diff: DataFrame) -> DataFrame:
+    """(verdict, n) — the four-line summary a recrawl wave logs."""
+    return diff.groupBy("verdict").agg(F.count(F.lit(1)).alias("n"))

@@ -111,3 +111,49 @@ def test_forget_survives_resume_across_compaction(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_verdicts(spark):
+    from spider_spark.operators.recrawl import snapshot_diff, snapshot_diff_rollup
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", None), ("e", 5)],
+        "url_canon string, content_fp long",
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 99), ("d", None), ("f", 6), ("e", None)],
+        "url_canon string, content_fp long",
+    )
+    got = {r.url_canon: r.verdict for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "unchanged",
+        "b": "changed",
+        "c": "removed",
+        "d": "unchanged",  # null == null via eqNullSafe (304-style rows)
+        "e": "changed",    # value -> null IS a change
+        "f": "added",
+    }
+    roll = {r.verdict: r.n for r in snapshot_diff_rollup(
+        snapshot_diff(old, new)
+    ).collect()}
+    assert roll == {"unchanged": 2, "changed": 2, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    from spider_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame([("a", 1)], "url_canon string, content_fp long")
+    new = spark.createDataFrame([("a", 1)], "url_canon string, content_fp long")
+    plan = (
+        snapshot_diff(old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
