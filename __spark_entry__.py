@@ -2232,6 +2232,23 @@ def q_snapshot_diff(spark, sf_dir):
     return recrawl.snapshot_diff(old, new.union(added))
 
 
+def q_url_alias_clusters(spark, sf_dir):
+    """URL alias consolidation (graph.canonical_url_clusters): redirect/
+    rel=canonical chains u{4k+3}→u{4k+2}→u{4k+1}→u{4k} derived
+    deterministically from doc_ids; every quad collapses to one
+    identity whose representative is the TERMINAL u{4k} (never a
+    source), not the lexicographic min. Oracle: recursive-CTE closure +
+    the same terminal-preferring argmin."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.where(F.col("doc_id") % 4 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("u"), F.col("doc_id") - 1).alias("dst"),
+    )
+    return graph.canonical_url_clusters(edges)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2333,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "soft404_screen": q_soft404_screen,
         "snapshot_diff": q_snapshot_diff,
+        "url_alias_clusters": q_url_alias_clusters,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4106,6 +4124,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
                         ELSE 'changed' END AS verdict
             FROM old FULL OUTER JOIN new ON old.k = new.k
+        """,
+        # CC closure (recursive CTE) + terminal-preferring representative
+        "url_alias_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT 'u' || doc_id AS src, 'u' || (doc_id - 1) AS dst
+              FROM documents WHERE doc_id % 4 <> 0
+            ), sym AS (
+              SELECT src AS a, dst AS b FROM e
+              UNION
+              SELECT dst, src FROM e
+            ), reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ), comp AS (
+              SELECT a AS node, LEAST(a, MIN(b)) AS component
+              FROM reach GROUP BY a
+            ), nodes AS (
+              SELECT c.node, c.component,
+                     CASE WHEN d.node IS NULL THEN 0 ELSE 1 END AS defers
+              FROM comp c
+              LEFT JOIN (SELECT DISTINCT src AS node FROM e) d USING (node)
+            ), reps AS (
+              SELECT component, node AS canonical_url FROM (
+                SELECT component, node,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                                          ORDER BY defers, node) AS rn
+                FROM nodes) WHERE rn = 1
+            )
+            SELECT n.node AS url, n.component, r.canonical_url,
+                   n.node = r.canonical_url AS is_canonical
+            FROM nodes n JOIN reps r USING (component)
         """,
     }
 

@@ -177,6 +177,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "mirror_hosts",
         "soft404_screen",
         "snapshot_diff",
+        "url_alias_clusters",
     ]
     out = {}
     for name in names:

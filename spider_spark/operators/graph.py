@@ -251,3 +251,51 @@ def anchor_text_aggregate(
         "top_anchor",
         "top_anchor_count",
     )
+
+
+def canonical_url_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse URL aliases into canonical clusters: the edges are
+    "this URL defers to that URL" claims — HTTP redirects (301/302/308),
+    ``<link rel=canonical>``, ``<meta http-equiv=refresh>`` — and every
+    URL in a connected family should be crawled, deduped, and ranked as
+    ONE identity (Google's canonicalization model; spider follows the
+    same chain when it keeps the final URL of a redirect walk,
+    simple.ts:94-120).
+
+    Representative selection is where the direction (which CC discards)
+    comes back: prefer a **terminal** — a URL that never defers to
+    anything (never appears as ``src``) — because chains point AT the
+    canonical; among several terminals (or none, i.e. a redirect cycle)
+    the lexicographically smallest URL wins, so the choice is
+    deterministic and engine-portable.
+
+    Cost: `connected_components`'s O(|E|) pointer-doubling sweeps plus
+    one groupBy(component) min — nothing keyed on anything but node /
+    component ids. Returns (url, component, canonical_url,
+    is_canonical).
+    """
+    cc = connected_components(edges, src=src, dst=dst, max_iters=max_iters)
+    srcs = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("_defers", F.lit(1))
+    )
+    nodes = cc.join(srcs, "node", "left").select(
+        "node",
+        "component",
+        F.coalesce(F.col("_defers"), F.lit(0)).alias("_defers"),
+    )
+    reps = nodes.groupBy("component").agg(
+        F.min(F.struct(F.col("_defers"), F.col("node"))).alias("best")
+    )
+    return nodes.join(reps, "component").select(
+        F.col("node").alias("url"),
+        "component",
+        F.col("best.node").alias("canonical_url"),
+        (F.col("node") == F.col("best.node")).alias("is_canonical"),
+    )

@@ -168,3 +168,57 @@ def test_anchor_text_aggregate_counts_and_mode(spark):
     assert got["b"]["top_anchor"] == "alpha" and got["b"]["top_anchor_count"] == 1
     assert got["c"]["n_inlinks"] == 2 and got["c"]["n_anchor_variants"] == 0
     assert got["c"]["top_anchor"] is None and got["c"]["top_anchor_count"] is None
+
+
+# ---------------------------------------------------------------------------
+# canonical_url_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_alias_chain_resolves_to_terminal(spark):
+    from spider_spark.operators.graph import canonical_url_clusters
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a/1", "http://a/2"),   # redirect chain a/1 -> a/2 -> a/final
+            ("http://a/2", "http://a/final"),
+            ("http://b/x?utm=1", "http://b/x"),  # rel=canonical claim
+        ],
+        "src string, dst string",
+    )
+    got = {r.url: r for r in canonical_url_clusters(edges).collect()}
+    assert got["http://a/1"].canonical_url == "http://a/final"
+    assert got["http://a/2"].canonical_url == "http://a/final"
+    assert got["http://a/final"].is_canonical is True
+    assert got["http://b/x?utm=1"].canonical_url == "http://b/x"
+    # terminal beats lexicographic order: 'http://a/1' < 'http://a/final'
+    assert not got["http://a/1"].is_canonical
+
+
+def test_redirect_cycle_falls_back_to_lexicographic_min(spark):
+    from spider_spark.operators.graph import canonical_url_clusters
+
+    edges = spark.createDataFrame(
+        [("http://c/y", "http://c/z"), ("http://c/z", "http://c/y")],
+        "src string, dst string",
+    )
+    got = {r.url: r.canonical_url for r in canonical_url_clusters(edges).collect()}
+    assert got == {"http://c/y": "http://c/y", "http://c/z": "http://c/y"}
+
+
+def test_mixed_edge_kinds_merge_one_identity(spark):
+    from spider_spark.operators.graph import canonical_url_clusters
+
+    # redirect joins the ?utm alias family to the canonical claim's family
+    edges = spark.createDataFrame(
+        [
+            ("http://d/p?utm=x", "http://d/p"),
+            ("http://d/p", "http://d/page"),
+            ("http://d/old", "http://d/page"),
+        ],
+        "src string, dst string",
+    )
+    rows = canonical_url_clusters(edges).collect()
+    assert {r.component for r in rows} == {rows[0].component}
+    assert all(r.canonical_url == "http://d/page" for r in rows)
+    assert sum(r.is_canonical for r in rows) == 1
