@@ -2249,6 +2249,36 @@ def q_url_alias_clusters(spark, sf_dir):
     return graph.canonical_url_clusters(edges)
 
 
+def q_registered_domains(spark, sf_dir):
+    """Registered-domain (eTLD+1) rollup (operators/domains.py): hosts
+    synthesized from doc_ids cover every rule branch — a subdomain farm
+    under a multi-label suffix (s{n}.megafarm.co.uk), a .com farm, a
+    one-host-per-doc domain (site{id}.example.org, all collapsing to
+    example.org), and IPv4 literals (pass-through). The oracle
+    implements the GENERAL eTLD+1 rule in SQL (same suffix list
+    inlined), not the shapes — a real differential."""
+    from spider_spark.operators import domains
+
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("s"), F.col("doc_id") % 37, F.lit(".megafarm.co.uk")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("blog"), F.col("doc_id") % 11, F.lit(".farm.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("site"), F.col("doc_id"), F.lit(".example.org")),
+        )
+        .otherwise(F.concat(F.lit("10.0."), F.col("doc_id") % 200, F.lit(".7")))
+    )
+    urls = docs.select(host.alias("host"))
+    return domains.domain_rollup(urls)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2351,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_screen": q_soft404_screen,
         "snapshot_diff": q_snapshot_diff,
         "url_alias_clusters": q_url_alias_clusters,
+        "registered_domain_rollup": q_registered_domains,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -2366,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from spider_spark.operators.curation import PII_PATTERNS as _PII
+    from spider_spark.operators.domains import MULTI_LABEL_SUFFIXES as _MLS
 
     stop_list = _sql_list(_STOP_EN)
     return {
@@ -4156,6 +4188,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node AS url, n.component, r.canonical_url,
                    n.node = r.canonical_url AS is_canonical
             FROM nodes n JOIN reps r USING (component)
+        """,
+        # general eTLD+1 rule in SQL (same suffix list), then the rollup
+        "registered_domain_rollup": f"""
+            WITH hosts AS (
+              SELECT CASE
+                       WHEN doc_id % 4 = 0
+                         THEN 's' || (doc_id % 37) || '.megafarm.co.uk'
+                       WHEN doc_id % 4 = 1
+                         THEN 'blog' || (doc_id % 11) || '.farm.com'
+                       WHEN doc_id % 4 = 2
+                         THEN 'site' || doc_id || '.example.org'
+                       ELSE '10.0.' || (doc_id % 200) || '.7'
+                     END AS host
+              FROM documents
+            ), lab AS (
+              SELECT host, lower(trim(host)) AS h,
+                     string_split(lower(trim(host)), '.') AS ls
+              FROM hosts
+            ), rd AS (
+              SELECT host,
+                     CASE
+                       WHEN regexp_matches(h, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+                            OR len(ls) <= 1 THEN h
+                       WHEN len(ls) >= 3 AND list_contains(
+                              {_sql_list(_MLS)},
+                              ls[-2] || '.' || ls[-1])
+                         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                       ELSE ls[-2] || '.' || ls[-1]
+                     END AS domain
+              FROM lab
+            )
+            SELECT domain, COUNT(DISTINCT host) AS n_hosts, COUNT(*) AS n_urls
+            FROM rd GROUP BY domain
         """,
     }
 

@@ -178,6 +178,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "soft404_screen",
         "snapshot_diff",
         "url_alias_clusters",
+        "registered_domain_rollup",
     ]
     out = {}
     for name in names:
