@@ -2279,6 +2279,37 @@ def q_registered_domains(spark, sf_dir):
     return domains.domain_rollup(urls)
 
 
+def q_opic(spark, sf_dir):
+    """OPIC online importance (graph.opic, Abiteboul WWW'03): 2 cash
+    sweeps over a deterministic doc_id link graph (with dangling nodes
+    so the virtual-root redistribution is exercised). Oracle: the
+    sweeps unrolled in SQL, same shape as the pagerank_2iter oracle."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 150).alias("dst"),
+    ).union(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 2) % 150).alias("dst"),
+        )
+    )
+    return graph.opic(edges, iters=2).select(
+        "node", F.round("importance", 6).alias("imp_r")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Inverted index + TF-IDF keyword extraction (operators/index.py):
+    top-3 terms per document, ranked on the ROUNDED score then term so
+    the window is deterministic across engines."""
+    from spider_spark.operators import index as idx
+
+    return idx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2382,6 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "url_alias_clusters": q_url_alias_clusters,
         "registered_domain_rollup": q_registered_domains,
+        "opic_2sweep": q_opic,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4221,6 +4254,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT domain, COUNT(DISTINCT host) AS n_hosts, COUNT(*) AS n_urls
             FROM rd GROUP BY domain
+        """,
+        # OPIC: 2 cash sweeps unrolled; dangling cash redistributed
+        # uniformly (virtual-root shortcut), importance = hist + cash
+        "opic_2sweep": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ), od AS (
+              SELECT s AS node, COUNT(*) AS outdeg FROM e GROUP BY s
+            ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+            s0 AS (
+              SELECT n.node, CAST(1.0 AS DOUBLE) AS cash,
+                     CAST(0.0 AS DOUBLE) AS hist, od.outdeg
+              FROM nodes n LEFT JOIN od USING (node)
+            ), c1 AS (
+              SELECT e.d AS node, SUM(s.cash / s.outdeg) AS in_sum
+              FROM e JOIN s0 s ON s.node = e.s GROUP BY e.d
+            ), g1 AS (
+              SELECT COALESCE(SUM(cash), 0) AS dang FROM s0 WHERE outdeg IS NULL
+            ), s1 AS (
+              SELECT s0.node,
+                     COALESCE(c1.in_sum, 0) + g1.dang / nn.n AS cash,
+                     s0.hist + s0.cash AS hist, s0.outdeg
+              FROM s0 LEFT JOIN c1 USING (node), g1, nn
+            ), c2 AS (
+              SELECT e.d AS node, SUM(s.cash / s.outdeg) AS in_sum
+              FROM e JOIN s1 s ON s.node = e.s GROUP BY e.d
+            ), g2 AS (
+              SELECT COALESCE(SUM(cash), 0) AS dang FROM s1 WHERE outdeg IS NULL
+            ), s2 AS (
+              SELECT s1.node,
+                     COALESCE(c2.in_sum, 0) + g2.dang / nn.n AS cash,
+                     s1.hist + s1.cash AS hist
+              FROM s1 LEFT JOIN c2 USING (node), g2, nn
+            )
+            SELECT node, ROUND(hist + cash, 6) AS imp_r FROM s2
+        """,
+        # postings -> df -> smoothed idf -> top-3 per doc on the
+        # ROUNDED score (cross-engine-deterministic window)
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), nn AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT p.doc_id, p.term, p.tf,
+                     ROUND(p.tf * (ln((nn.n + 1) / (d.df + 1)) + 1.0), 6)
+                       AS tfidf_r
+              FROM post p JOIN dft d USING (term), nn
+            )
+            SELECT doc_id, term, tf, tfidf_r, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf_r DESC, term ASC)
+                          AS rank
+              FROM scored) WHERE rank <= 3
         """,
     }
 

@@ -299,3 +299,90 @@ def canonical_url_clusters(
         F.col("best.node").alias("canonical_url"),
         (F.col("node") == F.col("best.node")).alias("is_canonical"),
     )
+
+
+def opic(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobéna,
+    WWW 2003) — the importance estimator built FOR crawling: unlike
+    PageRank it needs no convergence before the numbers are usable, so
+    a frontier can rerank from it mid-crawl. Each node holds *cash*
+    (init 1.0) and *history* (init 0). Per sweep, every node banks its
+    cash into history and distributes it equally to its out-neighbors;
+    dangling cash is redistributed uniformly over all nodes (the
+    paper's virtual-root shortcut, documented simplification).
+    Importance after k sweeps = history + cash.
+
+    Total cash is conserved at |V| every sweep (asserted in tests), so
+    scores are comparable across sweeps — the property that lets OPIC
+    interleave with fetching.
+
+    Physical shape per sweep: the same O(|E|) edges⋈state join +
+    partial-agg groupBy(dst) as `pagerank`, plus ONE 1-row aggregate
+    (dangling total) attached via the constant-key BroadcastHashJoin
+    idiom (`join_scalar_frame`) — never a nested loop, never a global
+    sort. Returns (node, history, cash, importance).
+    """
+    from . import join_scalar_frame
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("outdeg"))
+    base = nodes.join(outdeg, "node", "left").persist()
+    n_nodes = base.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    state = base.select(
+        "node", F.lit(1.0).alias("cash"), F.lit(0.0).alias("hist"), "outdeg"
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(
+                state.select(F.col("node").alias("s"), "cash", "outdeg"), "s"
+            )
+            .select(
+                F.col("d").alias("node"),
+                (F.col("cash") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = state.where(F.col("outdeg").isNull()).groupBy().agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dang")
+        )
+        scal = join_scalar_frame(dangling, n_nodes)
+        state = (
+            join_scalar_frame(
+                state.select(
+                    "node",
+                    (F.col("hist") + F.col("cash")).alias("hist"),
+                    "outdeg",
+                ).join(contrib, "node", "left"),
+                scal,
+            )
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    + F.col("dang") / F.col("n_nodes")
+                ).alias("cash"),
+                "hist",
+                "outdeg",
+            )
+        )
+        if (i + 1) % 4 == 0:
+            state = state.localCheckpoint(eager=True)
+    out = state.select(
+        "node",
+        "hist",
+        "cash",
+        (F.col("hist") + F.col("cash")).alias("importance"),
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -1,0 +1,104 @@
+"""Inverted index construction + TF-IDF term scoring — the
+search-engine half of a crawler (every large crawl feeds an indexer;
+Common Crawl's columnar index and classic IR pipelines both reduce to
+these two tables), and the keyword-extraction primitive curation
+pipelines use for topic tagging.
+
+Shapes, 100 TB first:
+
+- **postings** (term, doc_id, tf): one explode over tokenized text,
+  partial-agg combined per partition before the (term, doc) shuffle —
+  the shuffle is bounded by distinct (doc, term) pairs, not token
+  occurrences.
+- **document frequency / IDF**: one more partial-agg census keyed on
+  term. Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth-idf
+  formula — public knowledge, engine-portable, never divides by zero).
+  The corpus size N rides the 1-row constant-key BroadcastHashJoin
+  (`join_scalar_frame`), never a nested loop.
+- **top-k terms per doc**: a row_number window partitioned by doc_id.
+  Per-doc term counts are bounded by document length — there is no
+  hot-key risk analogous to hosts, so a plain window is the right
+  plan (documented contrast with the salted two-phase host top-k).
+
+Ties break by (tfidf DESC, term ASC) so results are deterministic and
+identical on every engine; scores are rounded for cross-engine float
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import join_scalar_frame
+
+
+def col_index_tokens(text_col: str | Column) -> Column:
+    """Lowercased alphanumeric index terms (letters/digits runs) — the
+    classic IR tokenizer, deliberately simpler than the QC tokenizers
+    so the oracle can restate it exactly."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(r"([a-z0-9]+)"), 1
+    )
+
+
+def postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The inverted-index fact table: (term, doc_id, tf)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(col_index_tokens(text_col)).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequency(post: DataFrame) -> DataFrame:
+    """(term, df) — one partial-agg census over the postings."""
+    return post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, tfidf_r,
+    rank). tfidf = tf · (ln((N+1)/(df+1)) + 1), rounded to 6.
+
+    Ranking happens on the ROUNDED score (then term ASC): Spark's
+    Math.log and DuckDB's libm log may differ in the last ulp, and
+    ranking the raw doubles would let that flip an ordering — ranking
+    the rounded value keeps the window deterministic wherever the two
+    engines agree to 6 decimals."""
+    post = postings(docs, id_col, text_col)
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        join_scalar_frame(post.join(document_frequency(post), "term"), n)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf_r", "rank")
+    )
