@@ -179,6 +179,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "snapshot_diff",
         "url_alias_clusters",
         "registered_domain_rollup",
+        "opic_2sweep",
+        "tfidf_top_terms",
     ]
     out = {}
     for name in names:
