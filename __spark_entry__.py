@@ -2310,6 +2310,65 @@ def q_tfidf_top_terms(spark, sf_dir):
     return idx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _link_edges(docs):
+    """The deterministic doc_id link graph shared by the link-rank
+    queries (same construction as q_opic)."""
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 150).alias("dst"),
+    ).union(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 2) % 150).alias("dst"),
+        )
+    )
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (graph.hits, Kleinberg JACM'99): 2
+    L1-normalized sweeps over the shared deterministic link graph.
+    Oracle: the sweeps unrolled in SQL."""
+    from spider_spark.operators import graph
+
+    return graph.hits(_link_edges(_t(spark, sf_dir, "documents")), iters=2).select(
+        "node", F.round("hub", 6).alias("hub_r"), F.round("auth", 6).alias("auth_r")
+    )
+
+
+def q_trustrank(spark, sf_dir):
+    """TrustRank (graph.trustrank, Gyöngyi VLDB'04): 2 damped sweeps with
+    the teleport confined to the doc_id%50==0 trusted seeds; trust decays
+    with link distance, spam-side nodes unreachable from seeds get 0."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select(F.col("doc_id").alias("node"))
+    return graph.trustrank(_link_edges(docs), seeds, iters=2).select(
+        "node", F.round("trust", 6).alias("trust_r")
+    )
+
+
+def q_bfs_depth(spark, sf_dir):
+    """BFS min-hop crawl depth from the doc_id%100==0 seeds, capped at 3
+    hops (graph.bfs_depth — the Heritrix max-hops scope rule). Oracle: a
+    depth-bounded recursive CTE taking MIN(depth) per node."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 100 == 0).select(F.col("doc_id").alias("node"))
+    return graph.bfs_depth(_link_edges(docs), seeds, max_depth=3)
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/index.py, Robertson & Zaragoza
+    2009 with Lucene's non-negative idf) for a fixed 3-term query over
+    the documents table; global top-k is TakeOrderedAndProject, never a
+    single-partition window sort."""
+    from spider_spark.operators import index as idx
+
+    return idx.bm25_search(_t(spark, sf_dir, "documents"), "spark window merge", k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2415,6 +2474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domain_rollup": q_registered_domains,
         "opic_2sweep": q_opic,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "hits_2iter": q_hits,
+        "trustrank_2iter": q_trustrank,
+        "crawl_depth_bfs": q_bfs_depth,
+        "bm25_search": q_bm25_search,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4320,6 +4383,132 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY tfidf_r DESC, term ASC)
                           AS rank
               FROM scored) WHERE rank <= 3
+        """,
+        # HITS: 2 L1-normalized sweeps unrolled (hub0 = 1, so the first
+        # raw authority is just the in-degree)
+        "hits_2iter": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ),
+            a1r AS (SELECT d AS node, CAST(COUNT(*) AS DOUBLE) AS raw
+                    FROM e GROUP BY d),
+            a1t AS (SELECT SUM(raw) AS tot FROM a1r),
+            a1 AS (SELECT n.node, COALESCE(a1r.raw, 0) / a1t.tot AS auth
+                   FROM nodes n LEFT JOIN a1r USING (node), a1t),
+            h1r AS (SELECT e.s AS node, SUM(a1.auth) AS raw
+                    FROM e JOIN a1 ON a1.node = e.d GROUP BY e.s),
+            h1t AS (SELECT SUM(raw) AS tot FROM h1r),
+            h1 AS (SELECT n.node, COALESCE(h1r.raw, 0) / h1t.tot AS hub
+                   FROM nodes n LEFT JOIN h1r USING (node), h1t),
+            a2r AS (SELECT e.d AS node, SUM(h1.hub) AS raw
+                    FROM e JOIN h1 ON h1.node = e.s GROUP BY e.d),
+            a2t AS (SELECT SUM(raw) AS tot FROM a2r),
+            a2 AS (SELECT n.node, COALESCE(a2r.raw, 0) / a2t.tot AS auth
+                   FROM nodes n LEFT JOIN a2r USING (node), a2t),
+            h2r AS (SELECT e.s AS node, SUM(a2.auth) AS raw
+                    FROM e JOIN a2 ON a2.node = e.d GROUP BY e.s),
+            h2t AS (SELECT SUM(raw) AS tot FROM h2r),
+            h2 AS (SELECT n.node, COALESCE(h2r.raw, 0) / h2t.tot AS hub
+                   FROM nodes n LEFT JOIN h2r USING (node), h2t)
+            SELECT h2.node, ROUND(h2.hub, 6) AS hub_r, ROUND(a2.auth, 6) AS auth_r
+            FROM h2 JOIN a2 USING (node)
+        """,
+        # TrustRank: 2 damped sweeps, teleport confined to doc_id%50==0
+        # seeds (d0 = 1/|S|), no dangling redistribution (same documented
+        # simplification as pagerank_2iter)
+        "trustrank_2iter": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ), seeds AS (
+              SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0
+            ), ns AS (SELECT COUNT(*) AS n FROM seeds),
+            od AS (SELECT s AS node, COUNT(*) AS outdeg FROM e GROUP BY s),
+            base AS (
+              SELECT n.node, od.outdeg,
+                     CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.n
+                          ELSE 0.0 END AS d0
+              FROM nodes n LEFT JOIN od USING (node)
+                           LEFT JOIN seeds sd USING (node), ns
+            ),
+            t0 AS (SELECT node, d0 AS trust, outdeg, d0 AS dd0 FROM base),
+            c1 AS (SELECT e.d AS node, SUM(t.trust / t.outdeg) AS in_sum
+                   FROM e JOIN t0 t ON t.node = e.s GROUP BY e.d),
+            t1 AS (SELECT t0.node,
+                          0.15 * t0.dd0 + 0.85 * COALESCE(c1.in_sum, 0) AS trust,
+                          t0.outdeg, t0.dd0
+                   FROM t0 LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT e.d AS node, SUM(t.trust / t.outdeg) AS in_sum
+                   FROM e JOIN t1 t ON t.node = e.s GROUP BY e.d),
+            t2 AS (SELECT t1.node,
+                          0.15 * t1.dd0 + 0.85 * COALESCE(c2.in_sum, 0) AS trust
+                   FROM t1 LEFT JOIN c2 USING (node))
+            SELECT node, ROUND(trust, 6) AS trust_r FROM t2
+        """,
+        # BFS min-hop from the doc_id%100==0 seeds, depth-capped: the
+        # recursive closure is bounded by depth < 3, MIN() collapses the
+        # multiple paths
+        "crawl_depth_bfs": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), seeds AS (
+              SELECT doc_id AS node FROM documents WHERE doc_id % 100 = 0
+            ), r(node, depth) AS (
+              SELECT node, 0 FROM seeds
+              UNION ALL
+              SELECT e.d, r.depth + 1 FROM r JOIN e ON e.s = r.node
+              WHERE r.depth < 3
+            )
+            SELECT node, MIN(depth) AS depth FROM r GROUP BY node
+        """,
+        # BM25 (Lucene non-negative idf), query terms inlined, avgdl over
+        # ALL docs (empty docs count as length 0); top-10 ranked on the
+        # rounded total then doc_id
+        "bm25_search": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), scored AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term IN ('merge', 'spark', 'window')
+            )
+            SELECT doc_id, score_r, rank FROM (
+              SELECT doc_id, ROUND(SUM(bm25_r), 6) AS score_r,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
+                                        doc_id ASC) AS rank
+              FROM scored GROUP BY doc_id) WHERE rank <= 10
         """,
     }
 

@@ -181,6 +181,10 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "registered_domain_rollup",
         "opic_2sweep",
         "tfidf_top_terms",
+        "hits_2iter",
+        "trustrank_2iter",
+        "crawl_depth_bfs",
+        "bm25_search",
     ]
     out = {}
     for name in names:

@@ -386,3 +386,177 @@ def opic(
     ).localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — the second classic
+    link-rank a crawl corpus feeds: authorities are pages many good hubs
+    point AT (target quality), hubs are pages that point at many good
+    authorities (link-list quality). Frontier use: hub scores find the
+    directory/sitemap-like pages whose outlinks are worth expanding first.
+
+    Per sweep: auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v),
+    each L1-normalized (sum-normalization — engine-portable, no sqrt
+    ulps). Init hub = 1. Nodes with no in-edges get auth 0; no out-edges
+    hub 0.
+
+    Physical shape per sweep: two O(|E|) edges⋈state joins + two
+    partial-agg groupBys, plus two 1-row L1 totals attached via the
+    constant-key BroadcastHashJoin idiom — never a global sort or nested
+    loop. Returns (node, hub, auth)."""
+    from . import join_scalar_frame
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    state = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+    for i in range(iters):
+        auth_raw = (
+            e.join(state.select(F.col("node").alias("s"), "hub"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        auth_tot = auth_raw.groupBy().agg(F.sum("a_raw").alias("a_tot"))
+        auths = join_scalar_frame(
+            nodes.join(auth_raw, "node", "left"), auth_tot
+        ).select(
+            "node",
+            (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("a_tot")).alias("auth"),
+        )
+        hub_raw = (
+            e.join(auths.select(F.col("node").alias("d"), "auth"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        hub_tot = hub_raw.groupBy().agg(F.sum("h_raw").alias("h_tot"))
+        state = join_scalar_frame(
+            nodes.join(hub_raw, "node", "left").join(auths, "node"), hub_tot
+        ).select(
+            "node",
+            (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("h_tot")).alias("hub"),
+            "auth",
+        )
+        if (i + 1) % 2 == 0:
+            state = state.localCheckpoint(eager=True)
+    out = state.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return out
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport confined to a hand-vetted trusted seed set, so trust
+    decays with link distance from the seeds — the classic spam-demotion
+    signal a frontier combines with host reputation. t₀ = 1/|S| on seeds,
+    0 elsewhere; per iteration t(v) = (1−d)·d₀(v) + d·Σ_in t(u)/outdeg(u).
+    No dangling-mass redistribution (same documented simplification as
+    ``pagerank`` — the score is a relative priority, not a probability).
+
+    Per iteration: one O(|E|) edges⋈trust join + one partial-agg
+    groupBy(dst); the seed indicator is a broadcast-size semi-joinable
+    table. Returns (node, trust) for every node in the edge set."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("outdeg"))
+    seed_ids = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank needs a non-empty seed set")
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .join(seed_ids.withColumn("_seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            "outdeg",
+            F.when(F.col("_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("d0"),
+        )
+        .persist()
+    )
+    trust = base.select("node", F.col("d0").alias("trust"), "outdeg")
+    for i in range(iters):
+        contrib = (
+            e.join(trust.select(F.col("node").alias("s"), "trust", "outdeg"), "s")
+            .select(F.col("d").alias("node"), (F.col("trust") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        trust = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("d0")
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("trust"),
+                "outdeg",
+            )
+        )
+        if (i + 1) % 4 == 0:
+            trust = trust.localCheckpoint(eager=True)
+    out = trust.select("node", "trust").localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Minimum-hop crawl depth from the seed set: (node, depth) for every
+    node reachable in ≤ ``max_depth`` hops. The crawl-analysis staple —
+    depth histograms expose trap-ish deep tails, and depth caps are the
+    oldest frontier scope rule in crawling (Heritrix's max-hops).
+
+    Per sweep: frontier-of-last-wave ⋈ edges on src + groupBy(dst) min —
+    O(edges-out-of-wave), not O(|E|), because only the newest wave
+    expands (classic frontier BFS, not dense relaxation). Early-exits
+    when a wave adds nothing. Depth is bounded by construction, so the
+    O(diameter) sweep count is ``max_depth`` — unlike components, no
+    pointer-doubling is needed. Returns (node, depth)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    depths = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    wave = depths
+    for k in range(1, max_depth + 1):
+        nxt = (
+            e.join(wave.select(F.col("node").alias("s")), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(depths.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        depths = depths.unionByName(nxt).localCheckpoint(eager=True)
+        wave = nxt
+    return depths

@@ -27,6 +27,8 @@ comparison.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,4 +103,86 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "tfidf_r", "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) BM25 partial scores — the retrieval-grade
+    replacement for raw TF-IDF (Robertson & Zaragoza 2009; the idf is
+    Lucene's non-negative ln(1 + (N−df+0.5)/(df+0.5)) variant).
+
+    score(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    dl = Σ tf per doc (token count under the index tokenizer); avgdl =
+    total tokens / N over ALL docs (empty docs count as length 0, so the
+    constant is derivable from the corpus without a second schema). Both
+    corpus constants ride ONE 1-row constant-key BroadcastHashJoin; dl
+    joins back on doc_id — everything else is the postings shuffle
+    ``postings`` already pays. Returns (doc_id, term, tf, bm25_r)."""
+    post = postings(docs, id_col, text_col)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    consts = join_scalar_frame(
+        docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs")),
+        post.groupBy().agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tot_tokens")),
+    )
+    scored = join_scalar_frame(
+        post.join(document_frequency(post), "term").join(dl, "doc_id"), consts
+    )
+    avgdl = F.col("tot_tokens") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return scored.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+            6,
+        ).alias("bm25_r"),
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a free-text query by summed BM25 over the
+    query's distinct terms (bag-of-words disjunction — the classic
+    first-stage ranker). The term filter is an IN-list literal pushed
+    into the postings aggregation, so only matching (term, doc) pairs
+    ever shuffle; the global top-k is orderBy(...).limit(k) — Spark plans
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    NEVER a single-partition global-window sort over all matching docs.
+    The rank column is a window over the ≤k survivors only.
+    Deterministic: ranked on the ROUNDED total then doc_id.
+    Returns (doc_id, score_r, rank)."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("bm25_search needs at least one indexable query term")
+    scores = bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+    topk = (
+        scores.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_r", "rank"
     )

@@ -1,0 +1,146 @@
+"""Link-analysis family beyond PageRank/OPIC: HITS hubs & authorities,
+TrustRank seed-propagated trust, and BFS min-hop crawl depth — each
+checked against a literal Python restatement on a hand-sized graph plus
+the invariant that defines it (L1 normalization; trust mass confined to
+seed-reachable nodes; minimality of depths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators import graph
+
+# a -> b -> c, a -> c, d -> a, e isolated-ish (only as dst)
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a"), ("c", "e")]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _hits_py(edges, iters):
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+    for _ in range(iters):
+        auth = {n: sum(hub[s] for s, d in edges if d == n) for n in nodes}
+        tot = sum(auth.values())
+        auth = {n: v / tot for n, v in auth.items()}
+        hub = {n: sum(auth[d] for s, d in edges if s == n) for n in nodes}
+        tot = sum(hub.values())
+        hub = {n: v / tot for n, v in hub.items()}
+    return hub, auth
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_hits_matches_python_reference(spark, edges_df, iters):
+    rows = graph.hits(edges_df, iters=iters).collect()
+    hub, auth = _hits_py(EDGES, iters)
+    assert {r.node for r in rows} == set(hub)
+    for r in rows:
+        assert r.hub == pytest.approx(hub[r.node], rel=1e-12), r.node
+        assert r.auth == pytest.approx(auth[r.node], rel=1e-12), r.node
+
+
+def test_hits_l1_normalized(spark, edges_df):
+    rows = graph.hits(edges_df, iters=2).collect()
+    assert sum(r.hub for r in rows) == pytest.approx(1.0, rel=1e-12)
+    assert sum(r.auth for r in rows) == pytest.approx(1.0, rel=1e-12)
+    # e has no outlinks -> hub 0; d has no inlinks -> auth 0
+    by = {r.node: r for r in rows}
+    assert by["e"].hub == 0.0
+    assert by["d"].auth == 0.0
+
+
+def test_hits_no_nested_loop_plan(spark, edges_df):
+    plan = (
+        graph.hits(edges_df, iters=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TrustRank
+# ---------------------------------------------------------------------------
+
+
+def _trustrank_py(edges, seeds, iters, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, dd in edges:
+        out.setdefault(s, []).append(dd)
+    d0 = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    t = dict(d0)
+    for _ in range(iters):
+        incoming = {n: 0.0 for n in nodes}
+        for s, ds in out.items():
+            for dst in ds:
+                incoming[dst] += t[s] / len(ds)
+        t = {n: (1 - d) * d0[n] + d * incoming[n] for n in nodes}
+    return t
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_trustrank_matches_python_reference(spark, edges_df, iters):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.trust for r in graph.trustrank(edges_df, seeds, iters=iters).collect()}
+    want = _trustrank_py(EDGES, {"a"}, iters)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12, abs=1e-15), n
+
+
+def test_trustrank_decays_with_distance_and_spam_gets_none(spark, edges_df):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    t = {r.node: r.trust for r in graph.trustrank(edges_df, seeds, iters=3).collect()}
+    # d points AT the seed but is unreachable FROM it -> zero trust
+    assert t["d"] == 0.0
+    # every seed-reachable node holds positive trust; the seed keeps its
+    # (1-d)·d0 teleport floor above the far end of the chain
+    assert t["a"] > t["b"] > 0
+    assert t["c"] > 0 and t["e"] > 0
+    assert t["a"] == pytest.approx(0.15, rel=1e-12)
+
+
+def test_trustrank_empty_seeds_raises(spark, edges_df):
+    seeds = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError):
+        graph.trustrank(edges_df, seeds)
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_depth_min_hop(spark, edges_df):
+    seeds = spark.createDataFrame([("d",)], "node string")
+    got = {r.node: r.depth for r in graph.bfs_depth(edges_df, seeds, max_depth=5).collect()}
+    # d=0, a=1, b=2, c=2 (via a, not the longer a->b->c), e=3
+    assert got == {"d": 0, "a": 1, "b": 2, "c": 2, "e": 3}
+
+
+def test_bfs_depth_respects_cap_and_multi_seed(spark, edges_df):
+    seeds = spark.createDataFrame([("d",), ("b",)], "node string")
+    got = {r.node: r.depth for r in graph.bfs_depth(edges_df, seeds, max_depth=1).collect()}
+    # both seeds at 0; one wave: d->a, b->c. e stays unreached.
+    assert got == {"d": 0, "b": 0, "a": 1, "c": 1}
+
+
+def test_bfs_depth_cycle_terminates(spark):
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("x",)], "node string")
+    got = {r.node: r.depth for r in graph.bfs_depth(edges, seeds, max_depth=10).collect()}
+    assert got == {"x": 0, "y": 1}

@@ -131,3 +131,81 @@ def test_topk_cap_and_tiebreak(spark):
 def test_null_text_yields_no_postings(spark):
     docs = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
     assert index.postings(docs).where(F.col("doc_id") == 1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _bm25_py(docs, k1=1.2, b=0.75):
+    """Literal restatement of the Lucene-idf BM25 formula."""
+    import re
+
+    toks = {i: re.findall(r"[a-z0-9]+", (t or "").lower()) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for i, ts in toks.items():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for i, ts in toks.items():
+        dl = len(ts)
+        for t in set(ts):
+            tf = ts.count(t)
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            out[(i, t)] = round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+            )
+    return out
+
+
+def test_bm25_scores_hand_computed(spark, docs_df):
+    got = {(r.doc_id, r.term): r.bm25_r for r in index.bm25_scores(docs_df).collect()}
+    want = _bm25_py(DOCS)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=2e-6), key
+
+
+def test_bm25_tf_saturates(spark):
+    # BM25's defining property over TF-IDF: repeated terms saturate
+    docs = spark.createDataFrame(
+        [(1, "x " * 50 + "pad"), (2, "x pad pad " + "filler " * 48)],
+        "doc_id long, text string",
+    )
+    s = {
+        (r.doc_id, r.term): r.bm25_r
+        for r in index.bm25_scores(docs).collect()
+    }
+    # tf 50 scores more than tf 1, but nowhere near 50x
+    assert s[(1, "x")] > s[(2, "x")]
+    assert s[(1, "x")] < 5 * s[(2, "x")]
+
+
+def test_bm25_search_ranks_and_caps(spark, docs_df):
+    rows = index.bm25_search(docs_df, "Spark CRAWL!", k=2).collect()
+    assert len(rows) == 2
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    # doc 1 has spark(tf3)+crawl; doc 2 only crawl -> doc 1 first
+    assert by_rank[0].doc_id == 1 and by_rank[1].doc_id == 2
+    want = _bm25_py(DOCS)
+    assert by_rank[0].score_r == pytest.approx(
+        round(want[(1, "spark")] + want[(1, "crawl")], 6), abs=3e-6
+    )
+
+
+def test_bm25_search_topk_plan_has_no_global_window_sort(spark, docs_df):
+    plan = (
+        index.bm25_search(docs_df, "spark", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_search_rejects_empty_query(spark, docs_df):
+    with pytest.raises(ValueError):
+        index.bm25_search(docs_df, "!!! ???")
