@@ -608,19 +608,30 @@ class Crawler:
                 # pruned's plan reads the dir being replaced → atomic swap
                 self.catalog.replace_accel(kind, t, pruned)
 
-    def rerank_frontier(self, iters: int = 2) -> int:
-        """PageRank-ordered crawling: recompute the pending frontier's
+    def rerank_frontier(self, iters: int = 2, method: str = "pagerank") -> int:
+        """Link-rank-ordered crawling: recompute the pending frontier's
         priorities from the already-crawled link graph (results snapshots
         carry the full ``links`` arrays — the edge source is free). Higher
-        in-link rank ⇒ earlier fetch, clamped inside the reference's
-        priority bands (100-999). Call between ticks, any number of times;
-        crawl determinism is preserved because priority is itself part of
-        the ordering key. The swap is kill-safe (``replace_frontier``
-        keeps a backup until the new snapshot is in place)."""
+        rank ⇒ earlier fetch, clamped inside the reference's priority
+        bands (100-999). Call between ticks, any number of times; crawl
+        determinism is preserved because priority is itself part of the
+        ordering key. The swap is kill-safe (``replace_frontier`` keeps a
+        backup until the new snapshot is in place).
+
+        ``method`` picks the estimator, all the same O(|E|)-per-sweep
+        physical shape:
+        - ``"pagerank"`` — the classic stationary rank;
+        - ``"opic"`` — Abiteboul's online importance, the one designed to
+          be read mid-crawl (no convergence wait; importance = hist+cash,
+          mean 1 by cash conservation, so the same clamp applies);
+        - ``"trustrank"`` — trust propagated from THIS crawl's own seed
+          list (the tick-0 frontier — a hand-vetted set by construction),
+          demoting link-farmed URLs no seed neighborhood vouches for.
+        """
         from pyspark.sql import functions as F
 
         from .frontier import FRONTIER_SCHEMA
-        from .operators.graph import frontier_rank_priority, pagerank
+        from .operators.graph import frontier_rank_priority, opic, pagerank, trustrank
 
         spark = self.spark
         t = self.catalog.committed_tick() + 1
@@ -631,7 +642,24 @@ class Crawler:
             .select("src", F.col("l.href_canon").alias("dst"))
             .filter(F.col("dst").isNotNull())
         )
-        ranks = pagerank(edges, iters=iters)
+        if method == "pagerank":
+            ranks = pagerank(edges, iters=iters)
+        elif method == "opic":
+            ranks = opic(edges, iters=iters).select(
+                "node", F.col("importance").alias("rank")
+            )
+        elif method == "trustrank":
+            seeds = self.catalog.load_frontier(spark, 0).select(
+                F.col("url_canon").alias("node")
+            )
+            n_seeds = seeds.count()
+            # trust sums to ≤1 over the whole graph — rescale by |seeds| so
+            # seed-adjacent URLs land meaningfully inside the clamp band
+            ranks = trustrank(edges, seeds, iters=iters).select(
+                "node", (F.col("trust") * n_seeds).alias("rank")
+            )
+        else:
+            raise ValueError(f"unknown rerank method {method!r}")
         fr = self.catalog.load_frontier(spark, t)
         new_fr = frontier_rank_priority(fr, ranks).select(
             [f.name for f in FRONTIER_SCHEMA.fields]

@@ -144,3 +144,45 @@ def test_bfs_depth_cycle_terminates(spark):
     seeds = spark.createDataFrame([("x",)], "node string")
     got = {r.node: r.depth for r in graph.bfs_depth(edges, seeds, max_depth=10).collect()}
     assert got == {"x": 0, "y": 1}
+
+
+# ---------------------------------------------------------------------------
+# frontier reranking with the new estimators
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", ["opic", "trustrank"])
+def test_rerank_frontier_opic_and_trustrank(spark, tmp_path, method):
+    """rerank_frontier(method=...) swaps priorities in place with the
+    same guarantees as the pagerank path: row set preserved, priorities
+    inside the reference's 100-999 bands, crawl resumable afterwards."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    pages = synth.generate_pages(spark, 200, n_hosts=8)
+    cfg = CrawlConfig(per_host_budget=4, respect_robots=False)
+    c = Crawler(spark, pages, str(tmp_path / f"ck_{method}"), cfg)
+    c.run(synth.seed_urls(200, 8), max_ticks=2)
+    t = c.catalog.committed_tick() + 1
+    before = {r.url_canon: r.priority for r in c.catalog.load_frontier(spark, t).collect()}
+    n = c.rerank_frontier(method=method)
+    after = {r.url_canon: r.priority for r in c.catalog.load_frontier(spark, t).collect()}
+    assert n == len(before) == len(after)
+    assert set(before) == set(after)
+    assert any(after[u] != before[u] for u in after)
+    assert all(100 <= p <= 999 for p in after.values())
+    stats = c.run(max_ticks=3)
+    assert stats and stats[-1].tick >= 2
+
+
+def test_rerank_frontier_unknown_method(spark, tmp_path):
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    pages = synth.generate_pages(spark, 60, n_hosts=4)
+    c = Crawler(spark, pages, str(tmp_path / "ck_bad"), CrawlConfig(per_host_budget=4))
+    c.run(synth.seed_urls(60, 4), max_ticks=1)
+    with pytest.raises(ValueError):
+        c.rerank_frontier(method="hits")
