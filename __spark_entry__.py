@@ -2369,6 +2369,50 @@ def q_bm25_search(spark, sf_dir):
     return idx.bm25_search(_t(spark, sf_dir, "documents"), "spark window merge", k=10)
 
 
+def q_focused_relevance(spark, sf_dir):
+    """Focused-crawl link propagation (Chakrabarti WWW'99,
+    graph.relevance_to_targets): each link target inherits the best BM25
+    relevance (vs a fixed topic query) among its parents — one O(|E|)
+    join + per-dst max."""
+    from spider_spark.operators import graph
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = idx.bm25_query_scores(docs, "spark window merge")
+    return graph.relevance_to_targets(_link_edges(docs), scores).select(
+        "node", F.round("relevance", 6).alias("rel_r")
+    )
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph rank (graph.host_graph + graph.weighted_pagerank): URL
+    edges coarsened to hosts (deterministic doc_id%20 host synthesis so
+    the authority extraction is exercised), intra-host self-loops
+    dropped, edge weight = underlying link count, then 2 weighted-rank
+    sweeps. THE scale move: at 10^10 URLs the host graph is ~10^7 nodes."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    e = _link_edges(docs).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("src") % 20).cast("string"),
+            F.lit(".test/p"),
+            F.col("src").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("dst") % 20).cast("string"),
+            F.lit(".test/p"),
+            F.col("dst").cast("string"),
+        ).alias("dst"),
+    )
+    hg = graph.host_graph(e)
+    return graph.weighted_pagerank(hg, iters=2, src="src_host", dst="dst_host").select(
+        "node", F.round("rank", 6).alias("rank_r")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2478,6 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_2iter": q_trustrank,
         "crawl_depth_bfs": q_bfs_depth,
         "bm25_search": q_bm25_search,
+        "focused_relevance": q_focused_relevance,
+        "host_pagerank_2iter": q_host_pagerank,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4509,6 +4555,79 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        # focused crawl: per-target max of parents' summed-BM25 relevance
+        "focused_relevance": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), scored AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term IN ('merge', 'spark', 'window')
+            ), qs AS (
+              SELECT doc_id, ROUND(SUM(bm25_r), 6) AS score_r
+              FROM scored GROUP BY doc_id
+            ), e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT e.d AS node, ROUND(MAX(qs.score_r), 6) AS rel_r
+            FROM e JOIN qs ON qs.doc_id = e.s GROUP BY e.d
+        """,
+        # host-graph rollup + 2 weighted-rank sweeps: hosts synthesized as
+        # h{id%20}.test, self-loops dropped, weight = link count
+        "host_pagerank_2iter": """
+            WITH ue AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), he AS (
+              SELECT 'h' || CAST(s % 20 AS VARCHAR) || '.test' AS sh,
+                     'h' || CAST(d % 20 AS VARCHAR) || '.test' AS dh
+              FROM ue WHERE s % 20 <> d % 20
+            ), hg AS (
+              SELECT sh, dh, CAST(COUNT(*) AS DOUBLE) AS w
+              FROM he GROUP BY 1, 2
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT sh AS node FROM hg UNION ALL SELECT dh FROM hg)
+            ), wout AS (
+              SELECT sh AS node, SUM(w) AS wout FROM hg GROUP BY 1
+            ),
+            r0 AS (SELECT n.node, 1.0 AS rank, wout.wout
+                   FROM nodes n LEFT JOIN wout USING (node)),
+            c1 AS (SELECT hg.dh AS node, SUM(r.rank * hg.w / r.wout) AS in_sum
+                   FROM hg JOIN r0 r ON r.node = hg.sh GROUP BY 1),
+            r1 AS (SELECT r0.node,
+                          0.15 + 0.85 * COALESCE(c1.in_sum, 0) AS rank, r0.wout
+                   FROM r0 LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT hg.dh AS node, SUM(r.rank * hg.w / r.wout) AS in_sum
+                   FROM hg JOIN r1 r ON r.node = hg.sh GROUP BY 1),
+            r2 AS (SELECT r1.node,
+                          0.15 + 0.85 * COALESCE(c2.in_sum, 0) AS rank
+                   FROM r1 LEFT JOIN c2 USING (node))
+            SELECT node, ROUND(rank, 6) AS rank_r FROM r2
         """,
     }
 

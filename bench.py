@@ -185,6 +185,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "trustrank_2iter",
         "crawl_depth_bfs",
         "bm25_search",
+        "focused_relevance",
+        "host_pagerank_2iter",
     ]
     out = {}
     for name in names:

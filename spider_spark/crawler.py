@@ -667,6 +667,53 @@ class Crawler:
         self.catalog.replace_frontier(t, new_fr)
         return self.catalog.load_frontier(spark, t).count()
 
+    def focus_frontier(self, query: str) -> int:
+        """Focused crawling (Chakrabarti WWW'99): rerank the pending
+        frontier by topical relevance — each pending URL inherits the
+        best BM25 score (vs ``query``) among the already-crawled pages
+        linking to it, normalized by the corpus-best score so the
+        priority clamp band applies uniformly. Requires
+        ``cfg.store_text`` (the ledger's text column is the index
+        input). Same kill-safe snapshot swap as ``rerank_frontier``.
+
+        Physical shape: postings shuffle over crawled text (bounded by
+        distinct (doc, term) pairs) + ONE O(|E|) edges⋈scores join +
+        per-dst max + a 1-row global-max broadcast — no global sort."""
+        from pyspark.sql import functions as F
+
+        from .frontier import FRONTIER_SCHEMA
+        from .operators import join_scalar_frame
+        from .operators.graph import frontier_rank_priority, relevance_to_targets
+        from .operators.index import bm25_query_scores
+
+        spark = self.spark
+        t = self.catalog.committed_tick() + 1
+        results = self.catalog.load_results(spark)
+        parents = results.filter(
+            (F.col("status") == 200) & F.col("text").isNotNull()
+        ).select(F.col("url_canon").alias("doc_id"), "text")
+        scores = bm25_query_scores(parents, query)
+        edges = (
+            results.filter(F.col("status") == 200)
+            .select(F.col("url_canon").alias("src"), F.explode(F.col("links")).alias("l"))
+            .select("src", F.col("l.href_canon").alias("dst"))
+            .filter(F.col("dst").isNotNull())
+        )
+        rel = relevance_to_targets(edges, scores)
+        top = rel.groupBy().agg(F.max("relevance").alias("rel_max"))
+        ranks = join_scalar_frame(rel, top).select(
+            "node",
+            F.when(F.col("rel_max") > 0, F.col("relevance") / F.col("rel_max"))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+        fr = self.catalog.load_frontier(spark, t)
+        new_fr = frontier_rank_priority(fr, ranks).select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
+        )
+        self.catalog.replace_frontier(t, new_fr)
+        return self.catalog.load_frontier(spark, t).count()
+
     # --- inspection helpers -------------------------------------------------
 
     def results(self) -> DataFrame:

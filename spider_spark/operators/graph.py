@@ -560,3 +560,109 @@ def bfs_depth(
         depths = depths.unionByName(nxt).localCheckpoint(eager=True)
         wave = nxt
     return depths
+
+
+def relevance_to_targets(
+    edges: DataFrame,
+    scores: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    score_col: str = "score_r",
+) -> DataFrame:
+    """Focused-crawl link propagation (Chakrabarti, van den Berg & Dom,
+    WWW 1999): an uncrawled URL inherits the best topical-relevance
+    score among the crawled pages that link to it — the optimistic
+    parent-vouches signal a focused frontier ranks by. ONE O(|E|)
+    edges⋈scores equi-join + partial-agg max per dst. Returns
+    (node, relevance) for targets with at least one scored parent."""
+    return (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("node"))
+        .join(scores.select(F.col("doc_id").alias("s"), F.col(score_col).alias("r")), "s")
+        .groupBy("node")
+        .agg(F.max("r").alias("relevance"))
+    )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """PageRank over a WEIGHTED edge set: each node splits its rank
+    proportionally to edge weight instead of equally — the form the
+    host-graph rollup needs, where an edge's weight is the number of
+    underlying URL-level links. rank = (1−d) + d·Σ rank(u)·w(u,v)/W(u),
+    W(u) = Σ out-weights. Same O(|E|)-per-sweep join + partial-agg shape
+    and the same no-dangling-redistribution simplification as
+    ``pagerank``. Returns (node, rank)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).cast("double").alias("w")
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    wout = e.groupBy(F.col("s").alias("node")).agg(F.sum("w").alias("wout"))
+    base = nodes.join(wout, "node", "left").persist()
+    ranks = base.select("node", F.lit(1.0).alias("rank"), "wout")
+    for i in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("s"), "rank", "wout"), "s")
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("wout")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+                "wout",
+            )
+        )
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", "rank").localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+def col_url_authority(url_col):
+    """scheme://AUTHORITY/… → lowercased authority, null when the value
+    doesn't parse as an absolute URL. Pure codegen — the host-graph
+    coarsening must not cost a Python UDF per edge."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    return F.when(host != "", host)
+
+
+def host_graph(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Roll a URL-level link graph up to the host graph: (src_host,
+    dst_host, weight = underlying link count). THE scale move for link
+    analysis at 10^10 URLs — the host graph is ~10^7 nodes, so rank
+    sweeps run three orders of magnitude cheaper, and host-level rank is
+    what reputation/spam systems consume anyway. Self-loops (intra-host
+    links, the overwhelming majority) are dropped by default before the
+    census shuffle. One projection + one partial-agg groupBy."""
+    hg = edges.select(
+        col_url_authority(src).alias("src_host"),
+        col_url_authority(dst).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if drop_self_loops:
+        hg = hg.where(F.col("src_host") != F.col("dst_host"))
+    return hg.groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("weight"))

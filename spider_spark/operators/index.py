@@ -152,6 +152,31 @@ def bm25_scores(
     )
 
 
+def bm25_query_scores(
+    docs: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Summed BM25 over the query's distinct terms for EVERY matching
+    document (bag-of-words disjunction) — the per-doc relevance signal
+    ``bm25_search`` ranks and focused crawling propagates to outlinks.
+    The term filter is an IN-list literal pushed into the postings
+    aggregation, so only matching (term, doc) pairs ever shuffle.
+    Returns (doc_id, score_r); docs matching no term are absent."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("bm25 needs at least one indexable query term")
+    scores = bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+    return (
+        scores.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("score_r"))
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,
@@ -161,24 +186,15 @@ def bm25_search(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k documents for a free-text query by summed BM25 over the
-    query's distinct terms (bag-of-words disjunction — the classic
-    first-stage ranker). The term filter is an IN-list literal pushed
-    into the postings aggregation, so only matching (term, doc) pairs
-    ever shuffle; the global top-k is orderBy(...).limit(k) — Spark plans
-    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
-    NEVER a single-partition global-window sort over all matching docs.
-    The rank column is a window over the ≤k survivors only.
-    Deterministic: ranked on the ROUNDED total then doc_id.
+    """Top-k documents for a free-text query by summed BM25 (the classic
+    first-stage ranker). The global top-k is orderBy(...).limit(k) —
+    Spark plans TakeOrderedAndProject (per-partition heaps + a k-row
+    driver merge), NEVER a single-partition global-window sort over all
+    matching docs. The rank column is a window over the ≤k survivors
+    only. Deterministic: ranked on the ROUNDED total then doc_id.
     Returns (doc_id, score_r, rank)."""
-    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
-    if not terms:
-        raise ValueError("bm25_search needs at least one indexable query term")
-    scores = bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
     topk = (
-        scores.where(F.col("term").isin(terms))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("bm25_r"), 6).alias("score_r"))
+        bm25_query_scores(docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col)
         .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -176,6 +176,98 @@ def test_rerank_frontier_opic_and_trustrank(spark, tmp_path, method):
     assert stats and stats[-1].tick >= 2
 
 
+# ---------------------------------------------------------------------------
+# focused crawling + host graph
+# ---------------------------------------------------------------------------
+
+
+def test_relevance_to_targets_max_of_parents(spark):
+    edges = spark.createDataFrame(
+        [("p1", "t"), ("p2", "t"), ("p2", "u"), ("p3", "v")],
+        "src string, dst string",
+    )
+    scores = spark.createDataFrame(
+        [("p1", 3.5), ("p2", 1.0)], "doc_id string, score_r double"
+    )
+    got = {r.node: r.relevance for r in graph.relevance_to_targets(edges, scores).collect()}
+    # t takes the BEST parent (p1); v's only parent p3 is unscored -> absent
+    assert got == {"t": 3.5, "u": 1.0}
+
+
+def test_weighted_pagerank_matches_unweighted_on_unit_weights(spark, edges_df):
+    w = edges_df.withColumn("weight", F.lit(1))
+    got = {r.node: r.rank for r in graph.weighted_pagerank(w, iters=2).collect()}
+    want = {r.node: r.rank for r in graph.pagerank(edges_df, iters=2).collect()}
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12), n
+
+
+def test_weighted_pagerank_splits_by_weight(spark):
+    # a -> b (weight 3), a -> c (weight 1): b gets 3x c's contribution
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, weight int"
+    )
+    got = {r.node: r.rank for r in graph.weighted_pagerank(e, iters=1).collect()}
+    assert got["b"] == pytest.approx(0.15 + 0.85 * 0.75, rel=1e-12)
+    assert got["c"] == pytest.approx(0.15 + 0.85 * 0.25, rel=1e-12)
+
+
+def test_host_graph_rollup_and_self_loops(spark):
+    e = spark.createDataFrame(
+        [
+            ("https://A.test/1", "https://b.test/x"),
+            ("https://a.test/2", "https://b.test/y"),
+            ("https://a.test/3", "https://a.test/4"),  # self-loop
+            ("nota url", "https://b.test/z"),  # unparseable src dropped
+        ],
+        "src string, dst string",
+    )
+    rows = graph.host_graph(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # case-folded host, loop dropped, weight = 2 underlying links
+    assert (r.src_host, r.dst_host, r.weight) == ("a.test", "b.test", 2)
+    kept = graph.host_graph(e, drop_self_loops=False).collect()
+    assert {(r.src_host, r.dst_host, r.weight) for r in kept} == {
+        ("a.test", "b.test", 2),
+        ("a.test", "a.test", 1),
+    }
+
+
+def test_focus_frontier_boosts_topical_targets(spark, tmp_path):
+    """focus_frontier reranks pending URLs by parent BM25 relevance:
+    targets linked from pages matching the topic move earlier; the swap
+    preserves the row set and bands, and the crawl resumes."""
+    from spider_spark import synth
+    from spider_spark.crawler import Crawler
+    from spider_spark.frontier import CrawlConfig
+
+    pages = synth.generate_pages(spark, 200, n_hosts=8)
+    cfg = CrawlConfig(per_host_budget=4, respect_robots=False)
+    c = Crawler(spark, pages, str(tmp_path / "ck_focus"), cfg)
+    c.run(synth.seed_urls(200, 8), max_ticks=2)
+    # pick a topic word straight from a crawled page so BM25 has a hit
+    sample = (
+        c.results()
+        .where(F.col("text").isNotNull() & (F.length("text") > 20))
+        .select("text")
+        .first()
+    )
+    word = next(w for w in sample.text.lower().split() if w.isalpha())
+    t = c.catalog.committed_tick() + 1
+    before = {r.url_canon: r.priority for r in c.catalog.load_frontier(spark, t).collect()}
+    n = c.focus_frontier(word)
+    after = {r.url_canon: r.priority for r in c.catalog.load_frontier(spark, t).collect()}
+    assert n == len(before) == len(after)
+    assert set(before) == set(after)
+    assert all(100 <= p <= 999 for p in after.values())
+    # the best-relevance target hits the top of the clamp band
+    assert any(p < bp for p, bp in ((after[u], before[u]) for u in after))
+    stats = c.run(max_ticks=3)
+    assert stats and stats[-1].tick >= 2
+
+
 def test_rerank_frontier_unknown_method(spark, tmp_path):
     from spider_spark import synth
     from spider_spark.crawler import Crawler
