@@ -2413,6 +2413,71 @@ def q_host_pagerank(spark, sf_dir):
     )
 
 
+def _dust_pages(docs):
+    """Deterministic (url, content_fp) ledger for DUST rule learning:
+    content is keyed by the `id` param (fp = doc_id%7); `sess` varies
+    freely (doc_id%4==0 rows pin sess=fixed so `id` gets a shared-sess
+    counterexample group)."""
+    return docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".test/page?id="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&sess="),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("fixed")).otherwise(
+                F.col("doc_id").cast("string")
+            ),
+        ).alias("url"),
+        (F.col("doc_id") % 7).alias("content_fp"),
+    )
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST junk-param learning (operators/dust.py, Bar-Yossef WWW'07
+    pair-free restatement): per-(host, param) evidence/counterexample
+    census over remainder groups; `sess` learns junk, `id` is saved by
+    its shared-sess counterexamples."""
+    from spider_spark.operators import dust
+
+    return dust.dust_param_rules(_dust_pages(_t(spark, sf_dir, "documents")))
+
+
+def q_dust_strip(spark, sf_dir):
+    """Apply the learned DUST rules: junk params removed (order of
+    survivors preserved), hosts without rules untouched."""
+    from spider_spark.operators import dust
+
+    pages = _dust_pages(_t(spark, sf_dir, "documents"))
+    return dust.strip_junk_params(pages, dust.dust_param_rules(pages)).select(
+        "url", "url_dusted"
+    )
+
+
+def q_reciprocal_links(spark, sf_dir):
+    """Reciprocal-link nepotism stats (graph.reciprocal_link_stats,
+    Davison 2000) over the host graph: fraction of each host's distinct
+    out-neighbors that link straight back."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    e = _link_edges(docs).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("src") % 20).cast("string"),
+            F.lit(".test/p"),
+            F.col("src").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("dst") % 20).cast("string"),
+            F.lit(".test/p"),
+            F.col("dst").cast("string"),
+        ).alias("dst"),
+    )
+    return graph.reciprocal_link_stats(graph.host_graph(e))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2524,6 +2589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "focused_relevance": q_focused_relevance,
         "host_pagerank_2iter": q_host_pagerank,
+        "dust_param_rules": q_dust_rules,
+        "dust_strip": q_dust_strip,
+        "reciprocal_links": q_reciprocal_links,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4628,6 +4696,137 @@ def oracle_sql() -> dict[str, str]:
                           0.15 + 0.85 * COALESCE(c2.in_sum, 0) AS rank
                    FROM r1 LEFT JOIN c2 USING (node))
             SELECT node, ROUND(rank, 6) AS rank_r FROM r2
+        """,
+        # DUST: same parse (authority regex, '?'-base, k=v pair extraction)
+        # restated in DuckDB list lambdas; remainder groups -> evidence /
+        # counterexample census per (host, param)
+        "dust_param_rules": """
+            WITH urls AS (
+              SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.test/page?id=' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&sess=' ||
+                       CASE WHEN doc_id % 4 = 0 THEN 'fixed'
+                            ELSE CAST(doc_id AS VARCHAR) END AS url,
+                     doc_id % 7 AS fp
+              FROM documents
+            ), parts AS (
+              SELECT fp,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                     regexp_extract(url, '^([^?#]*)', 1) AS base,
+                     list_transform(
+                       regexp_extract_all(url, '[?&]([^=&#]+)=([^&#]*)', 0),
+                       p -> p[2:]) AS pairs
+              FROM urls
+            ), ex AS (
+              SELECT fp, host, base, pairs,
+                     unnest(list_distinct(list_transform(pairs,
+                       p -> string_split(p, '=')[1]))) AS param
+              FROM parts WHERE host <> ''
+            ), rem AS (
+              SELECT fp, host, param,
+                     base || '?' || array_to_string(list_sort(
+                       list_filter(pairs,
+                         p -> NOT starts_with(p, param || '='))), '&')
+                       AS remainder
+              FROM ex
+            ), g AS (
+              SELECT host, param, remainder,
+                     COUNT(*) AS n_urls, COUNT(DISTINCT fp) AS n_fps
+              FROM rem GROUP BY 1, 2, 3
+            )
+            SELECT host, param,
+                   CAST(SUM(CASE WHEN n_urls >= 2 AND n_fps = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS evidence_groups,
+                   CAST(SUM(CASE WHEN n_fps >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS counter_groups,
+                   (SUM(CASE WHEN n_urls >= 2 AND n_fps = 1
+                             THEN 1 ELSE 0 END) >= 2
+                    AND SUM(CASE WHEN n_fps >= 2 THEN 1 ELSE 0 END) = 0)
+                     AS is_junk
+            FROM g GROUP BY 1, 2
+        """,
+        # learn + apply: junk params filtered out (original order kept),
+        # bare base when nothing survives, rule-less hosts untouched
+        "dust_strip": """
+            WITH urls AS (
+              SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.test/page?id=' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&sess=' ||
+                       CASE WHEN doc_id % 4 = 0 THEN 'fixed'
+                            ELSE CAST(doc_id AS VARCHAR) END AS url,
+                     doc_id % 7 AS fp
+              FROM documents
+            ), parts AS (
+              SELECT url, fp,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                     regexp_extract(url, '^([^?#]*)', 1) AS base,
+                     list_transform(
+                       regexp_extract_all(url, '[?&]([^=&#]+)=([^&#]*)', 0),
+                       p -> p[2:]) AS pairs
+              FROM urls
+            ), ex AS (
+              SELECT fp, host, base, pairs,
+                     unnest(list_distinct(list_transform(pairs,
+                       p -> string_split(p, '=')[1]))) AS param
+              FROM parts WHERE host <> ''
+            ), rem AS (
+              SELECT fp, host, param,
+                     base || '?' || array_to_string(list_sort(
+                       list_filter(pairs,
+                         p -> NOT starts_with(p, param || '='))), '&')
+                       AS remainder
+              FROM ex
+            ), g AS (
+              SELECT host, param, remainder,
+                     COUNT(*) AS n_urls, COUNT(DISTINCT fp) AS n_fps
+              FROM rem GROUP BY 1, 2, 3
+            ), rules AS (
+              SELECT host, param FROM g GROUP BY 1, 2
+              HAVING SUM(CASE WHEN n_urls >= 2 AND n_fps = 1
+                              THEN 1 ELSE 0 END) >= 2
+                 AND SUM(CASE WHEN n_fps >= 2 THEN 1 ELSE 0 END) = 0
+            ), junk AS (
+              SELECT host, list(param) AS junk_params FROM rules GROUP BY 1
+            )
+            SELECT p.url,
+                   CASE WHEN j.junk_params IS NULL THEN p.url
+                        WHEN len(list_filter(p.pairs, x ->
+                               NOT list_contains(j.junk_params,
+                                                 string_split(x, '=')[1]))) > 0
+                        THEN p.base || '?' || array_to_string(
+                               list_filter(p.pairs, x ->
+                                 NOT list_contains(j.junk_params,
+                                                   string_split(x, '=')[1])),
+                               '&')
+                        ELSE p.base END AS url_dusted
+            FROM parts p LEFT JOIN junk j USING (host)
+        """,
+        # host-graph reciprocity: distinct pairs left-joined against their
+        # own reversal, per-src census
+        "reciprocal_links": """
+            WITH ue AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), he AS (
+              SELECT 'h' || CAST(s % 20 AS VARCHAR) || '.test' AS sh,
+                     'h' || CAST(d % 20 AS VARCHAR) || '.test' AS dh
+              FROM ue WHERE s % 20 <> d % 20
+            ), hg AS (
+              SELECT DISTINCT sh, dh FROM he
+            ), rev AS (
+              SELECT dh AS sh, sh AS dh, 1 AS r FROM hg
+            )
+            SELECT hg.sh AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_out,
+                   CAST(SUM(COALESCE(rev.r, 0)) AS BIGINT) AS n_recip,
+                   ROUND(CAST(SUM(COALESCE(rev.r, 0)) AS DOUBLE) / COUNT(*), 6)
+                     AS recip_ratio
+            FROM hg LEFT JOIN rev USING (sh, dh) GROUP BY 1
         """,
     }
 

@@ -187,6 +187,9 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_search",
         "focused_relevance",
         "host_pagerank_2iter",
+        "dust_param_rules",
+        "dust_strip",
+        "reciprocal_links",
     ]
     out = {}
     for name in names:

@@ -1,0 +1,155 @@
+"""DUST rule learning — Different URLs with Similar Text (Bar-Yossef,
+Keidar & Schonfeld, WWW 2007): learn which query parameters are
+content-irrelevant (session ids, tracking tags, cache busters) from the
+crawl's own (url, content_fp) ledger, so the canonicalizer can strip
+them and the frontier stops refetching aliases.
+
+The classic formulation pairs URLs; pairing is quadratic inside hot
+groups. This restatement is pair-free: for every URL and every query
+parameter k it carries, build the REMAINDER key (host, path, the other
+parameters sorted) — all URLs that differ only in k's value/presence
+collapse onto one remainder group. Then per group count distinct
+content fingerprints:
+
+- group has ≥2 URLs and ONE distinct fp → evidence k doesn't affect
+  content;
+- group has ≥2 distinct fps → a counterexample (k DOES select content).
+
+Per (host, param): junk ⇔ evidence ≥ min_support AND zero
+counterexamples. Everything is one explode (bounded by Σ params per
+URL, not URL pairs) + two partial-agg groupBys — no self-join, no hot
+group blowup, engine-portable enough to restate in SQL verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one 'k=v' unit in a query string; '#' ends the query (fragment)
+_PAIR_RE = r"[?&]([^=&#]+)=([^&#]*)"
+
+
+def _url_parts(url: Column) -> tuple[Column, Column]:
+    """(base before '?', array of raw 'k=v' pair strings)."""
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    pairs = F.regexp_extract_all(url, F.lit(_PAIR_RE), 0)
+    # the regexp captures the leading ?/& — strip it so pairs compare flat
+    pairs = F.transform(pairs, lambda p: F.substring(p, 2, 1 << 30))
+    return base, pairs
+
+
+def dust_param_rules(
+    pages: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+    min_support: int = 2,
+) -> DataFrame:
+    """Learn per-(host, param) content-irrelevance verdicts from a
+    (url, content_fp) table. Returns (host, param, evidence_groups,
+    counter_groups, is_junk) — ``is_junk`` only ever true with zero
+    counterexamples, so applying the rule can't merge distinct content.
+    """
+    url = F.col(url_col)
+    base, pairs = _url_parts(url)
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    exploded = (
+        pages.select(
+            F.col(fp_col).alias("fp"),
+            host.alias("host"),
+            base.alias("base"),
+            pairs.alias("pairs"),
+        )
+        .where(F.col("host") != "")
+        .select(
+            "fp",
+            "host",
+            "base",
+            "pairs",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.col("pairs"), lambda p: F.split(p, "=", 2).getItem(0)
+                    )
+                )
+            ).alias("param"),
+        )
+        .select(
+            "fp",
+            "host",
+            "param",
+            F.concat(
+                F.col("base"),
+                F.lit("?"),
+                F.array_join(
+                    F.array_sort(
+                        F.filter(
+                            F.col("pairs"),
+                            lambda p: ~p.startswith(
+                                F.concat(F.col("param"), F.lit("="))
+                            ),
+                        )
+                    ),
+                    "&",
+                ),
+            ).alias("remainder"),
+        )
+    )
+    groups = exploded.groupBy("host", "param", "remainder").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("fp").alias("n_fps"),
+    )
+    return (
+        groups.groupBy("host", "param")
+        .agg(
+            F.sum(
+                F.when((F.col("n_urls") >= 2) & (F.col("n_fps") == 1), 1).otherwise(0)
+            ).alias("evidence_groups"),
+            F.sum(F.when(F.col("n_fps") >= 2, 1).otherwise(0)).alias("counter_groups"),
+        )
+        .select(
+            "host",
+            "param",
+            "evidence_groups",
+            "counter_groups",
+            (
+                (F.col("evidence_groups") >= min_support)
+                & (F.col("counter_groups") == 0)
+            ).alias("is_junk"),
+        )
+    )
+
+
+def strip_junk_params(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply learned DUST rules: remove every is_junk param of the URL's
+    host, keeping the surviving params in original order (the
+    canonicalizer owns any further normalization). Hosts with no rules
+    pass through untouched. The rules side is a per-host array built by
+    ONE partial-agg and joined on host — broadcastable (hosts × params,
+    not URLs). Adds ``url_dusted``."""
+    junk = (
+        rules.where(F.col("is_junk"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("junk_params"))
+    )
+    url = F.col(url_col)
+    base, pairs = _url_parts(url)
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    with_rules = urls.withColumn("__host", host).join(
+        F.broadcast(junk.withColumnRenamed("host", "__host")), "__host", "left"
+    )
+    kept = F.filter(
+        pairs,
+        lambda p: ~F.array_contains(
+            F.col("junk_params"), F.split(p, "=", 2).getItem(0)
+        ),
+    )
+    dusted = F.when(F.col("junk_params").isNull(), url).otherwise(
+        F.when(F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(base)
+    )
+    return with_rules.withColumn("url_dusted", dusted).drop("__host", "junk_params")

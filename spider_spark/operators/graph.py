@@ -666,3 +666,37 @@ def host_graph(
     if drop_self_loops:
         hg = hg.where(F.col("src_host") != F.col("dst_host"))
     return hg.groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def reciprocal_link_stats(
+    host_edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """Nepotistic-link signal (Davison, AAAI 2000 workshop): the fraction
+    of a host's distinct out-neighbors that link straight back. Link
+    exchanges / rings reciprocate near 1.0; editorial linking mostly
+    doesn't. Consumed next to TrustRank by the frontier's reputation
+    screen.
+
+    ONE self-equi-join of the (already host-level, so ~10^7-row) edge
+    set against its reversal + a per-src partial agg. Returns
+    (host, n_out, n_recip, recip_ratio)."""
+    e = host_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b")).withColumn(
+        "_r", F.lit(1)
+    )
+    return (
+        e.join(rev, ["a", "b"], "left")
+        .groupBy(F.col("a").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).alias("n_recip"),
+        )
+        .select(
+            "host",
+            "n_out",
+            "n_recip",
+            F.round(F.col("n_recip") / F.col("n_out"), 6).alias("recip_ratio"),
+        )
+    )
