@@ -2454,6 +2454,34 @@ def q_dust_strip(spark, sf_dir):
     )
 
 
+def q_postings_merge(spark, sf_dir):
+    """Incremental index maintenance (index.merge_postings): a recrawl
+    delta (doc_id%10==0, text refreshed) and a deletion set (doc_id%25==0,
+    deletion beating refresh on the overlap) merged into the standing
+    postings. The ORACLE IS THE FULL REBUILD over the substituted corpus —
+    the differential the operator's invariant promises."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    old = idx.postings(docs)
+    delta = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" refreshed refreshed")).alias(
+            "text"
+        ),
+    )
+    deleted = docs.where(F.col("doc_id") % 25 == 0).select("doc_id")
+    return idx.merge_postings(old, delta, deleted)
+
+
+def q_degree_histogram(spark, sf_dir):
+    """log2-bucketed in-degree histogram (graph.degree_histogram): the
+    power-law fingerprint of the link graph in a handful of rows."""
+    from spider_spark.operators import graph
+
+    return graph.degree_histogram(_link_edges(_t(spark, sf_dir, "documents")), "in")
+
+
 def q_reciprocal_links(spark, sf_dir):
     """Reciprocal-link nepotism stats (graph.reciprocal_link_stats,
     Davison 2000) over the host graph: fraction of each host's distinct
@@ -2592,6 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_param_rules": q_dust_rules,
         "dust_strip": q_dust_strip,
         "reciprocal_links": q_reciprocal_links,
+        "postings_delta_merge": q_postings_merge,
+        "degree_histogram_in": q_degree_histogram,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4827,6 +4857,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(COALESCE(rev.r, 0)) AS DOUBLE) / COUNT(*), 6)
                      AS recip_ratio
             FROM hg LEFT JOIN rev USING (sh, dh) GROUP BY 1
+        """,
+        # the incremental merge's oracle IS the full rebuild over the
+        # substituted corpus: refreshed texts swapped in, deletions (which
+        # beat refreshes on the overlap) removed
+        "postings_delta_merge": """
+            WITH final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN COALESCE(text, '') || ' refreshed refreshed'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 25 <> 0
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM final
+            )
+            SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        """,
+        # log2 in-degree buckets over the shared link graph
+        "degree_histogram_in": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), deg AS (
+              SELECT d AS node, COUNT(*) AS deg FROM e GROUP BY d
+            )
+            SELECT CAST(FLOOR(log2(deg)) AS INTEGER) AS bucket,
+                   COUNT(*) AS n_nodes,
+                   MIN(deg) AS min_deg, MAX(deg) AS max_deg
+            FROM deg GROUP BY 1
         """,
     }
 

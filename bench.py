@@ -190,6 +190,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "dust_param_rules",
         "dust_strip",
         "reciprocal_links",
+        "postings_delta_merge",
+        "degree_histogram_in",
     ]
     out = {}
     for name in names:

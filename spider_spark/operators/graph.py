@@ -668,6 +668,55 @@ def host_graph(
     return hg.groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("weight"))
 
 
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node in/out degree over a directed edge set — the first
+    number a web-graph data card reports (degree distributions are the
+    canonical power-law diagnostic; a crawl whose out-degree tail
+    explodes is eating a link farm). Two partial-agg censuses + one
+    outer join, all keyed on node. Returns (node, in_deg, out_deg)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    outd = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    ind = e.groupBy(F.col("d").alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        outd.join(ind, "node", "full")
+        .select(
+            "node",
+            F.coalesce(F.col("in_deg"), F.lit(0)).alias("in_deg"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        )
+    )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    direction: str = "in",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """log2-bucketed degree histogram: (bucket = floor(log2(degree)),
+    n_nodes, min/max degree in bucket). The power-law fingerprint in ~30
+    rows regardless of graph size — the right artifact to ship in a
+    data card at 10^10 edges. One census + one partial agg."""
+    if direction not in ("in", "out"):
+        raise ValueError("direction must be 'in' or 'out'")
+    deg = degree_stats(edges, src, dst).select(
+        F.col(f"{direction}_deg").alias("deg")
+    ).where(F.col("deg") > 0)
+    return (
+        deg.select(F.floor(F.log2("deg")).cast("int").alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+    )
+
+
 def reciprocal_link_stats(
     host_edges: DataFrame,
     src: str = "src_host",

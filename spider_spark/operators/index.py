@@ -152,6 +152,43 @@ def bm25_scores(
     )
 
 
+def merge_postings(
+    old_postings: DataFrame,
+    delta_docs: DataFrame,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental index maintenance — the per-tick discipline: a
+    recrawl tick yields a small set of changed/new documents and a set
+    of deletions (gone/410 URLs); rebuilding the full postings table per
+    tick is the scale-killer this avoids. Invariant (asserted by the
+    oracle-backed entry query and tests): merged postings are EXACTLY
+    the postings of the corpus with delta texts substituted and deleted
+    ids removed.
+
+    Physical shape: the old postings are anti-joined against the
+    (changed ∪ deleted) id set — shuffle ∝ |old| keyed on doc_id, and
+    with both snapshots bucketed by doc_id it is co-located — then
+    unioned with the delta's freshly tokenized postings (shuffle ∝
+    delta, not corpus). Document frequencies are NOT stored — they
+    derive from one census over the merged table when scoring needs
+    them (``tfidf_top_terms``/``bm25_scores`` already recompute)."""
+    gone = delta_docs.select(F.col(id_col).alias("doc_id"))
+    live_delta = delta_docs
+    if deleted_ids is not None:
+        dele = deleted_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        gone = gone.unionByName(dele)
+        # a doc both refreshed and deleted is DELETED — a tick's 410 beats
+        # its earlier 200, same as the ledger's latest-capture discipline
+        live_delta = delta_docs.join(
+            dele.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        )
+    kept = old_postings.join(gone.distinct(), "doc_id", "left_anti")
+    fresh = postings(live_delta, id_col, text_col)
+    return kept.unionByName(fresh)
+
+
 def bm25_query_scores(
     docs: DataFrame,
     query: str,

@@ -235,6 +235,24 @@ def test_host_graph_rollup_and_self_loops(spark):
     }
 
 
+def test_degree_stats_and_histogram(spark, edges_df):
+    got = {r.node: (r.in_deg, r.out_deg) for r in graph.degree_stats(edges_df).collect()}
+    # EDGES: a->b, a->c, b->c, d->a, c->e
+    assert got == {
+        "a": (1, 2),
+        "b": (1, 1),
+        "c": (2, 1),
+        "d": (0, 1),
+        "e": (1, 0),
+    }
+    hist = {r.bucket: (r.n_nodes, r.min_deg, r.max_deg)
+            for r in graph.degree_histogram(edges_df, "in").collect()}
+    # in-degrees: 1,1,2,1 -> bucket 0 (deg 1) x3, bucket 1 (deg 2) x1
+    assert hist == {0: (3, 1, 1), 1: (1, 2, 2)}
+    with pytest.raises(ValueError):
+        graph.degree_histogram(edges_df, "sideways")
+
+
 def test_focus_frontier_boosts_topical_targets(spark, tmp_path):
     """focus_frontier reranks pending URLs by parent BM25 relevance:
     targets linked from pages matching the topic move earlier; the swap

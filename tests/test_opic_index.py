@@ -209,3 +209,45 @@ def test_bm25_search_topk_plan_has_no_global_window_sort(spark, docs_df):
 def test_bm25_search_rejects_empty_query(spark, docs_df):
     with pytest.raises(ValueError):
         index.bm25_search(docs_df, "!!! ???")
+
+
+# ---------------------------------------------------------------------------
+# incremental postings maintenance
+# ---------------------------------------------------------------------------
+
+
+def _post_set(df):
+    return {(r.term, r.doc_id, r.tf) for r in df.collect()}
+
+
+def test_merge_postings_equals_full_rebuild(spark, docs_df):
+    """The defining invariant: incremental merge == full rebuild of the
+    corpus with delta texts substituted and deletions removed."""
+    old = index.postings(docs_df)
+    delta = spark.createDataFrame(
+        [(2, "fresh crawl content"), (4, "brand new page")],
+        "doc_id long, text string",
+    )
+    deleted = spark.createDataFrame([(3,)], "doc_id long")
+    merged = index.merge_postings(old, delta, deleted)
+    final = spark.createDataFrame(
+        [(1, DOCS[0][1]), (2, "fresh crawl content"), (4, "brand new page")],
+        "doc_id long, text string",
+    )
+    assert _post_set(merged) == _post_set(index.postings(final))
+
+
+def test_merge_postings_delete_beats_refresh(spark, docs_df):
+    old = index.postings(docs_df)
+    delta = spark.createDataFrame([(2, "zombie text")], "doc_id long, text string")
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    merged = index.merge_postings(old, delta, deleted)
+    assert merged.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_merge_postings_no_deletes(spark, docs_df):
+    old = index.postings(docs_df)
+    delta = spark.createDataFrame([(1, "replaced")], "doc_id long, text string")
+    merged = index.merge_postings(old, delta)
+    got = {(r.term, r.tf) for r in merged.where(F.col("doc_id") == 1).collect()}
+    assert got == {("replaced", 1)}
