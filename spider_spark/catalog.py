@@ -59,6 +59,16 @@ LATEST_SCHEMA = StructType(
 )
 
 
+# standing inverted-index snapshot row: doc_id is the url_canon
+INDEX_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("tf", LongType(), False),
+    ]
+)
+
+
 class CrawlCatalog:
     def __init__(self, root: str):
         self.root = Path(root)
@@ -463,6 +473,49 @@ class CrawlCatalog:
         tmp = self._manifest_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(mm, indent=1))
         os.replace(tmp, self._manifest_path)
+
+    # --- incremental postings index snapshot ---------------------------------
+
+    def index_built_at(self) -> int:
+        """Highest tick whose captures are folded into the postings
+        snapshot (-1 = no index yet)."""
+        return self.manifest().get("index_built_at", -1)
+
+    def _index_dir_name(self) -> str | None:
+        m = self.manifest()
+        b = m.get("index_built_at", -1)
+        if b < 0:
+            return None
+        return f"tick={b}.g{m.get('index_gen', 0)}"
+
+    def load_index(self, spark: SparkSession) -> DataFrame:
+        """The standing postings table (term, doc_id=url_canon, tf) —
+        empty with the right schema before the first update_index()."""
+        d = self._index_dir_name()
+        if d is None:
+            return spark.createDataFrame([], INDEX_SCHEMA)
+        return spark.read.schema(INDEX_SCHEMA).parquet(str(self.root / "index" / d))
+
+    def replace_index(self, tick: int, post: DataFrame) -> None:
+        """Swap in an updated postings snapshot — the same crash-safe
+        generation discipline as ``rewrite_latest``: the new
+        generation-suffixed dir is fully written FIRST (its plan may read
+        the dir being superseded), the manifest pointer flips atomically,
+        the superseded dir is garbage-collected last."""
+        prev = self._index_dir_name()
+        gen = self.manifest().get("index_gen", 0) + 1
+        new_dir = f"tick={tick}.g{gen}"
+        post.hint("rebalance").write.mode("overwrite").parquet(
+            str(self.root / "index" / new_dir)
+        )
+        m = self.manifest()
+        m["index_built_at"] = tick
+        m["index_gen"] = gen
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)
+        if prev is not None and prev != new_dir:
+            shutil.rmtree(self.root / "index" / prev, ignore_errors=True)
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

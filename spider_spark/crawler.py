@@ -714,6 +714,53 @@ class Crawler:
         self.catalog.replace_frontier(t, new_fr)
         return self.catalog.load_frontier(spark, t).count()
 
+    def update_index(self) -> int:
+        """The indexer half of the crawler: maintain a standing inverted
+        index (term, url_canon, tf) over the corpus's LATEST extracted
+        text, incrementally (``operators/index.merge_postings`` wired to
+        the tick ledger). Reads ONLY the result ticks since the last
+        build — never the full ledger — derives each URL's latest capture
+        among them (max over the data-derived (tick, seq) key, the same
+        discipline as ``catalog._aggregate_latest``), re-tokenizes
+        refreshed 200s, and DELETES URLs whose latest capture is no
+        longer indexable (non-200, or a 200 without stored text — a
+        darkened page must leave the index, not linger stale). The swap
+        is crash-safe (``replace_index`` generation discipline). Call
+        between ticks, any number of times; idempotent when current.
+        Requires ``cfg.store_text``. Returns the tick now indexed."""
+        from pyspark.sql import functions as F
+
+        from .operators.index import merge_postings
+
+        spark = self.spark
+        t = self.catalog.committed_tick()
+        built = self.catalog.index_built_at()
+        if t < 0 or built >= t:
+            return built
+        ticks = [
+            k
+            for k in range(built + 1, t + 1)
+            if (self.catalog.root / "results" / f"tick={k}").exists()
+        ]
+        if not ticks:
+            return built
+        res = self.catalog.load_results(spark, ticks=ticks)
+        latest = (
+            res.groupBy("url_canon")
+            .agg(F.max(F.struct("tick", "seq", "status", "text")).alias("_l"))
+            .select(
+                F.col("url_canon").alias("doc_id"),
+                F.col("_l.status").alias("status"),
+                F.col("_l.text").alias("text"),
+            )
+        )
+        indexable = (F.col("status") == 200) & F.col("text").isNotNull()
+        refreshed = latest.where(indexable).select("doc_id", "text")
+        dropped = latest.where(~indexable).select("doc_id")
+        merged = merge_postings(self.catalog.load_index(spark), refreshed, dropped)
+        self.catalog.replace_index(t, merged)
+        return t
+
     # --- inspection helpers -------------------------------------------------
 
     def results(self) -> DataFrame:
