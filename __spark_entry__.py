@@ -2166,11 +2166,20 @@ def q_mirror_hosts(spark, sf_dir):
         F.concat(F.col("source"), F.lit("-m")).alias("host"),
         fp.alias("content_fp"),
     )
+    # fp 42 as a NON-FOLDABLE expression (pmod(hash(col),1) is always 0 —
+    # the join_scalar_frame idiom): a literal here lets Catalyst constant-
+    # fold the hot-fp guard's semi-join key for this union branch into a
+    # 1-row NL existence probe, tripping the strict no-NL plan guard
     boiler = docs.select(F.col("source").alias("host")).union(
         docs.where(F.col("doc_id") % 5 == 0).select(
             F.concat(F.col("source"), F.lit("-m")).alias("host")
         )
-    ).distinct().select("host", F.lit(42).cast("long").alias("content_fp"))
+    ).distinct().select(
+        "host",
+        (F.pmod(F.hash(F.col("host")), F.lit(1)) + F.lit(42)).cast("long").alias(
+            "content_fp"
+        ),
+    )
     pages = real.union(mirrored).union(boiler)
     return mirrors.mirror_candidates(pages, min_overlap=0.5, min_shared=3)
 
