@@ -2491,6 +2491,19 @@ def q_degree_histogram(spark, sf_dir):
     return graph.degree_histogram(_link_edges(_t(spark, sf_dir, "documents")), "in")
 
 
+def q_kmeans_codebook(spark, sf_dir):
+    """IVF codebook training (similarity.kmeans_lloyd — spherical
+    k-means, Dhillon & Modha 2001): 2 Lloyd sweeps, k=8, init = the 8
+    lowest-id vectors quantized to 6 decimals. Assignment is the
+    map-only SQL-literal codebook path (corpus never shuffles); each
+    sweep's centroids are rounded to 6 so both engines' float sums
+    agree. Output is per-dim rows (cent_id, dim, value_r) — scalar
+    columns, no array-stringification ambiguity in the compare."""
+    from spider_spark.operators import similarity as sim
+
+    return sim.kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 def q_reciprocal_links(spark, sf_dir):
     """Reciprocal-link nepotism stats (graph.reciprocal_link_stats,
     Davison 2000) over the host graph: fraction of each host's distinct
@@ -2631,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_links": q_reciprocal_links,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
+        "kmeans_codebook": q_kmeans_codebook,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4884,6 +4898,80 @@ def oracle_sql() -> dict[str, str]:
               FROM final
             )
             SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        """,
+        # spherical k-means unrolled: init = 8 lowest-id vectors quantized
+        # to 6dp; per sweep cosine-argmax assignment (IF(norm>0) guard,
+        # ties smallest cid — the exact literal-path formula) then per-dim
+        # mean rounded to 6; an empty cluster keeps its previous centroid
+        "kmeans_codebook": """
+            WITH c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                     list_transform(embedding,
+                                    x -> ROUND(CAST(x AS DOUBLE), 6)) AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), s1 AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     list_dot_product(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       c.cv) AS dot,
+                     sqrt(list_dot_product(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                       AS nv,
+                     sqrt(list_dot_product(c.cv, c.cv)) AS nc
+              FROM embeddings e CROSS JOIN c0 c
+            ), a1 AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT vec_id, embedding, cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY CASE WHEN nv > 0 AND nc > 0
+                                       THEN dot / (nv * nc) ELSE 0 END DESC,
+                                  cid ASC) AS rn
+                FROM s1) WHERE rn = 1
+            ), u1 AS (
+              SELECT cid, u.i - 1 AS dim,
+                     ROUND(AVG(CAST(embedding[u.i] AS DOUBLE)), 6) AS val
+              FROM a1, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+              GROUP BY 1, 2
+            ), c1 AS (
+              SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
+              FROM c0 LEFT JOIN (
+                SELECT cid, list(val ORDER BY dim) AS cv FROM u1 GROUP BY cid
+              ) m USING (cid)
+            ), s2 AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     list_dot_product(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       c.cv) AS dot,
+                     sqrt(list_dot_product(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                       AS nv,
+                     sqrt(list_dot_product(c.cv, c.cv)) AS nc
+              FROM embeddings e CROSS JOIN c1 c
+            ), a2 AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT vec_id, embedding, cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY CASE WHEN nv > 0 AND nc > 0
+                                       THEN dot / (nv * nc) ELSE 0 END DESC,
+                                  cid ASC) AS rn
+                FROM s2) WHERE rn = 1
+            ), u2 AS (
+              SELECT cid, u.i - 1 AS dim,
+                     ROUND(AVG(CAST(embedding[u.i] AS DOUBLE)), 6) AS val
+              FROM a2, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+              GROUP BY 1, 2
+            ), c2 AS (
+              SELECT c1.cid, COALESCE(m.cv, c1.cv) AS cv
+              FROM c1 LEFT JOIN (
+                SELECT cid, list(val ORDER BY dim) AS cv FROM u2 GROUP BY cid
+              ) m USING (cid)
+            )
+            SELECT cid AS cent_id, u.i - 1 AS dim, cv[u.i] AS value_r
+            FROM c2, UNNEST(range(1, len(cv) + 1)) AS u(i)
         """,
         # log2 in-degree buckets over the shared link graph
         "degree_histogram_in": """

@@ -192,6 +192,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "reciprocal_links",
         "postings_delta_merge",
         "degree_histogram_in",
+        "kmeans_codebook",
     ]
     out = {}
     for name in names:
