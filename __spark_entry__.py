@@ -2491,6 +2491,42 @@ def q_degree_histogram(spark, sf_dir):
     return graph.degree_histogram(_link_edges(_t(spark, sf_dir, "documents")), "in")
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment (dedup.ngram_containment, Broder 1997)
+    over adjacent-id pairs with PLANTED swallowing: text_b is text_a
+    concatenated with the next doc, so cont_ab ≈ 1 while Jaccard is
+    small — the syndication/quoting signal."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = (
+        a.join(b, a.id_a + 1 == b.id_b)
+        .filter(F.col("id_a") % 10 == 0)
+        .withColumn("text_b", F.concat(F.col("text_a"), F.lit(" "), F.col("text_b")))
+    )
+    return dedup.ngram_containment(pairs).select(
+        "id_a",
+        "id_b",
+        F.round("cont_ab", 4).alias("cont_ab_r"),
+        F.round("cont_ba", 4).alias("cont_ba_r"),
+    )
+
+
+def q_contract_edges(spark, sf_dir):
+    """Alias-contracted link graph (graph.contract_edges): even doc_ids
+    map to canonical doc_id - doc_id%4; parallel edges collapse with
+    weights, contraction-created self-loops dropped, unmapped nodes keep
+    themselves."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    mapping = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("canonical_url"),
+    )
+    return graph.contract_edges(_link_edges(docs), mapping)
+
+
 def q_kmeans_codebook(spark, sf_dir):
     """IVF codebook training (similarity.kmeans_lloyd — spherical
     k-means, Dhillon & Modha 2001): 2 Lloyd sweeps, k=8, init = the 8
@@ -2645,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
+        "ngram_containment_pairs": q_ngram_containment,
+        "contracted_link_graph": q_contract_edges,
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
@@ -4898,6 +4936,54 @@ def oracle_sql() -> dict[str, str]:
               FROM final
             )
             SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        """,
+        # asymmetric containment over pairs with planted swallowing — same
+        # gram pipeline as ngram_jaccard_pairs, normalized per side
+        "ngram_containment_pairs": """
+            WITH p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.text AS ta, a.text || ' ' || b.text AS tb
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 10 = 0
+            ), g AS (
+              SELECT id_a, id_b,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(sa) - 2, 1)),
+                       i -> array_to_string(sa[i:i+2], ' '))) AS ga,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(sb) - 2, 1)),
+                       i -> array_to_string(sb[i:i+2], ' '))) AS gb
+              FROM (SELECT id_a, id_b,
+                           string_split_regex(lower(trim(ta)), '\\s+') AS sa,
+                           string_split_regex(lower(trim(tb)), '\\s+') AS sb
+                    FROM p)
+            )
+            SELECT id_a, id_b,
+                   ROUND(CASE WHEN len(ga) > 0
+                              THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                                   / len(ga) ELSE 0 END, 4) AS cont_ab_r,
+                   ROUND(CASE WHEN len(gb) > 0
+                              THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                                   / len(gb) ELSE 0 END, 4) AS cont_ba_r
+            FROM g
+        """,
+        # alias contraction: endpoints rewritten to representatives
+        # (unmapped keep themselves), self-loops dropped, weights summed
+        "contracted_link_graph": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), m AS (
+              SELECT doc_id AS n, doc_id - doc_id % 4 AS r
+              FROM documents WHERE doc_id % 2 = 0
+            ), c AS (
+              SELECT COALESCE(ms.r, e.s) AS src, COALESCE(md.r, e.d) AS dst
+              FROM e LEFT JOIN m ms ON ms.n = e.s LEFT JOIN m md ON md.n = e.d
+            )
+            SELECT src, dst, COUNT(*) AS weight
+            FROM c WHERE src <> dst GROUP BY 1, 2
         """,
         # spherical k-means unrolled: init = 8 lowest-id vectors quantized
         # to 6dp; per sweep cosine-argmax assignment (IF(norm>0) guard,

@@ -193,6 +193,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "postings_delta_merge",
         "degree_histogram_in",
         "kmeans_codebook",
+        "ngram_containment_pairs",
+        "contracted_link_graph",
     ]
     out = {}
     for name in names:

@@ -345,6 +345,37 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    df_pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram containment (Broder 1997, "On the resemblance
+    and containment of documents"): c(a→b) = |grams(a) ∩ grams(b)| /
+    |grams(a)| — the signal Jaccard MISSES when a small document is
+    swallowed whole by a larger one (syndication, quoting, boilerplate
+    wrappers): as the host document grows, Jaccard tends to 0 while
+    containment stays 1. Same pure-Catalyst gram pipeline and
+    pair-scoped contract as ``ngram_jaccard``; adds ``cont_ab``
+    (a contained in b) and ``cont_ba``."""
+
+    def grams(col):
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    ga, gb = grams(text_a), grams(text_b)
+    inter = F.size(F.array_intersect(ga, gb))
+    return df_pairs.withColumn(
+        "cont_ab", F.when(F.size(ga) > 0, inter / F.size(ga)).otherwise(F.lit(0.0))
+    ).withColumn(
+        "cont_ba", F.when(F.size(gb) > 0, inter / F.size(gb)).otherwise(F.lit(0.0))
+    )
+
+
 def dup_ngram_coverage(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -717,6 +717,34 @@ def degree_histogram(
     )
 
 
+def contract_edges(
+    edges: DataFrame,
+    mapping: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    rep_col: str = "canonical_url",
+) -> DataFrame:
+    """Contract a link graph through an alias mapping (redirect chains /
+    rel=canonical — ``canonical_url_clusters`` output): every endpoint is
+    rewritten to its representative (nodes absent from the mapping keep
+    themselves), self-loops created by the contraction are dropped, and
+    parallel edges collapse to (src, dst, weight). Link analysis over the
+    contracted graph stops splitting a page's rank across its aliases —
+    the same hygiene canonicalization gives the seen filter. Two equi-
+    joins (mapping side broadcastable: O(aliased URLs)) + one census."""
+    m = mapping.select(F.col(node_col).alias("_n"), F.col(rep_col).alias("_r"))
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(m.withColumnRenamed("_n", "_s"), "_s", "left")
+        .select(F.coalesce(F.col("_r"), F.col("_s")).alias("src"), "_d")
+        .join(m.withColumnRenamed("_n", "_d"), "_d", "left")
+        .select("src", F.coalesce(F.col("_r"), F.col("_d")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
 def reciprocal_link_stats(
     host_edges: DataFrame,
     src: str = "src_host",

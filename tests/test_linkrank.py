@@ -235,6 +235,32 @@ def test_host_graph_rollup_and_self_loops(spark):
     }
 
 
+def test_contract_edges_through_alias_mapping(spark):
+    edges = spark.createDataFrame(
+        [("u1", "v"), ("u2", "v"), ("v", "u1"), ("w", "u2"), ("x", "w")],
+        "src string, dst string",
+    )
+    # u1, u2 are aliases of canonical "u"
+    mapping = spark.createDataFrame(
+        [("u1", "u"), ("u2", "u")], "node string, canonical_url string"
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in graph.contract_edges(edges, mapping).collect()
+    }
+    # u1->v and u2->v collapse to u->v weight 2; v->u1 becomes v->u;
+    # w->u2 becomes w->u; x->w untouched (absent from mapping)
+    assert got == {("u", "v"): 2, ("v", "u"): 1, ("w", "u"): 1, ("x", "w"): 1}
+
+
+def test_contract_edges_drops_created_self_loops(spark):
+    edges = spark.createDataFrame([("a1", "a2")], "src string, dst string")
+    mapping = spark.createDataFrame(
+        [("a1", "a"), ("a2", "a")], "node string, canonical_url string"
+    )
+    assert graph.contract_edges(edges, mapping).count() == 0
+
+
 def test_degree_stats_and_histogram(spark, edges_df):
     got = {r.node: (r.in_deg, r.out_deg) for r in graph.degree_stats(edges_df).collect()}
     # EDGES: a->b, a->c, b->c, d->a, c->e
