@@ -1413,6 +1413,27 @@ def q_clean_corpus(spark, sf_dir):
     return textqc.clean_corpus(docs).orderBy("doc_id")
 
 
+def q_stupid_backoff_ppl(spark, sf_dir):
+    """Stupid Backoff trigram scoring (Brants et al. 2007): train the
+    count tables on the even-doc_id half of the corpus, score the odd
+    half — the held-out split forces all three backoff branches (trigram
+    hit, bigram backoff, Lidstone-floored OOV base) to fire, which a
+    self-scored corpus never would. Counting = three groupBys over the
+    reference; scoring = one scan of the held-out docs through five
+    broadcast equi-joins + one per-doc aggregation."""
+    from spider_spark.operators import lm as lmod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    held_out = docs.filter(F.col("doc_id") % 2 == 1)
+    out = lmod.doc_stupid_backoff(held_out, reference)
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("sb_nats", 6).alias("sb_nats_r"),
+    ).orderBy("doc_id")
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: train a Lidstone-smoothed unigram
     LM on the corpus, score every document (cross-entropy nats/token), and
@@ -2635,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hash_sample": q_stratified_sample,
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
+        "stupid_backoff_ppl": q_stupid_backoff_ppl,
         "charset_decode": q_charset_decode,
         "host_reputation": q_host_reputation,
         "anchor_text_rollup": q_anchor_text,
@@ -3762,6 +3784,49 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                                      WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "stupid_backoff_ppl": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            ref AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
+            uni AS (
+              SELECT w1, CAST(count(*) AS DOUBLE) AS c FROM (
+                SELECT unnest(t) AS w1 FROM ref) GROUP BY w1),
+            bi AS (
+              SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM (
+                SELECT t[i] AS w1, t[i+1] AS w2
+                FROM ref, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i))
+              GROUP BY w1, w2),
+            tri AS (
+              SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c FROM (
+                SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+                FROM ref, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i))
+              GROUP BY w1, w2, w3),
+            tot AS (SELECT sum(c) AS n_total, CAST(count(*) AS DOUBLE) AS v FROM uni),
+            pos AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+              FROM tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+              WHERE doc_id % 2 = 1),
+            sc AS (
+              SELECT pos.doc_id,
+                     CASE WHEN tri.c IS NOT NULL THEN tri.c / ctx2.c
+                          WHEN num2.c IS NOT NULL THEN 0.4 * num2.c / ctx1.c
+                          ELSE 0.4 * 0.4 * (COALESCE(num1.c, 0.0) + 0.5)
+                               / (tot.n_total + 0.5 * (tot.v + 1.0)) END AS s
+              FROM pos
+              LEFT JOIN tri ON pos.w1 = tri.w1 AND pos.w2 = tri.w2 AND pos.w3 = tri.w3
+              LEFT JOIN bi ctx2 ON pos.w1 = ctx2.w1 AND pos.w2 = ctx2.w2
+              LEFT JOIN bi num2 ON pos.w2 = num2.w1 AND pos.w3 = num2.w2
+              LEFT JOIN uni ctx1 ON pos.w2 = ctx1.w1
+              LEFT JOIN uni num1 ON pos.w3 = num1.w1
+              CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(-avg(ln(s)), 6) AS sb_nats_r
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         "perplexity_buckets": """
             WITH tok AS (

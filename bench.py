@@ -195,6 +195,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "kmeans_codebook",
         "ngram_containment_pairs",
         "contracted_link_graph",
+        "stupid_backoff_ppl",
     ]
     out = {}
     for name in names:

@@ -426,12 +426,18 @@ def hits(
             .agg(F.sum("hub").alias("a_raw"))
         )
         auth_tot = auth_raw.groupBy().agg(F.sum("a_raw").alias("a_tot"))
+        # materialize each half-sweep: unlike pagerank (whose state feeds
+        # exactly ONE join per sweep, so lineage grows linearly), auths is
+        # consumed twice below and state twice next sweep — left lazy,
+        # every consumer re-derives the whole prior sweep and the DAG
+        # multiplies ~4× per iteration (measured 30 s for 2 sweeps at
+        # sf0.1 vs ~3 s checkpointed).
         auths = join_scalar_frame(
             nodes.join(auth_raw, "node", "left"), auth_tot
         ).select(
             "node",
             (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("a_tot")).alias("auth"),
-        )
+        ).localCheckpoint(eager=True)
         hub_raw = (
             e.join(auths.select(F.col("node").alias("d"), "auth"), "d")
             .groupBy(F.col("s").alias("node"))
@@ -444,12 +450,9 @@ def hits(
             "node",
             (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("h_tot")).alias("hub"),
             "auth",
-        )
-        if (i + 1) % 2 == 0:
-            state = state.localCheckpoint(eager=True)
-    out = state.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
     nodes.unpersist()
-    return out
+    return state
 
 
 def trustrank(

@@ -41,6 +41,8 @@ __all__ = [
     "top_k_vocab",
     "doc_cross_entropy",
     "perplexity_buckets",
+    "ngram_counts",
+    "doc_stupid_backoff",
 ]
 
 # Above this many vocab rows, stop broadcasting the LM into the scoring
@@ -204,3 +206,146 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return scored.withColumn("ppl_bucket", bucket)
+
+
+def _positions(df: DataFrame, n: int, text_col: str, keep: list[str]) -> DataFrame:
+    """Explode each document into its order-n token windows: one row per
+    n-gram position, columns w1..wn. Documents shorter than n tokens emit
+    nothing (size guard BEFORE sequence() — sequence(0, -1) would count
+    DOWN in Spark and fabricate positions). transform+explode stays in
+    whole-stage codegen; no Python touches the tokens."""
+    fields = ", ".join(f"t[i + {k}] AS w{k + 1}" for k in range(n))
+    gen = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> struct({fields}))"
+    )
+    toks = df.select(*keep, col_lm_tokens(text_col).alias("t")).filter(
+        F.size("t") >= n
+    )
+    return toks.select(*keep, F.explode(gen).alias("g")).select(
+        *keep, *(f"g.w{k + 1}" for k in range(n))
+    )
+
+
+def ngram_counts(reference: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Order-n n-gram counts over a reference corpus: (w1..wn, c) with c
+    as DOUBLE (it only ever feeds ratios). One corpus scan → explode →
+    groupBy with map-side partial aggregation — the Brants et al. 2007
+    ("Large Language Models in Machine Translation", EMNLP) counting step
+    verbatim: at 100 TB this is the same one-shuffle shape as a word
+    count, and the count table (≪ corpus) is what ships to scoring."""
+    cols = [f"w{k + 1}" for k in range(n)]
+    return (
+        _positions(reference, n, text_col, [])
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+
+
+def doc_stupid_backoff(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    lidstone: float = 0.5,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Per-document Stupid Backoff trigram score (Brants et al. 2007 §4):
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)          if the trigram occurs
+                      = α · c(w2 w3) / c(w2)             else if the bigram does
+                      = α² · (c(w3) + λ) / (N + λ(V+1))  otherwise
+
+    — the relative-frequency backoff Google ran as five MapReduce passes
+    over 2T tokens; here the counts are three groupBys and scoring is one
+    scan of `docs` through five equi-joins against the count tables. The
+    base case is Lidstone-floored (same λ discipline as unigram_lm) so an
+    OOV token keeps the log finite instead of Brants' score-of-0, which a
+    per-doc LOG-average cannot absorb.
+
+    Output: (id_col, n_trigrams, sb_nats) where sb_nats is the mean
+    negative log score over the doc's trigram positions — lower is more
+    reference-like. Documents with <3 tokens emit no row (no trigram
+    positions; same absent-empties contract as doc_cross_entropy).
+
+    Scale shape at 100 TB: counting is 3 shuffles over the REFERENCE
+    (which in the CCNet deployment is the small trusted corpus, not the
+    crawl); scoring scans `docs` once — with the count tables under the
+    broadcast gate every join is map-side and the only corpus shuffle is
+    the final groupBy(id). Above the gate the joins shuffle on token
+    keys; prune the reference first (the Brants pipeline itself thresholds
+    counts) rather than shipping the singleton tail.
+
+    ``broadcast=None`` counts the trigram table with a limit-bounded probe
+    (the frontier.resolve_redirects gate discipline) and broadcasts all
+    three tables only under LM_BROADCAST_ROWS.
+    """
+    uni = ngram_counts(reference, 1, text_col)  # (w1, c)
+    bi = ngram_counts(reference, 2, text_col)  # (w1, w2, c)
+    tri = ngram_counts(reference, 3, text_col)  # (w1, w2, w3, c)
+    totals = uni.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    if broadcast is None:
+        # tri is the largest of the three by construction
+        probe = tri.limit(LM_BROADCAST_ROWS + 1).count()
+        broadcast = probe <= LM_BROADCAST_ROWS
+    wrap = F.broadcast if broadcast else (lambda d: d)
+
+    pos = _positions(docs, 3, text_col, [id_col])
+    j = (
+        pos.join(
+            wrap(tri.select("w1", "w2", "w3", F.col("c").alias("c3"))),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            wrap(bi.select("w1", "w2", F.col("c").alias("ctx2_c"))),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            wrap(
+                bi.select(
+                    F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                    F.col("c").alias("c2"),
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            wrap(uni.select(F.col("w1").alias("w2"), F.col("c").alias("ctx1_c"))),
+            ["w2"],
+            "left",
+        )
+        .join(
+            wrap(uni.select(F.col("w1").alias("w3"), F.col("c").alias("c1"))),
+            ["w3"],
+            "left",
+        )
+    )
+    from . import join_scalar_frame
+
+    j = join_scalar_frame(j, totals)
+    # when c3 matched, ctx2_c necessarily matched (same corpus — a trigram
+    # implies its context bigram); likewise c2 → ctx1_c. The CASE order
+    # makes the stronger evidence win, exactly Brants' recursion unrolled.
+    oov_denom = F.col("n_total") + F.lit(lidstone) * (F.col("v") + F.lit(1.0))
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("ctx2_c"))
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(alpha) * F.col("c2") / F.col("ctx1_c"),
+        )
+        .otherwise(
+            F.lit(alpha)
+            * F.lit(alpha)
+            * (F.coalesce(F.col("c1"), F.lit(0.0)) + F.lit(lidstone))
+            / oov_denom
+        )
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (-F.avg(F.log(s))).alias("sb_nats"),
+    )

@@ -131,3 +131,97 @@ def test_perplexity_empty_docs_never_reach_bucketing(spark):
     scored = lmod.doc_cross_entropy(docs, lm)
     out = lmod.perplexity_buckets(scored, thresholds=(1.0, 2.0))
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff (Brants et al. 2007)
+
+
+@pytest.fixture()
+def sb_reference(spark):
+    # trigrams: "a b c"×2, "b c d"×1; bigrams: ab×2 bc×2 cd×1 ... etc.
+    return spark.createDataFrame(
+        [(0, "a b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+
+
+def _sb_hand(ref_docs: list[str], probe: list[str], alpha=0.4, lid=0.5):
+    """Pure-Python Stupid Backoff for the expected values."""
+    from collections import Counter
+
+    toks = [d.lower().split() for d in ref_docs]
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for t in toks:
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+        tri.update(zip(t, t[1:], t[2:]))
+    n_total, v = sum(uni.values()), len(uni)
+    out = []
+    for i in range(len(probe) - 2):
+        w1, w2, w3 = probe[i], probe[i + 1], probe[i + 2]
+        if tri[(w1, w2, w3)]:
+            s = tri[(w1, w2, w3)] / bi[(w1, w2)]
+        elif bi[(w2, w3)]:
+            s = alpha * bi[(w2, w3)] / uni[w2]
+        else:
+            s = alpha * alpha * (uni.get(w3, 0) + lid) / (n_total + lid * (v + 1))
+        out.append(math.log(s))
+    return len(out), -sum(out) / len(out)
+
+
+def test_stupid_backoff_trigram_hit_branch(spark, sb_reference):
+    probe = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    r = lmod.doc_stupid_backoff(probe, sb_reference).first()
+    n, want = _sb_hand(["a b c d", "a b c"], ["a", "b", "c", "d"])
+    assert r["n_trigrams"] == n == 2
+    assert r["sb_nats"] == pytest.approx(want)
+    # both trigrams occur in the reference → pure relative frequencies
+    assert want == pytest.approx(-(math.log(2 / 2) + math.log(1 / 2)) / 2)
+
+
+def test_stupid_backoff_bigram_and_oov_branches(spark, sb_reference):
+    # "x b c": trigram (x,b,c) unseen, bigram (b,c) seen → α·c(bc)/c(b)
+    # "a b zzz": trigram+bigram unseen, zzz OOV → α²·(0+λ)/(N+λ(V+1))
+    probe = spark.createDataFrame(
+        [(1, "x b c"), (3, "a b zzz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in lmod.doc_stupid_backoff(probe, sb_reference).collect()
+    }
+    ref = ["a b c d", "a b c"]
+    n1, want1 = _sb_hand(ref, ["x", "b", "c"])
+    assert got[1]["n_trigrams"] == n1 == 1
+    assert got[1]["sb_nats"] == pytest.approx(want1)
+    assert want1 == pytest.approx(-math.log(0.4 * 2 / 2))
+    n3, want3 = _sb_hand(ref, ["a", "b", "zzz"])
+    assert got[3]["sb_nats"] == pytest.approx(want3)
+    # N=7 tokens, V=4 → OOV mass 0.16·0.5/(7+2.5)
+    assert want3 == pytest.approx(-math.log(0.16 * 0.5 / 9.5))
+
+
+def test_stupid_backoff_short_docs_emit_no_row(spark, sb_reference):
+    probe = spark.createDataFrame(
+        [(1, "a b"), (3, ""), (5, "a b c")], "doc_id long, text string"
+    )
+    got = lmod.doc_stupid_backoff(probe, sb_reference).collect()
+    assert [r["doc_id"] for r in got] == [5]
+
+
+def test_stupid_backoff_no_broadcast_path_matches(spark, sb_reference):
+    probe = spark.createDataFrame(
+        [(1, "a b c d"), (3, "x b c")], "doc_id long, text string"
+    )
+    a = lmod.doc_stupid_backoff(probe, sb_reference, broadcast=True).collect()
+    b = lmod.doc_stupid_backoff(probe, sb_reference, broadcast=False).collect()
+    key = lambda r: r["doc_id"]
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert ra["sb_nats"] == pytest.approx(rb["sb_nats"])
+
+
+def test_ngram_counts_orders(spark, sb_reference):
+    tri = {
+        (r["w1"], r["w2"], r["w3"]): r["c"]
+        for r in lmod.ngram_counts(sb_reference, 3).collect()
+    }
+    assert tri == {("a", "b", "c"): 2.0, ("b", "c", "d"): 1.0}
