@@ -56,6 +56,7 @@ def run_crawl(
     steady_state: bool = True,
     pages_dir: str | None = None,
     cache_pages: bool = True,
+    profile_out: dict | None = None,
 ):
     """One measured crawl: returns (urls_fetched_and_extracted, seconds).
 
@@ -89,6 +90,8 @@ def run_crawl(
         robots = synth.generate_robots(spark, n_hosts)
         cfg = CrawlConfig(per_host_budget=budget, max_ticks=ticks, tick_ms=tick_ms, store_text=True)
         crawler = Crawler(spark, pages, f"{tmp}/ckpt", cfg, robots=robots)
+        if profile_out is not None:
+            _wrap_catalog_timers(crawler.catalog, profile_out)
         seeds = synth.seed_urls(
             n_pages, n_hosts, k=n_hosts, per_host=budget if steady_state else 1
         )
@@ -96,9 +99,44 @@ def run_crawl(
         stats = crawler.run(seeds, max_ticks=ticks)
         dt = time.monotonic() - t0
         fetched = sum(s.fetched for s in stats)
+        if profile_out is not None:
+            profile_out["tick_seconds"] = [round(s.seconds, 2) for s in stats]
         if cache_pages:
             pages.unpersist()
         return fetched, dt
+
+
+def _wrap_catalog_timers(catalog, out: dict) -> None:
+    """Instrument the snapshot catalog so a scaling leg reports where tick
+    wall-time goes (``--profile``): per-stage total seconds, keyed by the
+    catalog call. Pure driver-side wrappers — each catalog call is exactly
+    one Spark action, so the wall time around it IS that stage's cost."""
+    import functools
+
+    stages = out.setdefault("stages", {})
+    for name in (
+        "write_bootstrap", "write_results", "append_results",
+        "write_latest_delta", "write_lineage", "write_frontier",
+        "write_seen_delta", "write_accel", "write_host_state",
+        "compact_seen", "rewrite_latest", "load_frontier", "load_seen",
+    ):
+        fn = getattr(catalog, name, None)
+        if fn is None:
+            continue
+
+        def make(fn=fn, name=name):
+            @functools.wraps(fn)
+            def timed(*a, **kw):
+                t0 = time.monotonic()
+                try:
+                    return fn(*a, **kw)
+                finally:
+                    stages[name] = round(
+                        stages.get(name, 0.0) + time.monotonic() - t0, 2
+                    )
+            return timed
+
+        setattr(catalog, name, make())
 
 
 def headline_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -251,14 +289,18 @@ def main_crawl_only(args):
     # warmup: JVM/codegen/Arrow path on a rich-page crawl, not billed
     run_crawl(spark, 8000, 32, ticks=2, budget=16,
               body_words=args.body_words, extra_links=args.extra_links)
+    prof: dict | None = {} if args.profile else None
     fetched, dt = run_crawl(
         spark, args.pages, args.hosts, ticks=args.ticks, budget=args.budget,
         tick_ms=args.tick_ms, body_words=args.body_words,
         extra_links=args.extra_links, pages_dir=args.pages_dir,
-        cache_pages=not args.no_cache_pages,
+        cache_pages=not args.no_cache_pages, profile_out=prof,
     )
-    print(json.dumps({"cores": args.cores, "fetched": fetched, "seconds": round(dt, 2),
-                      "urls_per_sec": round(fetched / dt, 1)}))
+    rec = {"cores": args.cores, "fetched": fetched, "seconds": round(dt, 2),
+           "urls_per_sec": round(fetched / dt, 1)}
+    if prof is not None:
+        rec["profile"] = prof
+    print(json.dumps(rec))
     spark.stop()
 
 
@@ -329,6 +371,9 @@ if __name__ == "__main__":
     p.add_argument("--extra-links", type=int, default=80)
     p.add_argument("--no-cache-pages", action="store_true")
     p.add_argument("--runs-per-leg", type=int, default=2)
+    # per-stage timing on a crawl leg (catalog-call wall seconds + per-tick
+    # walls in the JSON) — the scaling evidence's stage breakdown
+    p.add_argument("--profile", action="store_true")
     a = p.parse_args()
     if a.crawl_only:
         main_crawl_only(a)
