@@ -1985,6 +1985,52 @@ def q_change_rate(spark, sf_dir):
     )
 
 
+def q_content_seen(spark, sf_dir):
+    """Mercator content-seen audit (dedup.content_seen_report): documents
+    ≙ a capture ledger with planted duplicate content (doc_id mod 97 ≙
+    fingerprint) — every capture judged first-vs-duplicate with the first
+    encounter attributed. groupBy-min on the fp + one fp-keyed join; the
+    online form is CrawlConfig(content_seen_dedup=True)."""
+    from spider_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    caps = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url_canon"),
+        F.format_string("%012d", F.col("doc_id")).alias("seq"),
+        F.concat(F.lit("fp"), (F.col("doc_id") % 97).cast("string")).alias(
+            "content_fp"
+        ),
+    )
+    return dedup.content_seen_report(caps)
+
+
+def q_retry_backoff(spark, sf_dir):
+    """Transient-failure retry scheduling (recrawl.retry_backoff_plan,
+    the Nutch/Heritrix backoff discipline): events ≙ a capture ledger
+    (user ≙ url, day-index ≙ tick, event ordinal ≙ seq, a deterministic
+    md5 coin ≙ transient-vs-ok status). One url-keyed window + a reusable
+    groupBy — a single shuffle over the ledger at any scale."""
+    from spider_spark.operators import recrawl
+
+    ev = _t(spark, sf_dir, "events")
+    coin = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    caps = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url_canon"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "tick"
+        ),
+        F.format_string("%012d", F.col("event_id")).alias("seq"),
+        F.when(coin < 30, F.lit(599)).otherwise(F.lit(200)).alias("status"),
+    )
+    return recrawl.retry_backoff_plan(
+        caps, max_retries=3, base_delay_ticks=1, max_delay_ticks=64
+    )
+
+
 def q_http_freshness(spark, sf_dir):
     """RFC 9111 server-declared freshness lifetime per response
     (recrawl.http_freshness): Cache-Control no-store/no-cache → 0,
@@ -2651,6 +2697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_tracking_params": q_strip_tracking,
         "decontaminate_benchmark_overlap": q_decontaminate,
         "recrawl_change_rate": q_change_rate,
+        "retry_backoff_plan": q_retry_backoff,
+        "content_seen_report": q_content_seen,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3764,6 +3812,53 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN lambda_per_s > 0 THEN 1.0 / lambda_per_s
                           ELSE 864000.0 END, 600.0), 864000.0), 2) AS interval_s_r
             FROM lam
+        """,
+        "content_seen_report": """
+            WITH caps AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url_canon,
+                     printf('%012d', doc_id) AS seq,
+                     'fp' || CAST(doc_id % 97 AS VARCHAR) AS content_fp
+              FROM documents),
+            firsts AS (
+              SELECT content_fp, min(seq) AS first_key,
+                     arg_min(url_canon, seq) AS f_url
+              FROM caps GROUP BY content_fp)
+            SELECT c.url_canon, c.seq, c.content_fp,
+                   CASE WHEN c.seq = f.first_key THEN 'first'
+                        ELSE 'duplicate' END AS verdict,
+                   CASE WHEN c.seq <> f.first_key THEN f.f_url END AS first_url
+            FROM caps c JOIN firsts f USING (content_fp)
+        """,
+        "retry_backoff_plan": """
+            WITH caps AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS url_canon,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS tick,
+                     printf('%012d', event_id) AS seq,
+                     CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                               % 100 < 30 THEN 599 ELSE 200 END AS status
+              FROM events),
+            keyed AS (
+              SELECT url_canon, tick, status,
+                     printf('%010d|%s', tick, seq) AS k,
+                     status = 599 AS transient
+              FROM caps),
+            stepped AS (
+              SELECT *, max(CASE WHEN NOT transient THEN k END)
+                          OVER (PARTITION BY url_canon) AS last_ok
+              FROM keyed),
+            per AS (
+              SELECT url_canon,
+                     CAST(count(CASE WHEN transient AND (last_ok IS NULL OR k > last_ok)
+                                     THEN 1 END) AS INT) AS attempts,
+                     arg_max(status, k) AS last_status,
+                     CAST(arg_max(tick, k) AS INT) AS last_tick
+              FROM stepped GROUP BY url_canon)
+            SELECT url_canon, attempts, last_tick,
+                   CASE WHEN attempts <= 3 THEN 'retry' ELSE 'give_up' END AS verdict,
+                   CASE WHEN attempts <= 3
+                        THEN CAST(last_tick + LEAST(CAST(1 * power(2, attempts - 1) AS INT), 64)
+                                  AS INT) END AS due_tick
+            FROM per WHERE last_status = 599
         """,
         "split_assign_deterministic": """
             SELECT doc_id, lang, bucket,

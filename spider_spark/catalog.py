@@ -152,6 +152,24 @@ class CrawlCatalog:
 
         return spark.read.schema(HOST_STATE_SCHEMA).parquet(str(p))
 
+    def write_retry_state(self, tick: int, state: DataFrame) -> None:
+        """Transient-failure retry state ENTERING ``tick`` — one row per
+        URL awaiting a backoff retry (operators/recrawl.retry_state_schema).
+        Bounded by the failure rate, not the frontier; written before the
+        previous tick's commit like host_state, so a killed run resumes
+        with the same pending retries."""
+        state.write.mode("overwrite").parquet(self._dir("retry_state", tick))
+
+    def load_retry_state(self, spark: SparkSession, tick: int) -> DataFrame | None:
+        """Retry state entering ``tick``; None when there is none yet
+        (tick 0, or cfg.retry_transient was off)."""
+        p = self.root / "retry_state" / f"tick={tick}"
+        if not p.exists():
+            return None
+        from .operators.recrawl import retry_state_schema
+
+        return spark.read.schema(retry_state_schema()).parquet(str(p))
+
     def load_lineage(self, spark: SparkSession, ticks: list[int] | None = None) -> DataFrame:
         base = self.root / "lineage"
         if ticks is None:

@@ -157,6 +157,13 @@ class Crawler:
             stats.append(st)
             fetched_total += st.fetched
             if st.fetched == 0:
+                # an empty tick with backoff retries still pending is the
+                # crawl WAITING, not done — the 2-empty-exit rule only
+                # counts ticks with no future work scheduled (the pending
+                # probe is a limit(1).count() over the tiny state table)
+                if self.cfg.retry_transient and self._retry_pending(tick + 1):
+                    empty_streak = 0
+                    continue
                 empty_streak += 1
                 if empty_streak >= 2:  # tree.ts:162-167 termination rule
                     break
@@ -176,6 +183,27 @@ class Crawler:
         frontier = self.catalog.load_frontier(spark, tick)
         seen = self.catalog.load_seen(spark, tick)
         fcols = [f.name for f in FRONTIER_SCHEMA.fields]
+
+        # transient-failure retries due this tick re-enter the frontier
+        # (cfg.retry_transient). The state rows carry the six frontier
+        # columns verbatim; the anti-join dedupes against rows already
+        # pending (a politeness-deferred retry persists in the frontier
+        # AND in the state until it is actually captured). Retry state is
+        # bounded by the failure rate — tiny next to the frontier.
+        retry_state = (
+            self.catalog.load_retry_state(spark, tick)
+            if self.cfg.retry_transient
+            else None
+        )
+        if retry_state is not None:
+            due = retry_state.filter(F.col("due_tick") <= tick).select(*fcols)
+            frontier = frontier.unionByName(
+                due.join(
+                    frontier.select("url_hash", "url_canon"),
+                    ["url_hash", "url_canon"],
+                    "left_anti",
+                )
+            )
 
         host_state = (
             self.catalog.load_host_state(spark, tick)
@@ -279,6 +307,21 @@ class Crawler:
                     ),
                 )
 
+            # transient-retry state for the NEXT tick (cfg.retry_transient):
+            # carried = pending entries NOT captured this tick (still
+            # waiting, or deferred by politeness); updated = this tick's
+            # transient failures with attempts+1 (new failures start at 1)
+            # and an exponentially backed-off due tick; anything past
+            # retry_max drops (the ledger keeps the failure history —
+            # recrawl.retry_backoff_plan reports those as 'give_up').
+            # Captures with a NON-transient status clear their entry by
+            # construction. Written before the commit like host_state, so
+            # a replayed tick recomputes the identical state.
+            if cfg.retry_transient:
+                self.catalog.write_retry_state(
+                    tick + 1, self._step_retry_state(retry_state, tick)
+                )
+
             # per-partition lineage snapshot: a politeness-bounded agg over
             # the written results (column-pruned read), the audit trail the
             # north rule checkpoints alongside frontier/seen
@@ -298,10 +341,22 @@ class Crawler:
             # column pruning re-reads ONLY (status, seq, links)
             kind = self._accel_kind
             accel = self.catalog.load_accel(spark, kind, tick) if kind else None
+            # content-seen side (cfg.content_seen_dedup): distinct ok
+            # fingerprints ENTERING this tick, from the compacted
+            # latest_capture snapshot — O(compact_every) dirs, never the
+            # ledger. tick-1 loads empty at tick 0.
+            fp_seen = None
+            if cfg.content_seen_dedup:
+                fp_seen = (
+                    self.catalog.load_latest_capture(spark, tick - 1)
+                    .filter(F.col("ok_fp").isNotNull())
+                    .select(F.col("ok_fp").alias("content_fp"))
+                )
             new = extract_new_links(
                 results_back, seen, cfg, tick,
                 bloom=accel if cfg.use_bloom else None,
                 cuckoo=accel if cfg.use_cuckoo else None,
+                fp_seen=fp_seen,
             ).persist()
             next_frontier = finalize_frontier(new, deferred, cfg)
             fr_obs = Observation()
@@ -370,6 +425,68 @@ class Crawler:
             if new is not None:
                 new.unpersist()
             tagged.unpersist()
+
+    def _retry_pending(self, tick: int) -> bool:
+        """True iff any backoff retry is still scheduled entering ``tick``."""
+        st = self.catalog.load_retry_state(self.spark, tick)
+        return st is not None and st.limit(1).count() > 0
+
+    def _step_retry_state(self, prev: DataFrame | None, tick: int):
+        """One incremental step of the transient-retry state: reads ONLY
+        this tick's written results dir (column-pruned) plus the ≤failure-
+        rate-bounded previous state — never a ledger scan. Returns the
+        state ENTERING tick+1 (operators/recrawl.retry_state_schema)."""
+        from .operators.recrawl import retry_state_schema
+
+        spark, cfg = self.spark, self.cfg
+        res = self.catalog.load_results(spark, [tick]).select(
+            "url_canon", "url_hash", "host", "priority", "seq", "status"
+        )
+        if prev is None:
+            prev = spark.createDataFrame([], retry_state_schema())
+        statuses = [int(s) for s in cfg.retry_statuses]
+        fails = res.filter(F.col("status").isin(*statuses))
+        # consecutive-failure count: previous attempts (0 for a first
+        # failure) + 1 — the collision-proof pair join, as everywhere
+        attempts = (
+            F.coalesce(F.col("_prev_attempts"), F.lit(0)) + F.lit(1)
+        ).cast("int")
+        delay = F.least(
+            (
+                F.lit(cfg.retry_base_delay_ticks)
+                * F.pow(F.lit(2.0), attempts - F.lit(1))
+            ).cast("int"),
+            F.lit(int(cfg.retry_max_delay_ticks)),
+        )
+        updated = (
+            fails.join(
+                prev.select(
+                    "url_hash",
+                    "url_canon",
+                    F.col("attempts").alias("_prev_attempts"),
+                ),
+                ["url_hash", "url_canon"],
+                "left",
+            )
+            .withColumn("attempts", attempts)
+            .filter(F.col("attempts") <= cfg.retry_max)
+            .select(
+                "url_canon",
+                "url_hash",
+                "host",
+                "priority",
+                F.lit(tick).cast("int").alias("discovered_tick"),
+                "seq",
+                "attempts",
+                (F.lit(tick) + delay).cast("int").alias("due_tick"),
+            )
+        )
+        carried = prev.join(
+            res.select("url_hash", "url_canon"),
+            ["url_hash", "url_canon"],
+            "left_anti",
+        ).select(*[f.name for f in retry_state_schema().fields])
+        return carried.unionByName(updated)
 
     # --- recrawl policies ---------------------------------------------------
 

@@ -134,6 +134,30 @@ class CrawlConfig:
     # fold seen deltas into one snapshot every M ticks (None = never):
     # keeps the anti-join reading O(M) dirs instead of O(ticks)
     compact_seen_every: int | None = 8
+    # transient-failure retry (the online form of
+    # operators/recrawl.retry_backoff_plan — Nutch db.fetch.retry.max /
+    # Heritrix backoff discipline; the reference passes the same idea
+    # through as Crawlee's maxRequestRetries): URLs whose fetch returned a
+    # status in retry_statuses are re-enqueued after
+    # retry_base_delay_ticks·2^(attempts−1) ticks (capped), and dropped for
+    # good past retry_max consecutive failures. A non-transient capture
+    # resets the counter. State is a per-tick checkpoint snapshot
+    # (catalog.write_retry_state) bounded by the failure rate, so resume
+    # replays the same schedule. Off by default: the reference's simple
+    # adapter does not retry.
+    retry_transient: bool = False
+    retry_statuses: tuple = (599,)
+    retry_max: int = 3
+    retry_base_delay_ticks: int = 1
+    retry_max_delay_ticks: int = 64
+    # Mercator content-seen test (extract_new_links' fp_seen side): pages
+    # whose content fingerprint was already captured contribute no
+    # outlinks — mirrors and aliased duplicates stop polluting the
+    # frontier. The fp set derives from the latest_capture snapshot
+    # (already incrementally compacted — no new state), so "seen" means
+    # "currently the latest capture of some URL". Off by default: the
+    # reference processes every fetched page's links.
+    content_seen_dedup: bool = False
     store_text: bool = True
     respect_robots: bool = True
     # honor in-page robots directives (metarobots.py): page-level
@@ -500,6 +524,7 @@ def extract_new_links(
     tick: int,
     bloom: DataFrame | None = None,
     cuckoo: DataFrame | None = None,
+    fp_seen: DataFrame | None = None,
 ) -> DataFrame:
     """Explode links, keep-first dedupe, drop already-seen.
 
@@ -508,9 +533,26 @@ def extract_new_links(
     text/html bytes written by the parse stage are never re-read.
 
     Keep-first = min over the data-derived encounter key (parent seq ‖ pos),
-    the distributed form of links.ts:31-35's first-writer-wins Set."""
+    the distributed form of links.ts:31-35's first-writer-wins Set.
+
+    ``fp_seen`` (one ``content_fp`` column) enables the Mercator
+    content-seen test (Heydon & Najork, "Mercator: A scalable, extensible
+    Web crawler", WWW 1999 §4.2.1): outlinks are processed once per unique
+    CONTENT — a page whose fingerprint was already captured (under any
+    URL, any earlier tick: the fp_seen side) contributes no links, and
+    when several URLs in the SAME tick carry identical content only the
+    first encounter (min seq) does. Null fingerprints (bodyless rows)
+    pass through untouched. The fp-side shuffle carries 8 B/row."""
+    src = results.filter(F.col("status") == 200)
+    if fp_seen is not None:
+        with_fp = src.filter(F.col("content_fp").isNotNull()).join(
+            fp_seen.select("content_fp").distinct(), "content_fp", "left_anti"
+        )
+        first = with_fp.groupBy("content_fp").agg(F.min("seq").alias("seq"))
+        with_fp = with_fp.join(first, ["content_fp", "seq"], "left_semi")
+        src = src.filter(F.col("content_fp").isNull()).unionByName(with_fp)
     links = (
-        results.filter(F.col("status") == 200)
+        src
         .select(
             F.col("seq").alias("parent_seq"),
             F.posexplode_outer(F.col("links")).alias("pos", "link"),

@@ -678,3 +678,52 @@ def bff_paragraph_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def content_seen_report(
+    captures,
+    url_col: str = "url_canon",
+    key_col: str = "seq",
+    fp_col: str = "content_fp",
+):
+    """Mercator content-seen verdicts (Heydon & Najork, WWW 1999 §4.2.1)
+    over a capture log: for every capture, whether its content fingerprint
+    was first seen HERE ('first') or already captured under an earlier key
+    ('duplicate'), with the first encounter attributed.
+
+    Output: (url_col, key_col, fp_col, verdict, first_url). The online
+    form lives in frontier.extract_new_links(fp_seen=...) — duplicates
+    contribute no outlinks; this report is the audit query over a finished
+    ledger. Null fingerprints (bodyless captures) are 'first' by
+    definition (nothing to compare).
+
+    Scale shape: groupBy-min on the fingerprint + a fp-keyed join back —
+    partial-aggregable, no window over a hot fp group; the join ships only
+    (fp, first_key, first_url).
+    """
+    from pyspark.sql import functions as F
+
+    with_fp = captures.filter(F.col(fp_col).isNotNull())
+    firsts = with_fp.groupBy(fp_col).agg(
+        F.min(key_col).alias("_first_key"),
+        F.min_by(url_col, key_col).alias("_first_url"),
+    )
+    judged = with_fp.join(firsts, [fp_col]).select(
+        url_col,
+        key_col,
+        fp_col,
+        F.when(F.col(key_col) == F.col("_first_key"), F.lit("first"))
+        .otherwise(F.lit("duplicate"))
+        .alias("verdict"),
+        F.when(F.col(key_col) != F.col("_first_key"), F.col("_first_url")).alias(
+            "first_url"
+        ),
+    )
+    nulls = captures.filter(F.col(fp_col).isNull()).select(
+        url_col,
+        key_col,
+        fp_col,
+        F.lit("first").alias("verdict"),
+        F.lit(None).cast("string").alias("first_url"),
+    )
+    return judged.unionByName(nulls)

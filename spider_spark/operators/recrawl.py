@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["change_rate", "recrawl_intervals", "col_http_date", "http_freshness"]
+__all__ = [
+    "change_rate",
+    "recrawl_intervals",
+    "col_http_date",
+    "http_freshness",
+    "retry_backoff_plan",
+]
 
 
 def change_rate(
@@ -267,3 +273,120 @@ def snapshot_diff(
 def snapshot_diff_rollup(diff: DataFrame) -> DataFrame:
     """(verdict, n) — the four-line summary a recrawl wave logs."""
     return diff.groupBy("verdict").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- Transient-failure retry with exponential backoff ------------------------
+# The third recrawl signal: change_rate learns how often content changes,
+# http_freshness reads what the origin promises, and retry_backoff_plan
+# handles fetches that FAILED for transient reasons (network errors,
+# 5xx). Standard crawler discipline (Nutch's db.fetch.retry.max, Heritrix's
+# per-URI retry backoff): re-attempt after base·2^(attempts−1) ticks, give
+# up past a cap. The reference surfaces the same idea as Crawlee's
+# maxRequestRetries pass-through (reference/src/scrapers.ts config).
+
+
+def retry_backoff_plan(
+    captures: DataFrame,
+    transient_statuses: tuple[int, ...] = (599,),
+    max_retries: int = 3,
+    base_delay_ticks: int = 1,
+    max_delay_ticks: int = 64,
+    url_col: str = "url_canon",
+    tick_col: str = "tick",
+    seq_col: str = "seq",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-URL retry verdicts from a capture log (url, tick, seq, status).
+
+    For each URL whose LATEST capture has a transient status, counts the
+    run of consecutive transient failures at the tail of its history (a
+    non-transient capture resets the run — Nutch's retry-counter-reset
+    semantics) and emits:
+
+      (url_col, attempts, last_tick, verdict, due_tick)
+
+    verdict 'retry' with due_tick = last_tick + min(base·2^(attempts−1),
+    max_delay_ticks) while attempts ≤ max_retries, else 'give_up'
+    (dead-letter; due_tick null). URLs whose latest capture succeeded are
+    not returned — they have no pending retry decision.
+
+    Scale shape: one url-keyed window (max over the partition, no sort) +
+    a groupBy on the same key — AQE reuses the exchange, so the plan is a
+    single shuffle of (url, tick, seq, status) regardless of history
+    depth. Pure codegen; deterministic given the ledger.
+    """
+    is_transient = F.col(status_col).isin(*[int(s) for s in transient_statuses])
+    # sortable capture key: ticks are small ints, seq is the deterministic
+    # per-fetch ordinal string the frontier assigns — zero-padding the tick
+    # makes lexicographic order == (tick, seq) order in every engine
+    key = F.format_string("%010d|%s", F.col(tick_col), F.col(seq_col))
+    keyed = captures.select(
+        F.col(url_col),
+        F.col(tick_col).cast("int").alias("_tick"),
+        F.col(status_col).cast("int").alias("_status"),
+        key.alias("_key"),
+        is_transient.alias("_transient"),
+    )
+    w = Window.partitionBy(url_col)
+    stepped = keyed.withColumn(
+        "_last_ok_key", F.max(F.when(~F.col("_transient"), F.col("_key"))).over(w)
+    )
+    tail_fail = F.when(
+        F.col("_transient")
+        & (F.col("_last_ok_key").isNull() | (F.col("_key") > F.col("_last_ok_key"))),
+        1,
+    )
+    per_url = stepped.groupBy(url_col).agg(
+        F.count(tail_fail).alias("attempts"),
+        F.max_by("_status", "_key").alias("_last_status"),
+        F.max_by("_tick", "_key").alias("last_tick"),
+    )
+    last_transient = F.col("_last_status").isin(
+        *[int(s) for s in transient_statuses]
+    )
+    delay = F.least(
+        (F.lit(base_delay_ticks) * F.pow(F.lit(2.0), F.col("attempts") - 1)).cast("int"),
+        F.lit(int(max_delay_ticks)),
+    )
+    verdict = F.when(F.col("attempts") <= max_retries, F.lit("retry")).otherwise(
+        F.lit("give_up")
+    )
+    due = F.when(F.col("attempts") <= max_retries, F.col("last_tick") + delay)
+    return (
+        per_url.filter(last_transient)
+        .select(
+            url_col,
+            F.col("attempts").cast("int").alias("attempts"),
+            "last_tick",
+            verdict.alias("verdict"),
+            due.cast("int").alias("due_tick"),
+        )
+    )
+
+
+#: Per-URL retry state ENTERING a tick (the online form of
+#: retry_backoff_plan, maintained incrementally by the Crawler): the six
+#: frontier columns verbatim (so due rows re-enter the frontier with a
+#: plain select) + the consecutive-failure count and the earliest tick the
+#: next attempt may run.
+def retry_state_schema():
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("url_canon", StringType(), False),
+            StructField("url_hash", LongType(), False),
+            StructField("host", StringType(), False),
+            StructField("priority", IntegerType(), False),
+            StructField("discovered_tick", IntegerType(), False),
+            StructField("seq", StringType(), False),
+            StructField("attempts", IntegerType(), False),
+            StructField("due_tick", IntegerType(), False),
+        ]
+    )
