@@ -2079,6 +2079,74 @@ def q_pagerank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank_r")).orderBy("node")
 
 
+def _md5_random_edges(docs, n_nodes: int = 60):
+    """Deterministic pseudo-random directed edge list over an n_nodes
+    universe, endpoints drawn from md5(doc_id) nibbles — dense enough to
+    close triangles (affine-map edges never do), identical in DuckDB."""
+    h = F.md5(F.col("doc_id").cast("string"))
+
+    def part(pos):
+        return F.conv(F.substring(h, pos, 8), 16, 10).cast("long") % n_nodes
+
+    e1 = docs.select(part(1).alias("src"), part(9).alias("dst"))
+    e2 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        part(17).alias("src"), part(25).alias("dst")
+    )
+    return e1.unionByName(e2)
+
+
+_MD5_EDGES_SQL = """
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 60 AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+              % 60 AS BIGINT) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::UBIGINT
+              % 60 AS BIGINT),
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::UBIGINT
+              % 60 AS BIGINT)
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def q_triangle_stats(spark, sf_dir):
+    """Exact per-node triangle counts + local clustering coefficient
+    (graph.triangle_stats, the Suri-Vassilvitskii degree-oriented wedge
+    algorithm) over a deterministic md5-random link graph — the
+    link-farm/community-density diagnostic. The oracle restates the
+    triangle enumeration as an a<b<c triple join."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.triangle_stats(_md5_random_edges(docs))
+
+
+def q_harmonic_2hop(spark, sf_dir):
+    """Exact truncated harmonic centrality at radius 2 over incoming
+    edges (graph.harmonic_centrality_2hop): n1 + n2/2 per node. The
+    exact small-radius member of the neighborhood-function family whose
+    any-radius scale path is graph.hyperball."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.harmonic_centrality_2hop(_md5_random_edges(docs))
+
+
+def q_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) neighborhood function + truncated
+    harmonic centrality via per-node HLL counters, radius 3, m=64
+    registers kept EXPLODED so each sweep is one |E| join + one
+    partial-agg max (no per-reducer hub blowup). Approximate by design →
+    rows-only here; tests/test_graph_centrality.py gates the estimates
+    against exact BFS balls (4-sigma per node, 12% mean), and
+    harmonic_centrality_2hop is the exact oracle-backed sibling."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.hyperball(_md5_random_edges(docs), radius=3, log2m=6)
+
+
 def q_sequence_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (packing.pack_concat_chunks):
     per md5-hash shard, docs laid end-to-end (+1 EOD slot each) in id
@@ -2699,6 +2767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_change_rate": q_change_rate,
         "retry_backoff_plan": q_retry_backoff,
         "content_seen_report": q_content_seen,
+        "triangle_stats": q_triangle_stats,
+        "harmonic_centrality_2hop": q_harmonic_2hop,
+        "hyperball_centrality": q_hyperball,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3812,6 +3883,46 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN lambda_per_s > 0 THEN 1.0 / lambda_per_s
                           ELSE 864000.0 END, 600.0), 864000.0), 2) AS interval_s_r
             FROM lam
+        """,
+        "triangle_stats": f"""
+            WITH e0 AS ({_MD5_EDGES_SQL}),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e),
+            deg AS (SELECT node, count(*) AS degree FROM (
+                      SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            pern AS (SELECT node, count(*) AS t FROM (
+                       SELECT x AS node FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                     GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(p.t, 0) AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * coalesce(p.t, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN pern p USING (node)
+        """,
+        "harmonic_centrality_2hop": f"""
+            WITH e0 AS ({_MD5_EDGES_SQL}),
+            e AS (SELECT DISTINCT dst AS s, src AS d FROM e0 WHERE src <> dst),
+            two AS (
+              SELECT s, d FROM (
+                SELECT DISTINCT e1.s AS s, e2.d AS d
+                FROM e e1 JOIN e e2 ON e2.s = e1.d
+                WHERE e2.d <> e1.s)
+              EXCEPT SELECT s, d FROM e),
+            n1 AS (SELECT s AS node, count(*) AS n1 FROM e GROUP BY s),
+            n2 AS (SELECT s AS node, count(*) AS n2 FROM two GROUP BY s)
+            SELECT n1.node, n1.n1, coalesce(n2.n2, 0) AS n2,
+                   round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6) AS harmonic2
+            FROM n1 LEFT JOIN n2 USING (node)
         """,
         "content_seen_report": """
             WITH caps AS (

@@ -234,6 +234,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "ngram_containment_pairs",
         "contracted_link_graph",
         "stupid_backoff_ppl",
+        "triangle_stats",
+        "hyperball_centrality",
     ]
     out = {}
     for name in names:
