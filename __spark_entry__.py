@@ -2147,6 +2147,17 @@ def q_hyperball(spark, sf_dir):
     return graph_ops.hyperball(_md5_random_edges(docs), radius=3, log2m=6)
 
 
+def q_cocitation(spark, sf_dir):
+    """Related-page pairs by co-citation (graph.cocitation_similarity):
+    nodes sharing ≥2 in-linkers, jaccard over capped in-linker sets. The
+    fanout cap (directory-page stop-word rule) bounds the pair shuffle at
+    |E|·max_fanout."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.cocitation_similarity(_md5_random_edges(docs), min_common=2)
+
+
 def q_sequence_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (packing.pack_concat_chunks):
     per md5-hash shard, docs laid end-to-end (+1 EOD slot each) in id
@@ -2770,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "harmonic_centrality_2hop": q_harmonic_2hop,
         "hyperball_centrality": q_hyperball,
+        "cocitation_pairs": q_cocitation,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3923,6 +3935,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.node, n1.n1, coalesce(n2.n2, 0) AS n2,
                    round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6) AS harmonic2
             FROM n1 LEFT JOIN n2 USING (node)
+        """,
+        "cocitation_pairs": f"""
+            WITH e0 AS ({_MD5_EDGES_SQL}),
+            e AS (SELECT DISTINCT src AS piv, dst AS node FROM e0
+                  WHERE src <> dst),
+            fan AS (SELECT piv FROM e GROUP BY piv
+                    HAVING count(*) <= 100),
+            capped AS (SELECT e.piv, e.node FROM e JOIN fan USING (piv)),
+            deg AS (SELECT node, count(*) AS dg FROM capped GROUP BY node),
+            pairs AS (
+              SELECT c1.node AS a, c2.node AS b, count(*) AS common
+              FROM capped c1
+              JOIN capped c2 ON c2.piv = c1.piv AND c1.node < c2.node
+              GROUP BY c1.node, c2.node HAVING count(*) >= 2)
+            SELECT p.a, p.b, p.common,
+                   round(p.common / (da.dg + db.dg - p.common), 6) AS jaccard
+            FROM pairs p
+            JOIN deg da ON da.node = p.a
+            JOIN deg db ON db.node = p.b
         """,
         "content_seen_report": """
             WITH caps AS (

@@ -237,3 +237,73 @@ def test_hyperball_rejects_bad_log2m(spark):
     df = spark.createDataFrame([(0, 1)], "src int, dst int")
     with pytest.raises(ValueError):
         g.hyperball(df, log2m=3)
+
+
+# --- cocitation_similarity -------------------------------------------------
+
+
+def _brute_cocitation(edges, direction, min_common, max_fanout):
+    piv = {}
+    for s, d in set(edges):
+        if s == d:
+            continue
+        if direction == "in":
+            piv.setdefault(s, set()).add(d)
+        else:
+            piv.setdefault(d, set()).add(s)
+    piv = {p: ns for p, ns in piv.items() if len(ns) <= max_fanout}
+    deg = {}
+    for ns in piv.values():
+        for n in ns:
+            deg[n] = deg.get(n, 0) + 1
+    common = {}
+    for ns in piv.values():
+        for a, b in itertools.combinations(sorted(ns), 2):
+            common[(a, b)] = common.get((a, b), 0) + 1
+    return {
+        (a, b): (c, c / (deg[a] + deg[b] - c))
+        for (a, b), c in common.items()
+        if c >= min_common
+    }
+
+
+def test_cocitation_hand_graph(spark):
+    # pages 10 and 11 are both linked from 0, 1, 2; page 12 only from 0
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11), (0, 12)]
+    rows = g.cocitation_similarity(
+        spark.createDataFrame(edges, "src int, dst int"), min_common=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["common"]) == (10, 11, 3)
+    assert r["jaccard"] == pytest.approx(1.0)  # identical in-linker sets
+
+
+def test_cocitation_matches_brute_force_both_directions(spark):
+    edges = _rand_edges(40, 260, seed=13)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for direction in ("in", "out"):
+        want = _brute_cocitation(edges, direction, min_common=2, max_fanout=100)
+        got = {
+            (r["a"], r["b"]): (r["common"], r["jaccard"])
+            for r in g.cocitation_similarity(df, direction=direction).collect()
+        }
+        assert set(got) == set(want), direction
+        for k, (c, j) in want.items():
+            assert got[k][0] == c
+            assert got[k][1] == pytest.approx(j, abs=1e-6)
+
+
+def test_cocitation_fanout_cap_drops_directory_pages(spark):
+    # a 10-outlink hub pivot is dropped at max_fanout=5: no pairs remain
+    edges = [(0, i) for i in range(1, 11)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert g.cocitation_similarity(df, min_common=1, max_fanout=5).count() == 0
+    # and kept when the cap allows it: C(10,2) pairs each with common=1
+    assert g.cocitation_similarity(df, min_common=1, max_fanout=10).count() == 45
+
+
+def test_cocitation_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with pytest.raises(ValueError):
+        g.cocitation_similarity(df, direction="sideways")
