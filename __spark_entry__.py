@@ -2147,6 +2147,17 @@ def q_hyperball(spark, sf_dir):
     return graph_ops.hyperball(_md5_random_edges(docs), radius=3, log2m=6)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query over the positional index (index.phrase_search):
+    postings filtered to the phrase's terms (IN-list pushed into the
+    scan), each term anchored at pos−i, k−1 equi-joins on (doc, anchor).
+    The oracle restates posexplode via generate_series + list indexing."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_ops.phrase_search(docs, "table part")
+
+
 def q_cocitation(spark, sf_dir):
     """Related-page pairs by co-citation (graph.cocitation_similarity):
     nodes sharing ≥2 in-linkers, jaccard over capped in-linker sets. The
@@ -2782,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_2hop": q_harmonic_2hop,
         "hyperball_centrality": q_hyperball,
         "cocitation_pairs": q_cocitation,
+        "phrase_search": q_phrase_search,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3935,6 +3947,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.node, n1.n1, coalesce(n2.n2, 0) AS n2,
                    round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6) AS harmonic2
             FROM n1 LEFT JOIN n2 USING (node)
+        """,
+        "phrase_search": """
+            WITH tdocs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '([a-z0-9]+)', 1) AS terms
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(terms) AS term,
+                     CAST(unnest(range(len(terms))) AS BIGINT) AS pos
+              FROM tdocs),
+            l0 AS (SELECT doc_id, pos AS anchor FROM pos WHERE term = 'table'),
+            l1 AS (SELECT doc_id, pos - 1 AS anchor FROM pos WHERE term = 'part')
+            SELECT doc_id, count(*) AS matches
+            FROM l0 JOIN l1 USING (doc_id, anchor)
+            GROUP BY doc_id
         """,
         "cocitation_pairs": f"""
             WITH e0 AS ({_MD5_EDGES_SQL}),

@@ -239,3 +239,61 @@ def bm25_search(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score_r", "rank"
     )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The positional index fact table: (term, doc_id, pos), pos = the
+    term's 0-based ordinal in the token stream. ~1 row per corpus token —
+    the classic space-for-phrase-queries trade (Manning/IIR §2.4.2's
+    positional index); ``postings`` stays the compact (term, doc_id, tf)
+    table for scoring. One projection + posexplode, no shuffle until a
+    consumer aggregates."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(col_index_tokens(text_col)).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def tokenize_phrase(phrase: str) -> list[str]:
+    """Driver-side twin of ``col_index_tokens`` for query strings."""
+    import re
+
+    return re.findall(r"[a-z0-9]+", phrase.lower())
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query over the positional index: docs where the
+    phrase's terms occur contiguously in order, with the match count.
+    Returns (doc_id, matches), matches ≥ 1.
+
+    Physical shape: the positional postings are filtered to the phrase's
+    terms FIRST — Catalyst places the IN-list directly above the
+    tokenizing Generate (it cannot reach the file scan because terms
+    derive from text; over a MATERIALIZED positional-postings table the
+    same predicate does push into the parquet scan), so only query-term
+    rows ever shuffle, and the rarer legs broadcast. Each term i is
+    anchored at (doc_id, pos − i) and the k terms meet in k−1 equi-joins
+    on that anchor key — the same bytes a hand-built positional B-tree
+    lookup would touch. A phrase of one term degenerates to its tf."""
+    terms = tokenize_phrase(phrase)
+    if not terms:
+        raise ValueError("phrase contains no index terms")
+    pos = positional_postings(docs, id_col, text_col).where(
+        F.col("term").isin(*set(terms))
+    )
+    anchored = None
+    for i, t in enumerate(terms):
+        leg = pos.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        anchored = leg if anchored is None else anchored.join(
+            leg, ["doc_id", "anchor"], "inner"
+        )
+    return anchored.groupBy("doc_id").agg(F.count(F.lit(1)).alias("matches"))
