@@ -2147,6 +2147,17 @@ def q_hyperball(spark, sf_dir):
     return graph_ops.hyperball(_md5_random_edges(docs), radius=3, log2m=6)
 
 
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous 2-sweep label propagation (graph.lpa_communities,
+    deterministic min-label tie-break) — the cheap community/link-farm
+    first look. The oracle unrolls both sweeps as vote censuses +
+    row_number picks, exactly like the pagerank_2iter discipline."""
+    from spider_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.lpa_communities(_md5_random_edges(docs), sweeps=2)
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase query over the positional index (index.phrase_search):
     postings filtered to the phrase's terms (IN-list pushed into the
@@ -2794,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_centrality": q_hyperball,
         "cocitation_pairs": q_cocitation,
         "phrase_search": q_phrase_search,
+        "lpa_communities_2sweep": q_lpa_communities,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3947,6 +3959,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.node, n1.n1, coalesce(n2.n2, 0) AS n2,
                    round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6) AS harmonic2
             FROM n1 LEFT JOIN n2 USING (node)
+        """,
+        "lpa_communities_2sweep": f"""
+            WITH e0 AS ({_MD5_EDGES_SQL}),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e0 WHERE src <> dst),
+            sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            v1 AS (SELECT a AS node, b AS community, count(*) AS cnt
+                   FROM sym GROUP BY 1, 2),
+            c1 AS (SELECT node, community FROM (
+                     SELECT node, community,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY cnt DESC, community) AS rn
+                     FROM v1) WHERE rn = 1),
+            v2 AS (SELECT s.a AS node, c.community, count(*) AS cnt
+                   FROM sym s JOIN c1 c ON c.node = s.b GROUP BY 1, 2),
+            c2 AS (SELECT node, community FROM (
+                     SELECT node, community,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY cnt DESC, community) AS rn
+                     FROM v2) WHERE rn = 1)
+            SELECT node, community FROM c2
         """,
         "phrase_search": """
             WITH tdocs AS (

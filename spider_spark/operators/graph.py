@@ -1112,3 +1112,59 @@ def cocitation_similarity(
             ).alias("jaccard"),
         )
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    sweeps: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007) over the undirected graph:
+    labels start as node ids; each sweep every node adopts the most
+    frequent label among its NEIGHBORS, ties broken by the smallest
+    label — fully deterministic (the paper's random tie-break is
+    replaced so runs, parallelism levels, and the SQL oracle all agree).
+    Communities ≙ link neighborhoods: the cheap first look at site
+    clusters / link farms before paying for modularity methods.
+
+    Per sweep: one |E|-keyed join + TWO partial-agg groupBys — the
+    (node,label) vote census, then min_by over (−count, label) per node.
+    No windows, no per-node label lists, so hub degree spreads across
+    reducers. Fixed ``sweeps`` (synchronous LPA can 2-cycle on bipartite
+    structure — a bounded sweep count is the standard remedy and keeps
+    the operator oracle-unrollable); isolated or sink-free nodes keep
+    their current label. Returns (node, community).
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = und.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")).distinct()
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(sweeps):
+        votes = (
+            sym.join(labels.select(F.col("node").alias("b"), "community"), "b")
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("node").agg(
+            F.expr("min_by(community, struct(-cnt, community))").alias("_new")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("_new", F.col("community")).alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels

@@ -307,3 +307,68 @@ def test_cocitation_rejects_bad_direction(spark):
     df = spark.createDataFrame([(0, 1)], "src int, dst int")
     with pytest.raises(ValueError):
         g.cocitation_similarity(df, direction="sideways")
+
+
+# --- lpa_communities --------------------------------------------------------
+
+
+def _brute_lpa(edges, sweeps):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(sweeps):
+        new = {}
+        for v in adj:
+            counts = {}
+            for n in adj[v]:
+                counts[lab[n]] = counts.get(lab[n], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        lab = new
+    return lab
+
+
+def test_lpa_two_cliques_converge_to_min_ids(spark):
+    # two triangles bridged by one edge: each clique adopts its min id
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    got = {
+        r["node"]: r["community"]
+        for r in g.lpa_communities(
+            spark.createDataFrame(edges, "src int, dst int"), sweeps=3
+        ).collect()
+    }
+    # each triangle is one community; the min-label tie-break lets label 2
+    # cross the bridge, so the right clique converges on 2, the left on 0
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12] == 2
+
+
+def test_lpa_matches_brute_force(spark):
+    edges = _rand_edges(35, 140, seed=21)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for sweeps in (1, 2, 4):
+        want = _brute_lpa(edges, sweeps)
+        got = {
+            r["node"]: r["community"]
+            for r in g.lpa_communities(df, sweeps=sweeps).collect()
+        }
+        assert got == want, sweeps
+
+
+def test_lpa_deterministic_tie_break(spark):
+    # node 5 has two neighbors with distinct labels after sweep 1 start:
+    # tie on count=1 -> smallest label wins
+    edges = [(5, 1), (5, 3)]
+    got = {
+        r["node"]: r["community"]
+        for r in g.lpa_communities(
+            spark.createDataFrame(edges, "src int, dst int"), sweeps=1
+        ).collect()
+    }
+    assert got[5] == 1
