@@ -2147,6 +2147,37 @@ def q_hyperball(spark, sf_dir):
     return graph_ops.hyperball(_md5_random_edges(docs), radius=3, log2m=6)
 
 
+def q_sitemap_write(spark, sf_dir):
+    """Sitemap write side (sitemap.build_urlsets): per-host <urlset>
+    bodies from a URL inventory, XML entities escaped with the exact
+    inverse of the reader. Hosts stay under the 50k cap here so shard is
+    0 and the FULL XML string is oracle-compared (string_agg ORDER BY
+    restates sort_array+array_join); the hash sharding above the cap is
+    pytest-gated (xxhash64 has no DuckDB twin)."""
+    from spider_spark import sitemap as sitemap_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+            F.lit("?a=1&q=<"),
+            F.col("lang"),
+            F.lit(">"),
+        ).alias("url_canon"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.date_format(
+            F.date_add(F.lit("2026-01-01").cast("date"), (F.col("doc_id") % 28).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("mod"),
+    )
+    return sitemap_ops.build_urlsets(pages, lastmod_col="mod")
+
+
 def q_lpa_communities(spark, sf_dir):
     """Synchronous 2-sweep label propagation (graph.lpa_communities,
     deterministic min-label tie-break) — the cheap community/link-farm
@@ -2806,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": q_cocitation,
         "phrase_search": q_phrase_search,
         "lpa_communities_2sweep": q_lpa_communities,
+        "sitemap_urlsets": q_sitemap_write,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3959,6 +3991,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.node, n1.n1, coalesce(n2.n2, 0) AS n2,
                    round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6) AS harmonic2
             FROM n1 LEFT JOIN n2 USING (node)
+        """,
+        "sitemap_urlsets": """
+            WITH pages AS (
+              SELECT DISTINCT
+                'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+                  || CAST(doc_id AS VARCHAR) || '?a=1&q=<' || lang || '>' AS loc,
+                'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                strftime(DATE '2026-01-01'
+                         + CAST(doc_id % 28 AS INT) * INTERVAL 1 DAY,
+                         '%Y-%m-%d') AS mod
+              FROM documents),
+            esc AS (
+              SELECT host,
+                     '  <url><loc>'
+                       || replace(replace(replace(replace(replace(loc,
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                            '"', '&quot;'), '''', '&apos;')
+                       || '</loc><lastmod>' || mod || '</lastmod></url>'
+                       || chr(10) AS entry
+              FROM pages)
+            SELECT host, 0 AS shard, count(*) AS n_urls,
+                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                     || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                     || chr(10)
+                     || string_agg(entry, '' ORDER BY entry)
+                     || '</urlset>' || chr(10) AS xml
+            FROM esc GROUP BY host
         """,
         "lpa_communities_2sweep": f"""
             WITH e0 AS ({_MD5_EDGES_SQL}),

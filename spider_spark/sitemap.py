@@ -178,3 +178,120 @@ def revalidation_candidates(
         .filter(F.col("reason").isNotNull())
         .select(F.col("loc").alias("url"), "reason", "lastmod_ts", "last_crawled_at")
     )
+
+
+def xml_escape(c: Column) -> Column:
+    """Encode the 5 predefined XML entities — the exact inverse of
+    ``xml_unescape``: ``&`` is encoded FIRST so later replacements never
+    double-escape their own output."""
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'")):
+        c = F.replace(c, F.lit(ch), F.lit(ent))
+    return c
+
+
+_URLSET_OPEN = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+_INDEX_OPEN = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+SITEMAP_MAX_URLS = 50_000  # sitemaps.org hard cap per urlset file
+
+
+def build_urlsets(
+    pages: DataFrame,
+    url_col: str = "url_canon",
+    host_col: str = "host",
+    lastmod_col: str | None = None,
+    max_urls: int = SITEMAP_MAX_URLS,
+) -> DataFrame:
+    """The write side of the sitemap loop: the crawl's own URL inventory
+    (latest_capture / results snapshot) rendered as sitemaps.org
+    ``<urlset>`` bodies, one row per (host, shard) — what a mirror,
+    archive republication, or the engine's OWN site would serve.
+
+    Scale shape: the protocol caps a file at 50k URLs, so shards are
+    assigned by ``pmod(xxhash64(url), ceil(n_host/max_urls))`` — a join
+    against the per-host census instead of a per-host ordering window
+    (a 10^8-URL host never funnels through one ranked partition; hash
+    sharding is deterministic and resume-stable). Each shard then
+    aggregates into ONE body via sort_array+array_join — bounded at
+    max_urls elements per group BY THE SPEC, so the single-reducer
+    string build is 50k small strings, not a hot group. XML entities are
+    escaped with the exact inverse of the reader's ``xml_unescape``;
+    ``build_urlsets → sitemap_entries`` round-trips byte-exactly on the
+    loc/lastmod fields.
+
+    Returns (host, shard, n_urls, xml). ``lastmod_col`` (optional) must
+    already be a W3C datetime/date string.
+    """
+    cols = [F.col(url_col).alias("loc"), F.col(host_col).alias("host")]
+    cols.append(
+        F.col(lastmod_col).cast("string").alias("_lastmod")
+        if lastmod_col
+        else F.lit(None).cast("string").alias("_lastmod")
+    )
+    p = pages.select(*cols).where(F.col("loc").isNotNull()).distinct()
+    n_shards = p.groupBy("host").agg(
+        F.ceil(F.count(F.lit(1)) / max_urls).cast("int").alias("_n_shards")
+    )
+    entry_xml = F.concat(
+        F.lit("  <url><loc>"),
+        xml_escape(F.col("loc")),
+        F.lit("</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), xml_escape(F.col("_lastmod")), F.lit("</lastmod>")),
+            F.lit(""),
+        ),
+        F.lit("</url>\n"),
+    )
+    return (
+        p.join(n_shards, "host")
+        .select(
+            "host",
+            F.pmod(F.xxhash64("loc"), F.col("_n_shards")).cast("int").alias("shard"),
+            entry_xml.alias("_entry"),
+        )
+        .groupBy("host", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.concat(
+                F.lit(_URLSET_OPEN),
+                F.array_join(F.sort_array(F.collect_list("_entry")), ""),
+                F.lit("</urlset>\n"),
+            ).alias("xml"),
+        )
+    )
+
+
+def build_sitemapindex(
+    urlsets: DataFrame,
+    loc_format: str = "https://{host}/sitemap-{shard}.xml",
+) -> DataFrame:
+    """One ``<sitemapindex>`` body per host over ``build_urlsets``
+    output, shard locs rendered with ``loc_format``. A host's shard
+    count is its URL count / 50k — far below the index's own 50k cap
+    for any real host, so the per-host string agg is bounded too.
+    Returns (host, n_sitemaps, xml)."""
+    loc = F.replace(
+        F.replace(F.lit(loc_format), F.lit("{host}"), F.col("host")),
+        F.lit("{shard}"),
+        F.col("shard").cast("string"),
+    )
+    entry = F.concat(
+        F.lit("  <sitemap><loc>"), xml_escape(loc), F.lit("</loc></sitemap>\n")
+    )
+    return (
+        urlsets.select("host", "shard", entry.alias("_e"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_sitemaps"),
+            F.concat(
+                F.lit(_INDEX_OPEN),
+                F.array_join(F.sort_array(F.collect_list("_e")), ""),
+                F.lit("</sitemapindex>\n"),
+            ).alias("xml"),
+        )
+    )
