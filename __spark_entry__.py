@@ -2147,6 +2147,19 @@ def q_hyperball(spark, sf_dir):
     return graph_ops.hyperball(_md5_random_edges(docs), radius=3, log2m=6)
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.session_stats, 30-min
+    web-session timeout): one user-keyed window (lag → break → running
+    sum) + a groupBy whose key extends the window key — a single shuffle
+    end-to-end (asserted via explain in tests). Gap arithmetic runs on
+    second-truncated epochs in both engines (Spark ts→long truncates;
+    the oracle floors epoch())."""
+    from spider_spark.operators import sessions
+
+    ev = _t(spark, sf_dir, "events")
+    return sessions.session_stats(ev.select("user_id", "ts"), gap_s=1800)
+
+
 def q_sitemap_write(spark, sf_dir):
     """Sitemap write side (sitemap.build_urlsets): per-host <urlset>
     bodies from a URL inventory, XML entities escaped with the exact
@@ -2838,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
+        "session_stats_30min": q_session_stats,
         "http_freshness": q_http_freshness,
         "split_assign_deterministic": q_split_assign,
         "stratified_hash_sample": q_stratified_sample,
@@ -3991,6 +4005,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.node, n1.n1, coalesce(n2.n2, 0) AS n2,
                    round(n1.n1 + coalesce(n2.n2, 0) / 2.0, 6) AS harmonic2
             FROM n1 LEFT JOIN n2 USING (node)
+        """,
+        "session_stats_30min": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER (PARTITION BY user_id ORDER BY ts)
+                               > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+              FROM o)
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   max(CAST(floor(epoch(ts)) AS BIGINT))
+                     - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+            FROM s GROUP BY user_id, session_seq
         """,
         "sitemap_urlsets": """
             WITH pages AS (

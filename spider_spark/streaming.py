@@ -121,3 +121,34 @@ def run_available_now(df: DataFrame, checkpoint: str, out_path: str, out_format:
     )
     q.awaitTermination()
     return q
+
+
+def stream_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization — the continuous twin of
+    ``operators.sessions.session_stats``: Structured Streaming's
+    ``session_window`` merges a user's events whose gaps stay under
+    ``gap``; the watermark closes (and EVICTS from the state store) any
+    session once event time passes its end + watermark, so state is
+    bounded by the number of OPEN sessions regardless of runtime length.
+    Emits one row per closed session: (user, session_start, session_end,
+    n_events) — append mode, only final sessions, the exactly-once
+    discipline of the batch tick commit."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
