@@ -2213,6 +2213,35 @@ def q_phrase_search(spark, sf_dir):
     return index_ops.phrase_search(docs, "table part")
 
 
+def q_query_snippets(spark, sf_dir):
+    """Query-biased snippets (index.query_snippets, Manning/IIR §8.7):
+    per matching doc, the 8-token window starting at a query-term hit
+    that covers the most distinct query terms (earliest start on ties),
+    reconstructed from the positional index. The oracle restates the
+    candidate/coverage band join and string_agg-by-pos in DuckDB."""
+    from spider_spark.operators import index as index_ops
+
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    snips = index_ops.query_snippets(docs, "table part", window=8)
+    # posexplode's pos is INT; the oracle's range() ordinal is BIGINT
+    return snips.withColumn("start", F.col("start").cast("long"))
+
+
+def q_term_suggestions(spark, sf_dir):
+    """Did-you-mean spelling suggestions (index.term_suggestions, IIR
+    §3.3): bigram-index candidates for the misspelling 'sart', exact
+    levenshtein <= 2 verify, ranked (dist, df DESC, term) — 'fast' is in
+    edit range but shares no bigram, exercising the candidate-recall
+    heuristic. The oracle restates the k-gram explode via list_transform
+    + list_distinct and uses DuckDB's levenshtein."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_ops.term_suggestions(docs, "sart", max_dist=2, n=10)
+
+
 def q_cocitation(spark, sf_dir):
     """Related-page pairs by co-citation (graph.cocitation_similarity):
     nodes sharing ≥2 in-linkers, jaccard over capped in-linker sets. The
@@ -2849,6 +2878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_centrality": q_hyperball,
         "cocitation_pairs": q_cocitation,
         "phrase_search": q_phrase_search,
+        "query_snippets": q_query_snippets,
+        "term_suggestions": q_term_suggestions,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -4090,6 +4121,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS matches
             FROM l0 JOIN l1 USING (doc_id, anchor)
             GROUP BY doc_id
+        """,
+        "term_suggestions": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents),
+            post AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+            vocab AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            kg AS (
+              SELECT term, df,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(term) - 1, 1) + 1),
+                       i -> substr(term, CAST(i AS INT), 2)))) AS g
+              FROM vocab),
+            cand AS (
+              SELECT term, df, count(*) AS shared FROM kg
+              WHERE g IN ('ar', 'rt', 'sa')
+              GROUP BY term, df),
+            ver AS (
+              SELECT term, df,
+                     CAST(levenshtein('sart', term) AS INT) AS dist
+              FROM cand
+              WHERE shared >= 1 AND levenshtein('sart', term) <= 2)
+            SELECT term, df, dist,
+                   CAST(row_number() OVER (ORDER BY dist ASC, df DESC,
+                                           term ASC) AS INT) AS rank
+            FROM ver
+            ORDER BY dist ASC, df DESC, term ASC
+            LIMIT 10
+        """,
+        "query_snippets": """
+            WITH tdocs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '([a-z0-9]+)', 1) AS terms
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(terms) AS term,
+                     CAST(unnest(range(len(terms))) AS BIGINT) AS pos
+              FROM tdocs),
+            hits AS (
+              SELECT doc_id, term, pos FROM pos
+              WHERE term IN ('part', 'table')),
+            starts AS (SELECT DISTINCT doc_id, pos AS start FROM hits),
+            cover AS (
+              SELECT s.doc_id, s.start, count(DISTINCT h.term) AS n_terms
+              FROM starts s
+              JOIN hits h ON h.doc_id = s.doc_id
+               AND h.pos >= s.start AND h.pos < s.start + 8
+              GROUP BY s.doc_id, s.start),
+            best AS (
+              SELECT doc_id, start, n_terms,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n_terms DESC, start ASC) AS rk
+              FROM cover)
+            SELECT p.doc_id, b.start, b.n_terms,
+                   string_agg(p.term, ' ' ORDER BY p.pos) AS snippet
+            FROM best b
+            JOIN pos p ON p.doc_id = b.doc_id
+             AND p.pos >= b.start AND p.pos < b.start + 8
+            WHERE b.rk = 1
+            GROUP BY p.doc_id, b.start, b.n_terms
         """,
         "cocitation_pairs": f"""
             WITH e0 AS ({_MD5_EDGES_SQL}),

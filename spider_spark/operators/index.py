@@ -297,3 +297,156 @@ def phrase_search(
             leg, ["doc_id", "anchor"], "inner"
         )
     return anchored.groupBy("doc_id").agg(F.count(F.lit(1)).alias("matches"))
+
+
+def vocab_kgrams(vocab: DataFrame, k: int = 2) -> Column:
+    """Distinct character k-grams of the ``term`` column (terms shorter
+    than k contribute themselves) — the k-gram index key of IIR §3.3.4."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("term") - (k - 1), F.lit(1))
+            ),
+            lambda i: F.substring("term", i, k),
+        )
+    )
+
+
+def _query_kgrams(term: str, k: int = 2) -> list[str]:
+    """Driver-side twin of ``vocab_kgrams`` for the query string."""
+    grams = [term[i : i + k] for i in range(max(len(term) - (k - 1), 1))]
+    return sorted(set(grams))
+
+
+def term_suggestions(
+    docs: DataFrame,
+    query_term: str,
+    k: int = 2,
+    max_dist: int = 2,
+    min_gram_overlap: int = 1,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Isolated-term spelling correction ("did you mean") — Manning/IIR
+    §3.3: k-gram index candidate generation, exact edit-distance verify,
+    collection-frequency ranking. Returns the top-``n`` vocabulary terms
+    within ``max_dist`` edits of ``query_term`` as (term, df, dist,
+    rank), ranked by (dist ASC, df DESC, term ASC) so an exact vocab hit
+    always ranks first and ties are engine-deterministic.
+
+    Physical shape, 100 TB first: the k-gram index is built over the
+    VOCABULARY (distinct terms + document frequency — millions of rows
+    at web scale, not the corpus token stream), one array_distinct
+    transform + explode. The query's grams are an IN-list literal, so
+    only gram buckets the query touches ever shuffle; bucket size is
+    bounded by vocabulary size, never corpus size (a hot bigram like
+    'th' costs a vocab-bounded partial-agg, not a corpus scan).
+    ``levenshtein`` — quadratic per pair — runs only on candidates that
+    already share ``min_gram_overlap`` distinct grams with the query.
+    """
+    q = query_term.lower().strip()
+    if not re.fullmatch(r"[a-z0-9]+", q or ""):
+        raise ValueError("query_term must be one indexable term")
+    if max_dist < 0 or n < 1 or min_gram_overlap < 1:
+        raise ValueError("max_dist >= 0, n >= 1, min_gram_overlap >= 1")
+    vocab = document_frequency(postings(docs, id_col, text_col))
+    qgrams = _query_kgrams(q, k)
+    cands = (
+        vocab.select("term", "df", F.explode(vocab_kgrams(vocab, k)).alias("g"))
+        .where(F.col("g").isin(qgrams))
+        .groupBy("term", "df")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_gram_overlap)
+    )
+    verified = cands.select(
+        "term", "df", F.levenshtein(F.lit(q), F.col("term")).alias("dist")
+    ).where(F.col("dist") <= max_dist)
+    w = Window.orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    topn = verified.orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    ).limit(n)
+    return topn.withColumn("rank", F.row_number().over(w)).select(
+        "term", "df", "dist", "rank"
+    )
+
+
+def query_snippets(
+    docs: DataFrame,
+    query: str,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-biased snippets (dynamic summaries, Manning/IIR §8.7; the
+    KWIC display every SERP shows under a hit) — for each document that
+    matches any query term, the ``window``-token span that best covers
+    the query, reconstructed as normalized text.
+
+    Deterministic spec (engine-portable, no scoring heuristics):
+
+    - candidate windows start AT a query-term hit and cover token
+      positions [start, start+window);
+    - the best window maximizes (#distinct query terms inside, then
+      earliest start) — ties cannot survive the (n_terms DESC, start
+      ASC) order;
+    - the snippet is the window's tokens under the index tokenizer
+      (lowercased alphanumeric runs) joined by single spaces — a
+      normalized summary, NOT original bytes (the positional index does
+      not store raw offsets; storing (start_byte, end_byte) per token
+      would be the production extension).
+
+    Physical shape, 100 TB first: tokens are filtered to query terms
+    BEFORE any shuffle, so the candidate/coverage self-join is bounded
+    by query-term hits per doc (window-sized band predicate over one
+    doc_id-keyed equi-join — never a cross product). Snippet
+    reconstruction re-joins the full token stream once, keyed on
+    doc_id; only matching docs survive the inner join, and with the
+    best-window side under the AQE broadcast threshold the token leg
+    never shuffles at all. Returns (doc_id, start, n_terms, snippet).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    qterms = sorted(set(tokenize_phrase(query)))
+    if not qterms:
+        raise ValueError("query contains no index terms")
+    toks = positional_postings(docs, id_col, text_col)
+    hits = toks.where(F.col("term").isin(qterms))
+    starts = hits.select("doc_id", F.col("pos").alias("start")).distinct()
+    cover = (
+        starts.join(hits, "doc_id")
+        .where(
+            (F.col("pos") >= F.col("start"))
+            & (F.col("pos") < F.col("start") + window)
+        )
+        .groupBy("doc_id", "start")
+        .agg(F.countDistinct("term").alias("n_terms"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_terms").desc(), F.col("start").asc()
+    )
+    best = (
+        cover.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        toks.join(best, "doc_id")
+        .where(
+            (F.col("pos") >= F.col("start"))
+            & (F.col("pos") < F.col("start") + window)
+        )
+        .groupBy("doc_id", "start", "n_terms")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+        .select("doc_id", "start", "n_terms", "snippet")
+    )
