@@ -2229,6 +2229,19 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_bm25_search_collapsed(spark, sf_dir):
+    """Host-collapsed SERP top-10 (index.bm25_search_diversified): summed
+    BM25 over the query terms, at most 1 result per source (site
+    collapsing), global top-10 via TakeOrdered. The oracle restates the
+    BM25 formula and the per-host row_number cap."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_ops.bm25_search_diversified(
+        docs, "merge spark window", k=10, per_host=1, host_col="source"
+    )
+
+
 def q_term_suggestions(spark, sf_dir):
     """Did-you-mean spelling suggestions (index.term_suggestions, IIR
     §3.3): bigram-index candidates for the misspelling 'sart', exact
@@ -2880,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "query_snippets": q_query_snippets,
         "term_suggestions": q_term_suggestions,
+        "bm25_search_collapsed": q_bm25_search_collapsed,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5265,6 +5279,48 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "bm25_search_collapsed": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), scored AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term IN ('merge', 'spark', 'window')
+            ), summed AS (
+              SELECT doc_id, ROUND(SUM(bm25_r), 6) AS score_r
+              FROM scored GROUP BY doc_id
+            ), hosted AS (
+              SELECT s.doc_id, d.source AS host, s.score_r,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                       ORDER BY s.score_r DESC, s.doc_id ASC) AS INT)
+                       AS host_rank
+              FROM summed s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, host, score_r, host_rank, rank FROM (
+              SELECT doc_id, host, score_r, host_rank,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC,
+                                             doc_id ASC) AS INT) AS rank
+              FROM hosted WHERE host_rank <= 1)
+            WHERE rank <= 10
         """,
         # focused crawl: per-target max of parents' summed-BM25 relevance
         "focused_relevance": """

@@ -241,6 +241,63 @@ def bm25_search(
     )
 
 
+def bm25_search_diversified(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    per_host: int = 2,
+    host_col: str = "host",
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 32,
+) -> DataFrame:
+    """Host-collapsed top-k search — the SERP diversity rule every web
+    engine applies (at most ``per_host`` results per site, a.k.a. host
+    crowding / site collapsing): rank all matches by summed BM25, keep
+    each host's best ``per_host``, then take the global top ``k``.
+
+    Physical shape: the per-host cap reuses the two-phase salted top-k
+    discipline (``curation.per_source_quota`` / the politeness window) —
+    phase 1 bounds every (host, salt) window task, phase 2 ranks the
+    ≤ per_host·salt survivors per host, so one mega-host matching 10^9
+    docs never serializes a window. The global top-k is
+    orderBy().limit() → TakeOrderedAndProject; the final rank window
+    runs over ≤k rows. Returns (doc_id, host, score_r, host_rank, rank),
+    deterministic on (score_r DESC, doc_id ASC) everywhere.
+    """
+    if k < 1 or per_host < 1:
+        raise ValueError("k >= 1 and per_host >= 1")
+    scores = bm25_query_scores(
+        docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    hosts = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(host_col).alias("host")
+    )
+    scored = scores.join(hosts, "doc_id")
+    order = [F.col("score_r").desc(), F.col("doc_id").asc()]
+    salted = scored.withColumn(
+        "_dsalt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
+    )
+    w1 = Window.partitionBy("host", "_dsalt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= per_host)
+        .drop("_r1", "_dsalt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    capped = (
+        survivors.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= per_host)
+    )
+    topk = capped.orderBy(*order).limit(k)
+    w3 = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w3)).select(
+        "doc_id", "host", "score_r", "host_rank", "rank"
+    )
+
+
 def positional_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
