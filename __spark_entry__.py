@@ -2229,6 +2229,18 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_postings_vbyte_stats(spark, sf_dir):
+    """Gap+VByte index storage estimate (index.postings_compression_stats,
+    IIR §5.3): per-term d-gap varint byte cost via the two-level bucketed
+    gap computation (hot-term windows bounded by bucket width). The
+    oracle restates the SEQUENTIAL definition with one lag window — the
+    two levels must sum to exactly it."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_ops.postings_compression_stats(docs, bucket_bits=4)
+
+
 def q_bm25_search_collapsed(spark, sf_dir):
     """Host-collapsed SERP top-10 (index.bm25_search_diversified): summed
     BM25 over the query terms, at most 1 result per source (site
@@ -2894,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_snippets": q_query_snippets,
         "term_suggestions": q_term_suggestions,
         "bm25_search_collapsed": q_bm25_search_collapsed,
+        "postings_vbyte_stats": q_postings_vbyte_stats,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5279,6 +5292,35 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "postings_vbyte_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id FROM tok GROUP BY 1, 2
+            ), g AS (
+              SELECT term,
+                     CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id + 1
+                          ELSE doc_id - lag(doc_id) OVER w END AS v
+              FROM post WINDOW w AS (PARTITION BY term ORDER BY doc_id)
+            ), vb AS (
+              SELECT term,
+                     CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+                          WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4
+                          WHEN v < 34359738368 THEN 5
+                          WHEN v < 4398046511104 THEN 6
+                          WHEN v < 562949953421312 THEN 7
+                          WHEN v < 72057594037927936 THEN 8
+                          ELSE 9 END AS c
+              FROM g)
+            SELECT term, count(*) AS df, count(*) * 8 AS raw_bytes,
+                   CAST(sum(c) AS BIGINT) AS vbyte_bytes,
+                   round(CAST(sum(c) AS DOUBLE) / (count(*) * 8.0), 6)
+                     AS ratio_r
+            FROM vb GROUP BY term
         """,
         "bm25_search_collapsed": """
             WITH tok AS (
