@@ -236,6 +236,15 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "stupid_backoff_ppl",
         "triangle_stats",
         "hyperball_centrality",
+        "phrase_search",
+        "cocitation_pairs",
+        "lpa_communities_2sweep",
+        "session_stats_30min",
+        "sitemap_urlsets",
+        "query_snippets",
+        "term_suggestions",
+        "bm25_search_collapsed",
+        "postings_vbyte_stats",
     ]
     out = {}
     for name in names:
