@@ -2229,6 +2229,49 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_robots_policy_diff(spark, sf_dir):
+    """robots.txt policy drift across a recrawl wave
+    (robots.robots_policy_diff): synthesize per-host OLD and NEW robots
+    bodies arithmetically from doc_id (disallow prefix keyed on d%3 vs
+    d%5, probe path on d%7, crawl-delays d%4+1 vs d%4+2 seconds), parse
+    both snapshots with the vectorized RFC 9309 parser, and diff the
+    frontier verdicts. The oracle derives every expected column with
+    modular arithmetic — parsing, longest-match evaluation, and the
+    unavailable-robots=allow rule are all differential here."""
+    from spider_spark import robots as rb
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), d.cast("string"))
+    old_b = docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/"),
+            F.pmod(d, F.lit(3)).cast("string"),
+            F.lit("/\nCrawl-delay: "),
+            (F.pmod(d, F.lit(4)) + 1).cast("string"),
+        ).alias("robots_txt"),
+    )
+    new_b = docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/"),
+            F.pmod(d, F.lit(5)).cast("string"),
+            F.lit("/\nCrawl-delay: "),
+            (F.pmod(d, F.lit(4)) + 2).cast("string"),
+        ).alias("robots_txt"),
+    )
+    probes = docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("/private/"), F.pmod(d, F.lit(7)).cast("string"), F.lit("/x")
+        ).alias("path"),
+    )
+    return rb.robots_policy_diff(
+        rb.rules_from_bodies(old_b), rb.rules_from_bodies(new_b), probes
+    )
+
+
 def q_postings_vbyte_stats(spark, sf_dir):
     """Gap+VByte index storage estimate (index.postings_compression_stats,
     IIR §5.3): per-term d-gap varint byte cost via the two-level bucketed
@@ -2907,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggestions": q_term_suggestions,
         "bm25_search_collapsed": q_bm25_search_collapsed,
         "postings_vbyte_stats": q_postings_vbyte_stats,
+        "robots_policy_diff": q_robots_policy_diff,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5292,6 +5336,24 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "robots_policy_diff": """
+            SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                   '/private/' || CAST(doc_id % 7 AS VARCHAR) || '/x' AS path,
+                   (doc_id % 7) <> (doc_id % 3) AS allowed_old,
+                   (doc_id % 7) <> (doc_id % 5) AS allowed_new,
+                   CAST((doc_id % 4 + 1) * 1000 AS INT) AS crawl_delay_ms_old,
+                   CAST((doc_id % 4 + 2) * 1000 AS INT) AS crawl_delay_ms_new,
+                   CASE
+                     WHEN (doc_id % 7) <> (doc_id % 3)
+                      AND (doc_id % 7) <> (doc_id % 5) THEN 'still_allowed'
+                     WHEN (doc_id % 7) <> (doc_id % 3)
+                      AND (doc_id % 7) = (doc_id % 5) THEN 'newly_denied'
+                     WHEN (doc_id % 7) = (doc_id % 3)
+                      AND (doc_id % 7) <> (doc_id % 5) THEN 'newly_allowed'
+                     ELSE 'still_denied'
+                   END AS verdict
+            FROM documents
         """,
         "postings_vbyte_stats": """
             WITH tok AS (

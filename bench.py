@@ -245,6 +245,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "term_suggestions",
         "bm25_search_collapsed",
         "postings_vbyte_stats",
+        "robots_policy_diff",
     ]
     out = {}
     for name in names:

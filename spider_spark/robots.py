@@ -261,6 +261,72 @@ def rules_from_bodies(
     )
 
 
+def robots_policy_diff(
+    old_rules: DataFrame,
+    new_rules: DataFrame,
+    probes: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Policy drift between two robots.txt snapshots — the recrawl-wave
+    hygiene check: which frontier URLs flipped allowed↔denied (and which
+    hosts changed their Crawl-delay) when the robots files were
+    re-fetched. A URL that turns ``newly_denied`` must be dropped from
+    the pending frontier; ``newly_allowed`` URLs are recrawl candidates.
+
+    Inputs: two rules tables as produced by ``rules_from_bodies``
+    (host, disallow_prefixes, allow_prefixes, crawl_delay_ms) and a
+    ``probes`` frame of (host, path) — typically the pending frontier
+    projected to its path. A host absent from a snapshot evaluates as
+    all-allowed (RFC 9309 §2.3.1: unavailable robots.txt imposes no
+    restrictions) — ``col_robots_allowed`` already yields allowed on
+    null rule arrays, so the left joins need no special casing.
+
+    Physical shape: rules tables are one row per HOST — orders of
+    magnitude smaller than the frontier — so both joins broadcast under
+    AQE and the evaluation (codegen rlike over array columns) is
+    map-only over the probe side; a mega-host's probe skew never
+    matters because the host key is only ever the small side's join
+    key. Returns (host, path, allowed_old, allowed_new,
+    crawl_delay_ms_old, crawl_delay_ms_new, verdict) with verdict in
+    {still_allowed, newly_denied, newly_allowed, still_denied}.
+    """
+    def leg(rules: DataFrame, tag: str) -> DataFrame:
+        return rules.select(
+            F.col("host").alias(f"_h_{tag}"),
+            F.col("allow_prefixes").alias(f"_al_{tag}"),
+            F.col("disallow_prefixes").alias(f"_dis_{tag}"),
+            F.col("crawl_delay_ms").alias(f"crawl_delay_ms_{tag}"),
+        )
+
+    base = probes.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    )
+    joined = (
+        base.join(leg(old_rules, "old"), F.col("host") == F.col("_h_old"), "left")
+        .join(leg(new_rules, "new"), F.col("host") == F.col("_h_new"), "left")
+    )
+    a_old = col_robots_allowed(
+        F.col("path"), F.col("_al_old"), F.col("_dis_old")
+    )
+    a_new = col_robots_allowed(
+        F.col("path"), F.col("_al_new"), F.col("_dis_new")
+    )
+    return joined.select(
+        "host",
+        "path",
+        a_old.alias("allowed_old"),
+        a_new.alias("allowed_new"),
+        "crawl_delay_ms_old",
+        "crawl_delay_ms_new",
+        F.when(a_old & a_new, F.lit("still_allowed"))
+        .when(a_old & ~a_new, F.lit("newly_denied"))
+        .when(~a_old & a_new, F.lit("newly_allowed"))
+        .otherwise(F.lit("still_denied"))
+        .alias("verdict"),
+    )
+
+
 # --- Sitemap directive (RFC 9309 §2.3: a non-group record — applies to the
 # whole file regardless of user-agent groups) ------------------------------
 
