@@ -2229,6 +2229,27 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_sitemap_coverage(spark, sf_dir):
+    """Per-host sitemap coverage audit (sitemap.sitemap_coverage): one
+    full-outer join of deduped crawled-URL and sitemap-loc sides, then a
+    per-host census {n_both, n_crawled_only, n_listed_only} + coverage
+    ratio. Sides synthesized arithmetically: crawled = d%3!=0, listed =
+    d%2==0, host = d%16."""
+    from spider_spark import sitemap as sm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), F.pmod(d, F.lit(16)).cast("string"))
+    u = F.concat(F.lit("u"), d.cast("string"))
+    crawled = docs.where(F.pmod(d, F.lit(3)) != 0).select(
+        host.alias("host"), u.alias("url_canon")
+    )
+    locs = docs.where(F.pmod(d, F.lit(2)) == 0).select(
+        host.alias("host"), u.alias("loc")
+    )
+    return sm.sitemap_coverage(crawled, locs)
+
+
 def q_robots_policy_diff(spark, sf_dir):
     """robots.txt policy drift across a recrawl wave
     (robots.robots_policy_diff): synthesize per-host OLD and NEW robots
@@ -2951,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_collapsed": q_bm25_search_collapsed,
         "postings_vbyte_stats": q_postings_vbyte_stats,
         "robots_policy_diff": q_robots_policy_diff,
+        "sitemap_coverage": q_sitemap_coverage,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5336,6 +5358,40 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "sitemap_coverage": """
+            WITH c AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                     'u' || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 3 <> 0),
+            s AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                     'u' || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 2 = 0),
+            j AS (
+              SELECT COALESCE(c.host, s.host) AS host,
+                     c.u IS NOT NULL AS ic, s.u IS NOT NULL AS im
+              FROM c FULL OUTER JOIN s
+                ON c.host = s.host AND c.u = s.u),
+            agg AS (
+              SELECT host,
+                     CAST(SUM(CASE WHEN im THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_listed,
+                     CAST(SUM(CASE WHEN ic THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_crawled,
+                     CAST(SUM(CASE WHEN ic AND im THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_both,
+                     CAST(SUM(CASE WHEN ic AND NOT im THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_crawled_only,
+                     CAST(SUM(CASE WHEN im AND NOT ic THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_listed_only
+              FROM j GROUP BY host)
+            SELECT host, n_listed, n_crawled, n_both, n_crawled_only,
+                   n_listed_only,
+                   CASE WHEN n_listed > 0
+                        THEN round(CAST(n_both AS DOUBLE) / n_listed, 6)
+                   END AS coverage_r
+            FROM agg
         """,
         "robots_policy_diff": """
             SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,

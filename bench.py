@@ -246,6 +246,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_search_collapsed",
         "postings_vbyte_stats",
         "robots_policy_diff",
+        "sitemap_coverage",
     ]
     out = {}
     for name in names:

@@ -180,6 +180,73 @@ def revalidation_candidates(
     )
 
 
+def sitemap_coverage(
+    crawled: DataFrame,
+    sitemap_locs: DataFrame,
+    url_col: str = "url_canon",
+    loc_col: str = "loc",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host sitemap coverage audit — the crawl-completeness report a
+    site owner and a crawl operator both read: of each host's URL
+    universe, how much was (a) listed in the sitemap AND crawled,
+    (b) crawled but never listed (discovered organically — the sitemap
+    is stale or partial), (c) listed but never crawled (frontier gap:
+    budget, robots, traps, or depth cut it off).
+
+    Inputs: ``crawled`` (host, url) — e.g. the latest_capture snapshot
+    projected — and ``sitemap_locs`` (host, loc) with locs already
+    canonicalized the same way as crawl URLs (the caller owns
+    canonicalization so both sides agree byte-for-byte). Both sides are
+    deduped here, so re-listed or re-crawled URLs cannot double-count.
+
+    Physical shape: ONE full-outer equi-join on the URL key after
+    per-side distinct — shuffle keyed on (host, url), co-located and
+    shuffle-free when both snapshots are bucketed by the key (the
+    ``snapshot_diff`` discipline); the rollup is a partial-agg census
+    per host. Returns (host, n_listed, n_crawled, n_both, n_crawled_only,
+    n_listed_only, coverage_r) where coverage_r = n_both / n_listed
+    rounded to 6 (null when the host has no sitemap entries).
+    """
+    c = crawled.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).distinct().withColumn("in_crawl", F.lit(1))
+    s = sitemap_locs.select(
+        F.col(host_col).alias("host"), F.col(loc_col).alias("u")
+    ).distinct().withColumn("in_map", F.lit(1))
+    both = c.join(s, ["host", "u"], "full_outer")
+    return (
+        both.groupBy("host")
+        .agg(
+            F.sum(F.coalesce(F.col("in_map"), F.lit(0))).alias("n_listed"),
+            F.sum(F.coalesce(F.col("in_crawl"), F.lit(0))).alias("n_crawled"),
+            F.sum(
+                F.when(
+                    F.col("in_map").isNotNull() & F.col("in_crawl").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_both"),
+            F.sum(
+                F.when(
+                    F.col("in_crawl").isNotNull() & F.col("in_map").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_crawled_only"),
+            F.sum(
+                F.when(
+                    F.col("in_map").isNotNull() & F.col("in_crawl").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_listed_only"),
+        )
+        .withColumn(
+            "coverage_r",
+            F.when(
+                F.col("n_listed") > 0,
+                F.round(F.col("n_both") / F.col("n_listed"), 6),
+            ),
+        )
+    )
+
+
 def xml_escape(c: Column) -> Column:
     """Encode the 5 predefined XML entities — the exact inverse of
     ``xml_unescape``: ``&`` is encoded FIRST so later replacements never
