@@ -2229,6 +2229,22 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_trending_event_types(spark, sf_dir):
+    """Windowed trend detection (operators/trends.trending_terms):
+    tumbling 60-min counts per event_type + adjacent-window lift (lift
+    null across gaps/cold starts — a term absent from the immediately
+    preceding window restarts). UTC-pinned like events_hourly_rollup.
+    Streaming twin: streaming.stream_trending_terms (same counts
+    semantics, asserted in tests/test_trends.py)."""
+    from spider_spark.operators import trends
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return trends.trending_terms(
+        ev, ts_col="ts", window_minutes=60, term_col="event_type"
+    )
+
+
 def q_sitemap_coverage(spark, sf_dir):
     """Per-host sitemap coverage audit (sitemap.sitemap_coverage): one
     full-outer join of deduped crawled-URL and sitemap-loc sides, then a
@@ -2973,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_vbyte_stats": q_postings_vbyte_stats,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
+        "trending_event_types": q_trending_event_types,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5358,6 +5375,25 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "trending_event_types": """
+            WITH counts AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '60 minutes', ts))
+                       AS BIGINT) AS window_start_epoch,
+                     event_type AS term, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            lifted AS (
+              SELECT window_start_epoch, term, n,
+                     CASE WHEN lag(window_start_epoch) OVER w
+                               = window_start_epoch - 3600
+                          THEN lag(n) OVER w END AS prev_n
+              FROM counts
+              WINDOW w AS (PARTITION BY term ORDER BY window_start_epoch))
+            SELECT window_start_epoch, term, n, prev_n,
+                   CASE WHEN prev_n IS NOT NULL
+                        THEN round(CAST(n AS DOUBLE) / prev_n, 6)
+                   END AS lift_r
+            FROM lifted
         """,
         "sitemap_coverage": """
             WITH c AS (

@@ -247,6 +247,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "postings_vbyte_stats",
         "robots_policy_diff",
         "sitemap_coverage",
+        "trending_event_types",
     ]
     out = {}
     for name in names:

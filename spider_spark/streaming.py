@@ -63,6 +63,37 @@ def stream_metrics(pages: DataFrame, window: str = "1 minute", watermark: str = 
     )
 
 
+def stream_trending_terms(
+    pages: DataFrame,
+    window: str = "60 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window term counts over the streamed pages'
+    extracted text — the streaming half of ``operators.trends``: emits
+    (window_start_epoch, term, n) with IDENTICAL semantics to the batch
+    ``trends.term_window_counts`` over the same rows (asserted in
+    tests), so the lift/burst step (``trends.trending_terms``) runs as a
+    batch job over the sink — adjacent-window lift needs the previous
+    window CLOSED, which is exactly what the watermark guarantees by the
+    time the row is in the sink. Late rows past the watermark drop."""
+    from spider_spark.operators.trends import col_index_tokens
+
+    extracted = stream_extract(pages)
+    terms = extracted.select(
+        "warc_ts", F.explode(col_index_tokens("text")).alias("term")
+    )
+    return (
+        terms.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("_w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_start_epoch"),
+            "term",
+            "n",
+        )
+    )
+
+
 def stream_first_seen(links: DataFrame, num_shards: int = 32) -> DataFrame:
     """Stateful streaming URL-seen filter: emit each canonical URL exactly
     once across all micro-batches (``applyInPandasWithState``), sharded by
