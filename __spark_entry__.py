@@ -2229,6 +2229,28 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_percolate_alerts(spark, sf_dir):
+    """Prospective search (index.percolate): 5 standing conjunctive
+    queries matched against the documents batch — distinct-term set
+    semantics both sides, term-keyed join (query legs broadcast-sized),
+    conjunction = one partial-agg census equality. The oracle restates
+    the match with a VALUES query registry."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [
+            (0, "table part"),
+            (1, "fast scan"),
+            (2, "merge"),
+            (3, "big data"),
+            (4, "slow join"),
+        ],
+        "query_id long, query string",
+    )
+    return index_ops.percolate(docs, qdf)
+
+
 def q_trending_event_types(spark, sf_dir):
     """Windowed trend detection (operators/trends.trending_terms):
     tumbling 60-min counts per event_type + adjacent-window lift (lift
@@ -2990,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
+        "percolate_alerts": q_percolate_alerts,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5375,6 +5398,31 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "percolate_alerts": """
+            WITH q(query_id, query) AS (
+              VALUES (0, 'table part'), (1, 'fast scan'), (2, 'merge'),
+                     (3, 'big data'), (4, 'slow join')),
+            qt AS (
+              SELECT query_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       lower(query), '([a-z0-9]+)', 1))) AS term
+              FROM q),
+            qn AS (SELECT query_id, count(*) AS q_n FROM qt GROUP BY 1),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents),
+            dt AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+            c AS (
+              SELECT dt.doc_id, qt.query_id, count(*) AS n_terms
+              FROM dt JOIN qt USING (term)
+              GROUP BY 1, 2)
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(c.query_id AS BIGINT) AS query_id, c.n_terms
+            FROM c JOIN qn USING (query_id)
+            WHERE c.n_terms = qn.q_n
         """,
         "trending_event_types": """
             WITH counts AS (

@@ -248,6 +248,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",
+        "percolate_alerts",
     ]
     out = {}
     for name in names:

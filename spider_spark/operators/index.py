@@ -441,6 +441,52 @@ def phrase_search(
     return anchored.groupBy("doc_id").agg(F.count(F.lit(1)).alias("matches"))
 
 
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Prospective search (the Elasticsearch-percolator / Google-Alerts
+    shape, inverted from retrieval): a table of STANDING queries is
+    matched against each incoming document batch — every crawl tick's
+    fresh pages flow through once and alert on every conjunctive
+    (all-terms-present) query they satisfy. Returns (doc_id, query_id,
+    n_terms) — one row per (document, matched query).
+
+    Physical shape, 100 TB first: queries are tokenized to DISTINCT
+    (term, query_id, n_terms) legs — a registry of thousands of rows,
+    broadcast-sized next to the doc batch. Docs reduce to distinct
+    (doc_id, term) pairs (set semantics — term multiplicity cannot
+    double-count a conjunction), the term-keyed join broadcasts the
+    query legs under AQE, and the conjunction check is one partial-agg
+    census: count matched distinct terms per (doc, query) == the
+    query's term count. Shuffle ∝ (doc, query-term) matches only; docs
+    whose terms touch no standing query never leave the map side. A
+    disjunctive (any-term) percolator is the same plan without the
+    final equality filter."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.array_distinct(col_index_tokens(query_col)).alias("_qt"),
+    ).where(F.size("_qt") > 0)
+    q_legs = q.select(
+        "query_id", F.size("_qt").alias("q_n"), F.explode("_qt").alias("term")
+    )
+    d_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(col_index_tokens(text_col))).alias("term"),
+    )
+    return (
+        d_terms.join(q_legs, "term")
+        .groupBy("doc_id", "query_id", "q_n")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .where(F.col("n_terms") == F.col("q_n"))
+        .select("doc_id", "query_id", "n_terms")
+    )
+
+
 def vocab_kgrams(vocab: DataFrame, k: int = 2) -> Column:
     """Distinct character k-grams of the ``term`` column (terms shorter
     than k contribute themselves) — the k-gram index key of IIR §3.3.4."""
