@@ -2229,6 +2229,27 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization
+    (similarity.quantize_embeddings_int8): scale = max|x|/127, q =
+    clamp(floor(x/scale + 0.5), ±127) — the round-half-up spelling both
+    engines compute identically in double. qvec is emitted
+    comma-joined so the value compare is representation-stable."""
+    from spider_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = sim.quantize_embeddings_int8(emb)
+    return qz.select(
+        "vec_id",
+        "dim",
+        "scale_r",
+        F.array_join(
+            F.transform("qvec", lambda v: v.cast("string")), ","
+        ).alias("qvec_s"),
+        "max_abs_err_r",
+    )
+
+
 def q_percolate_alerts(spark, sf_dir):
     """Prospective search (index.percolate): 5 standing conjunctive
     queries matched against the documents batch — distinct-term set
@@ -3013,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
         "percolate_alerts": q_percolate_alerts,
+        "quantize_embeddings_int8": q_quantize_embeddings_int8,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5398,6 +5420,32 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "quantize_embeddings_int8": """
+            WITH x AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))) AS amax
+              FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   round(amax / 127.0, 6) AS scale_r,
+                   CASE WHEN amax > 0 THEN
+                     array_to_string(list_transform(embedding, v ->
+                       CAST(CAST(greatest(-127.0, least(127.0,
+                         floor(CAST(v AS DOUBLE) / (amax / 127.0) + 0.5)))
+                         AS INT) AS VARCHAR)), ',')
+                   ELSE array_to_string(
+                     list_transform(embedding, v -> '0'), ',') END AS qvec_s,
+                   CASE WHEN amax > 0 THEN
+                     round(list_max(list_transform(embedding, v ->
+                       abs(CAST(v AS DOUBLE)
+                           - greatest(-127.0, least(127.0,
+                               floor(CAST(v AS DOUBLE) / (amax / 127.0)
+                                     + 0.5)))
+                             * (amax / 127.0)))), 6)
+                   WHEN amax IS NOT NULL THEN 0.0 END AS max_abs_err_r
+            FROM x
         """,
         "percolate_alerts": """
             WITH q(query_id, query) AS (

@@ -249,6 +249,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "sitemap_coverage",
         "trending_event_types",
         "percolate_alerts",
+        "quantize_embeddings_int8",
     ]
     out = {}
     for name in names:

@@ -560,3 +560,44 @@ def kmeans_lloyd(
     return vecs.sparkSession.createDataFrame(
         out, "cent_id long, dim int, value_r double"
     )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× embedding-storage
+    cut every vector store applies before ANN at scale (float32 → int8 +
+    one float scale per vector): scale = max|x|/127, q_i = clamp(
+    floor(x_i/scale + 0.5), −127, 127). The rounding is spelled
+    ``floor(v + 0.5)`` (round-half-up) rather than ``round()`` because
+    engines disagree on half-away vs half-even for doubles — this exact
+    formula is reproducible everywhere, and the oracle restates it.
+
+    Pure projection — map-only at any corpus size, no Python, no shuffle;
+    all arithmetic in double (float32 inputs widened once) so two engines
+    agree bit-for-bit. An all-zero vector quantizes to zeros with scale 0;
+    a null vector passes through as nulls. Returns (vec_id, dim, scale_r,
+    qvec array<int>, max_abs_err_r) — max_abs_err_r is the per-vector
+    reconstruction sup-error |x − q·scale|, the quality ledger for the
+    compression decision; it is bounded by scale/2."""
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    s = amax / F.lit(127.0)
+    q_of = lambda v: F.greatest(
+        F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / s + F.lit(0.5)).cast("double"))
+    )
+    qvec = F.when(amax > 0, F.transform(xd, lambda v: q_of(v).cast("int"))).otherwise(
+        F.transform(xd, lambda v: F.lit(0))
+    )
+    err = F.when(amax > 0, F.array_max(
+        F.transform(xd, lambda v: F.abs(v - q_of(v) * s))
+    )).otherwise(F.when(amax.isNotNull(), F.lit(0.0)))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(xd).alias("dim"),
+        F.round(s, 6).alias("scale_r"),
+        qvec.alias("qvec"),
+        F.round(err, 6).alias("max_abs_err_r"),
+    )
