@@ -2229,6 +2229,36 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_hreflang_reciprocity(spark, sf_dir):
+    """hreflang audit (metarobots.hreflang_reciprocity): synthesize
+    per-doc link tags arithmetically — every doc declares its pair
+    partner (reciprocal by construction), every d%5==0 doc also declares
+    a dangling alternate (never reciprocated). Extraction regexes +
+    the edge-reversal join are all differential vs the arithmetic."""
+    from spider_spark import metarobots as mr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    partner = F.when(F.pmod(d, F.lit(2)) == 0, d + 1).otherwise(d - 1)
+    html = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="u'),
+        partner.cast("string"),
+        F.lit('">'),
+        F.when(
+            F.pmod(d, F.lit(5)) == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="fr" href="x'),
+                d.cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"), html.alias("html")
+    )
+    return mr.hreflang_reciprocity(pages)
+
+
 def q_quantize_embeddings_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization
     (similarity.quantize_embeddings_int8): scale = max|x|/127, q =
@@ -3035,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_event_types": q_trending_event_types,
         "percolate_alerts": q_percolate_alerts,
         "quantize_embeddings_int8": q_quantize_embeddings_int8,
+        "hreflang_reciprocity": q_hreflang_reciprocity,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5420,6 +5451,20 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "hreflang_reciprocity": """
+            WITH base AS (SELECT doc_id AS d FROM documents),
+            edges AS (
+              SELECT 'u' || CAST(d AS VARCHAR) AS src, 'en' AS lang,
+                     'u' || CAST(CASE WHEN d % 2 = 0 THEN d + 1
+                                      ELSE d - 1 END AS VARCHAR) AS dst,
+                     true AS reciprocal
+              FROM base
+              UNION ALL
+              SELECT 'u' || CAST(d AS VARCHAR), 'fr',
+                     'x' || CAST(d AS VARCHAR), false
+              FROM base WHERE d % 5 = 0)
+            SELECT src, lang, dst, reciprocal FROM edges
         """,
         "quantize_embeddings_int8": """
             WITH x AS (

@@ -250,6 +250,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "trending_event_types",
         "percolate_alerts",
         "quantize_embeddings_int8",
+        "hreflang_reciprocity",
     ]
     out = {}
     for name in names:

@@ -147,3 +147,74 @@ def col_meta_refresh(html: Column | str) -> Column:
     )
     url = F.nullif(F.regexp_extract(content, _REFRESH_URL_RE, 1), F.lit(""))
     return F.struct(delay.alias("delay"), url.alias("url"))
+
+
+# --- hreflang alternates (international-SEO language clusters) -------------
+
+_REL_ALTERNATE_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\balternate\\b"
+_HREFLANG_DQ_RE = "(?i)\\bhreflang\\s*=\\s*\"([^\"]*)\""
+_HREFLANG_SQ_RE = "(?i)\\bhreflang\\s*=\\s*'([^']*)'"
+_HREFLANG_UQ_RE = "(?i)\\bhreflang\\s*=\\s*([^\\s\"'>]+)"
+
+
+def col_hreflang_links(html: Column | str) -> Column:
+    """html → array<struct<lang, href>> of every
+    ``<link rel=alternate hreflang=...>`` in document order — the
+    language-variant declarations that group a page with its
+    translations (Google's hreflang contract). Lang is lowercased
+    (BCP 47 tags are case-insensitive); hrefs are raw like
+    ``col_canonical_href``. Tags missing either attribute are dropped.
+    Pure codegen: one tag scan + per-tag attr extracts."""
+    h = F.col(html) if isinstance(html, str) else html
+    tags = F.regexp_extract_all(
+        F.coalesce(h, F.lit("")), F.lit(_LINK_TAG_RE), F.lit(0)
+    )
+    alts = F.filter(tags, lambda t: t.rlike(_REL_ALTERNATE_RE))
+    pairs = F.transform(
+        alts,
+        lambda t: F.struct(
+            F.lower(
+                _first_attr(t, _HREFLANG_DQ_RE, _HREFLANG_SQ_RE, _HREFLANG_UQ_RE)
+            ).alias("lang"),
+            _first_attr(t, _HREF_DQ_RE, _HREF_SQ_RE, _HREF_UQ_RE).alias("href"),
+        ),
+    )
+    return F.filter(
+        pairs, lambda p: p["lang"].isNotNull() & p["href"].isNotNull()
+    )
+
+
+def hreflang_reciprocity(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The hreflang audit every international crawl runs: extract all
+    (src, lang, dst) alternate declarations and flag whether each is
+    RECIPROCATED (some declaration on dst points back at src — Google
+    ignores non-reciprocal hreflang, so these rows are the broken ones
+    to report). Self-referencing declarations (src == dst, the
+    recommended practice) are trivially reciprocal.
+
+    Physical shape: one codegen extraction pass → explode; reciprocity
+    is one left-semi-shaped join of the edge set against its own
+    reversal on the (src, dst) pair key — shuffle ∝ declared edges
+    (pages declare a handful of alternates each), never pages².
+    Returns (src, lang, dst, reciprocal)."""
+    h = F.col(html_col)
+    edges = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(col_hreflang_links(h)).alias("e"),
+    ).select("src", F.col("e.lang").alias("lang"), F.col("e.href").alias("dst"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).distinct().withColumn("_back", F.lit(1))
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "lang",
+            "dst",
+            (F.col("_back").isNotNull() | (F.col("src") == F.col("dst"))).alias(
+                "reciprocal"
+            ),
+        )
+    )
