@@ -2229,6 +2229,28 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_politeness_compliance(spark, sf_dir):
+    """Rate-limit compliance audit (adaptive.politeness_compliance):
+    events bucketed to 8 pseudo-hosts, per-host lag gaps in epoch ms vs
+    a VALUES delay table (h0..h7 declare (i%4+1)*500 ms). UTC-pinned.
+    The oracle restates the lag census with epoch_ms."""
+    from spider_spark.operators import adaptive as ad
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("user_id"), F.lit(8)).cast("string")
+        ).alias("host"),
+        F.col("ts"),
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}", (i % 4 + 1) * 500) for i in range(8)],
+        "host string, crawl_delay_ms int",
+    )
+    return ad.politeness_compliance(fetches, delays)
+
+
 def q_hreflang_reciprocity(spark, sf_dir):
     """hreflang audit (metarobots.hreflang_reciprocity): synthesize
     per-doc link tags arithmetically — every doc declares its pair
@@ -3066,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_alerts": q_percolate_alerts,
         "quantize_embeddings_int8": q_quantize_embeddings_int8,
         "hreflang_reciprocity": q_hreflang_reciprocity,
+        "politeness_compliance": q_politeness_compliance,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5451,6 +5474,31 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "politeness_compliance": """
+            WITH f AS (
+              SELECT 'h' || CAST(user_id % 8 AS VARCHAR) AS host,
+                     epoch_ms(ts) AS ms
+              FROM events),
+            g AS (
+              SELECT host, ms,
+                     ms - lag(ms) OVER (PARTITION BY host ORDER BY ms)
+                       AS gap
+              FROM f),
+            d(host, crawl_delay_ms) AS (
+              VALUES ('h0', 500), ('h1', 1000), ('h2', 1500), ('h3', 2000),
+                     ('h4', 500), ('h5', 1000), ('h6', 1500), ('h7', 2000)),
+            agg AS (
+              SELECT g.host, d.crawl_delay_ms,
+                     count(*) AS n_fetches,
+                     min(gap) AS min_gap_ms,
+                     CAST(SUM(CASE WHEN gap < d.crawl_delay_ms THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_violations
+              FROM g LEFT JOIN d USING (host)
+              GROUP BY g.host, d.crawl_delay_ms)
+            SELECT host, n_fetches, min_gap_ms, crawl_delay_ms, n_violations,
+                   n_violations = 0 AS compliant
+            FROM agg
         """,
         "hreflang_reciprocity": """
             WITH base AS (SELECT doc_id AS d FROM documents),

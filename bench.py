@@ -251,6 +251,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "percolate_alerts",
         "quantize_embeddings_int8",
         "hreflang_reciprocity",
+        "politeness_compliance",
     ]
     out = {}
     for name in names:

@@ -144,3 +144,61 @@ def adaptive_host_budgets(
         "host", "n_ticks", "total_fetches", "total_errors",
         fold.cast("int").alias("next_budget"),
     )
+
+
+def politeness_compliance(
+    fetches: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    delay_col: str = "crawl_delay_ms",
+) -> DataFrame:
+    """Rate-limit compliance audit — the report a crawl operator hands a
+    webmaster: for every host, did consecutive fetches respect the
+    declared Crawl-delay? Input: a fetch log (host, ts) — e.g. the
+    results ledger joined to its tick commit times — and a per-host
+    delay table (robots.rules_from_bodies output). Hosts with no
+    declared delay are compliant by definition (null min_gap comparison
+    never fires); single-fetch hosts have null min_gap_ms and are
+    compliant.
+
+    Physical shape: consecutive gaps need a per-host lag window — rows
+    per host are the host's OWN fetch count, which politeness already
+    bounds at budget×ticks (the crawl enforces what this audits), so the
+    window is structurally bounded; the delay join is per-host rows,
+    broadcast-sized. One partial-agg census after the lag. Returns
+    (host, n_fetches, min_gap_ms, crawl_delay_ms, n_violations,
+    compliant) with gaps in epoch milliseconds."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("_ms")
+    # cast through TIMESTAMP: NTZ inputs (parquet without tz) don't take
+    # unix_micros directly; gaps are differences, so any tz offset cancels
+    gaps = fetches.select(
+        F.col(host_col).alias("host"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1000)
+        .cast("long")
+        .alias("_ms"),
+    ).withColumn("_gap", F.col("_ms") - F.lag("_ms").over(w))
+    d = delays.select(
+        F.col(host_col).alias("host"), F.col(delay_col).alias("crawl_delay_ms")
+    )
+    return (
+        gaps.join(d, "host", "left")
+        .groupBy("host", "crawl_delay_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.min("_gap").alias("min_gap_ms"),
+            F.sum(
+                F.when(F.col("_gap") < F.col("crawl_delay_ms"), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+        .select(
+            "host",
+            "n_fetches",
+            "min_gap_ms",
+            "crawl_delay_ms",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("compliant"),
+        )
+    )
