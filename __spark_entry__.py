@@ -2229,6 +2229,16 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_readability_flesch(spark, sf_dir):
+    """Flesch Reading Ease (textqc.readability_scores): vowel-group
+    syllable heuristic, terminator-run sentence count, FRE rounded to 6.
+    The oracle restates all three regex censuses with list_transform."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.readability_scores(docs)
+
+
 def q_politeness_compliance(spark, sf_dir):
     """Rate-limit compliance audit (adaptive.politeness_compliance):
     events bucketed to 8 pseudo-hosts, per-host lag gaps in epoch ms vs
@@ -3089,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings_int8": q_quantize_embeddings_int8,
         "hreflang_reciprocity": q_hreflang_reciprocity,
         "politeness_compliance": q_politeness_compliance,
+        "readability_flesch": q_readability_flesch,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5474,6 +5485,33 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "readability_flesch": """
+            WITH x AS (
+              SELECT doc_id, lower(coalesce(text, '')) AS c FROM documents),
+            w AS (
+              SELECT doc_id,
+                     regexp_extract_all(c, '([a-z]+)', 1) AS words,
+                     greatest(1, len(regexp_extract_all(c, '([.!?]+)', 1)))
+                       AS sent
+              FROM x),
+            s AS (
+              SELECT doc_id, words, sent,
+                     CAST(coalesce(list_sum(list_transform(words, t ->
+                       greatest(1, len(regexp_extract_all(t,
+                         '([aeiouy]+)', 1))))), 0) AS BIGINT) AS syl
+              FROM w)
+            SELECT doc_id,
+                   CAST(len(words) AS INT) AS n_words,
+                   CASE WHEN len(words) > 0 THEN CAST(sent AS INT)
+                        ELSE 0 END AS n_sentences,
+                   CASE WHEN len(words) > 0 THEN CAST(syl AS INT)
+                        ELSE 0 END AS n_syllables,
+                   CASE WHEN len(words) > 0 THEN
+                     round(206.835 - 1.015 * (len(words) / sent)
+                           - 84.6 * (syl / len(words)), 6)
+                   END AS flesch_r
+            FROM s
         """,
         "politeness_compliance": """
             WITH f AS (

@@ -252,6 +252,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "quantize_embeddings_int8",
         "hreflang_reciprocity",
         "politeness_compliance",
+        "readability_flesch",
     ]
     out = {}
     for name in names:
