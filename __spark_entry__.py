@@ -2229,6 +2229,16 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """Adjacent-bigram PMI collocations (textqc.collocations_pmi,
+    Church & Hanks 1990), min_count=5. The oracle restates the bigram
+    zip, both censuses, and the PMI formula."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.collocations_pmi(docs, min_count=5)
+
+
 def q_readability_flesch(spark, sf_dir):
     """Flesch Reading Ease (textqc.readability_scores): vowel-group
     syllable heuristic, terminator-run sentence count, FRE rounded to 6.
@@ -3100,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_reciprocity": q_hreflang_reciprocity,
         "politeness_compliance": q_politeness_compliance,
         "readability_flesch": q_readability_flesch,
+        "collocations_pmi": q_collocations_pmi,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5485,6 +5496,31 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "collocations_pmi": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                        '([a-z0-9]+)', 1) AS t
+              FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(t)), i ->
+                       struct_pack(w1 := t[CAST(i AS INT)],
+                                   w2 := t[CAST(i AS INT) + 1]))) AS p
+              FROM toks WHERE len(t) >= 2),
+            bgf AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM bg),
+            big AS (
+              SELECT w1, w2, count(*) AS c12 FROM bgf
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            unic AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM bgf) AS nb,
+                           (SELECT count(*) FROM uni) AS nu)
+            SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+                   round(ln((b.c12 / t.nb)
+                            / ((u1.c / t.nu) * (u2.c / t.nu))), 6) AS pmi_r
+            FROM big b
+            JOIN unic u1 ON u1.w = b.w1
+            JOIN unic u2 ON u2.w = b.w2, tot t
         """,
         "readability_flesch": """
             WITH x AS (

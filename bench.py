@@ -253,6 +253,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "hreflang_reciprocity",
         "politeness_compliance",
         "readability_flesch",
+        "collocations_pmi",
     ]
     out = {}
     for name in names:

@@ -636,3 +636,83 @@ def readability_scores(
         F.when(n_words > 0, syl).otherwise(F.lit(0)).alias("n_syllables"),
         fre.alias("flesch_r"),
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the corpus-linguistics census that surfaces
+    multiword units ("new york", "machine learning") for phrase-aware
+    tokenization and boilerplate spotting.
+
+    Spec: tokens are the index tokenizer's [a-z0-9] runs; bigrams are
+    ADJACENT token pairs within a document (never across documents);
+    PMI = ln( (c12/Nb) / ((c1/Nu)·(c2/Nu)) ) with Nb = total bigram
+    occurrences and Nu = total token occurrences corpus-wide, rounded
+    to 6. ``min_count`` floors c12 — PMI is famously unstable on
+    hapaxes, and the floor also caps the output size.
+
+    Physical shape, 100 TB first: the bigram census is one partial-agg
+    shuffle keyed on (w1, w2), bounded by DISTINCT adjacent pairs (not
+    token occurrences — map-side combine eats the repetition); the
+    unigram census is vocabulary-sized; each rides a broadcast-able
+    equi-join back onto the filtered bigram table, and both corpus
+    totals ride the 1-row constant-key BroadcastHashJoin
+    (join_scalar_frame). min_count filters BEFORE the unigram joins so
+    only surviving pairs shuffle. Returns (w1, w2, c12, c1, c2, pmi_r).
+    """
+    from . import join_scalar_frame
+    from .index import col_index_tokens
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = docs.select(col_index_tokens(text_col).alias("_t"))
+    n = F.size("_t")
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("_t", 1, n - 1),
+                    F.slice("_t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = join_scalar_frame(
+        bigrams.groupBy().agg(F.count(F.lit(1)).alias("nb")),
+        uni.groupBy().agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nu")),
+    )
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    return join_scalar_frame(joined, totals).select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        F.round(
+            F.log(
+                (F.col("c12") / F.col("nb"))
+                / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+            ),
+            6,
+        ).alias("pmi_r"),
+    )
