@@ -2229,6 +2229,30 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_dhash_near_dups(spark, sf_dir):
+    """Perceptual-hash image near-dup (phash.dhash_near_dups): 18×16
+    grayscale images synthesized arithmetically — pixel(p) = (p·s + k)
+    mod 256 with content key k = doc_id DIV 2 (every even/odd pair is an
+    exact perceptual dup) and gradient step s = k%13+1. max_dist=4 is
+    the pigeonhole-complete band regime, so the engine's banded result
+    must equal the oracle's BRUTE-FORCE all-pairs Hamming filter."""
+    from spider_spark.operators import phash
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.expr("doc_id DIV 2")
+    s = F.pmod(k, F.lit(13)) + 1
+    imgs = docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.lit(18).alias("width"),
+        F.lit(16).alias("height"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(287)),
+            lambda p: F.pmod(p * s + k, F.lit(256)),
+        ).alias("pixels"),
+    )
+    return phash.dhash_near_dups(imgs, max_dist=4)
+
+
 def q_collocations_pmi(spark, sf_dir):
     """Adjacent-bigram PMI collocations (textqc.collocations_pmi,
     Church & Hanks 1990), min_count=5. The oracle restates the bigram
@@ -3111,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_compliance": q_politeness_compliance,
         "readability_flesch": q_readability_flesch,
         "collocations_pmi": q_collocations_pmi,
+        "dhash_near_dups": q_dhash_near_dups,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5496,6 +5521,29 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "dhash_near_dups": """
+            WITH imgs AS (
+              SELECT doc_id AS img_id, doc_id // 2 AS k FROM documents),
+            px AS (
+              SELECT img_id,
+                     list_transform(range(0, 288), p ->
+                       (p * (k % 13 + 1) + k) % 256) AS v
+              FROM imgs),
+            bits AS (
+              SELECT img_id, list_transform(range(0, 64), t ->
+                CASE WHEN v[CAST((t // 8) * 2 * 18 + (t % 8) * 2 AS INT) + 1]
+                        > v[CAST((t // 8) * 2 * 18 + ((t % 8) + 1) * 2
+                            AS INT) + 1]
+                     THEN 1 ELSE 0 END) AS b
+              FROM px),
+            pairs AS (
+              SELECT x.img_id AS id_a, y.img_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, 65), i ->
+                       CASE WHEN x.b[CAST(i AS INT)] <> y.b[CAST(i AS INT)]
+                            THEN 1 ELSE 0 END)) AS INT) AS hamming
+              FROM bits x JOIN bits y ON x.img_id < y.img_id)
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
         """,
         "collocations_pmi": """
             WITH toks AS (

@@ -254,6 +254,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "politeness_compliance",
         "readability_flesch",
         "collocations_pmi",
+        "dhash_near_dups",
     ]
     out = {}
     for name in names:
