@@ -132,3 +132,47 @@ def dhash_near_dups(
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_dist)
     )
+
+
+def grayscale_from_ppm(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Codec-composition seam: decode netpbm P6 payloads with the repo's
+    real parser (``multimodal.decode_ppm``) and emit the (img_id, width,
+    height, pixels) frame ``dhash_images`` consumes. Grayscale is integer
+    luma (r+g+b)//3 — exact on every engine, no float rounding. One
+    Arrow-batched mapInPandas pass; images that fail to decode are
+    dropped (the decode-error ledger lives with the codec operators)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import decode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr = decode_ppm(bytes(payload))
+                except Exception:
+                    continue
+                gray = (
+                    arr[:, :, 0].astype(np.int64)
+                    + arr[:, :, 1]
+                    + arr[:, :, 2]
+                ) // 3
+                ids.append(int(i))
+                hs.append(gray.shape[0])
+                ws.append(gray.shape[1])
+                pxs.append(gray.reshape(-1).astype("int32").tolist())
+            yield pd.DataFrame(
+                {"img_id": ids, "width": ws, "height": hs, "pixels": pxs}
+            )
+
+    return media.mapInPandas(
+        run, "img_id long, width int, height int, pixels array<int>"
+    )

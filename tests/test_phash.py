@@ -106,3 +106,29 @@ def test_rejects_out_of_band_max_dist(spark):
     with pytest.raises(ValueError):
         # beyond the 8-band pigeonhole guarantee: refused, not incomplete
         phash.dhash_near_dups(_images(spark, []), max_dist=8)
+
+
+def test_real_codec_integration(spark):
+    """PPM payloads decoded by the real parser -> grayscale -> dHash
+    matches a numpy reference on the same decoded arrays."""
+    import numpy as np
+
+    from spider_spark.operators import multimodal as mm
+
+    media = mm.generate_ppm_images(spark, 12)
+    gray = phash.grayscale_from_ppm(media)
+    got = {
+        r["img_id"]: r["dh"]
+        for r in phash.dhash_images(gray).collect()
+    }
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for i, payload in raw.items():
+        arr = mm.decode_ppm(payload)
+        g = (
+            arr[:, :, 0].astype(np.int64) + arr[:, :, 1] + arr[:, :, 2]
+        ) // 3
+        h, w = g.shape
+        want = (
+            _brute_dhash(g.reshape(-1).tolist(), w, h) if w >= 9 and h >= 8 else None
+        )
+        assert got[i] == want, i
