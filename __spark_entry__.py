@@ -2229,6 +2229,16 @@ def q_query_snippets(spark, sf_dir):
     return snips.withColumn("start", F.col("start").cast("long"))
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS over the top-30 vocabulary
+    (textqc.zipf_fit): ranking via TakeOrdered + a <=k-row window, one
+    closed-form regression row. The oracle restates the ln-ln OLS."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.zipf_fit(docs, k=30)
+
+
 def q_dhash_near_dups(spark, sf_dir):
     """Perceptual-hash image near-dup (phash.dhash_near_dups): 18×16
     grayscale images synthesized arithmetically — pixel(p) = (p·s + k)
@@ -3136,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_flesch": q_readability_flesch,
         "collocations_pmi": q_collocations_pmi,
         "dhash_near_dups": q_dhash_near_dups,
+        "zipf_fit": q_zipf_fit,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
         "session_stats_30min": q_session_stats,
@@ -5521,6 +5532,39 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
                                         doc_id ASC) AS rank
               FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "zipf_fit": """
+            WITH uni AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '([a-z0-9]+)', 1)) AS w
+              FROM documents),
+            census AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+            topk AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+              FROM census ORDER BY c DESC, w ASC LIMIT 30),
+            xy AS (
+              SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM topk),
+            agg AS (
+              SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM xy)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+                     round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   END AS slope_r,
+                   CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+                     round((sy - ((n * sxy - sx * sy)
+                                  / (n * sxx - sx * sx)) * sx) / n, 6)
+                   END AS intercept_r,
+                   CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0 THEN
+                     round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   END AS r2_r
+            FROM agg
         """,
         "dhash_near_dups": """
             WITH imgs AS (

@@ -255,6 +255,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "readability_flesch",
         "collocations_pmi",
         "dhash_near_dups",
+        "zipf_fit",
     ]
     out = {}
     for name in names:

@@ -716,3 +716,67 @@ def collocations_pmi(
             6,
         ).alias("pmi_r"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit over the top-``k`` vocabulary — the
+    corpus-health one-liner (Zipf 1949): natural text fits ln(freq) ≈
+    intercept + slope·ln(rank) with slope ≈ −1; synthetic, templated, or
+    spam-heavy corpora bend away from it, so (slope, r²) is a cheap
+    whole-corpus drift alarm next to the per-doc QC rules.
+
+    Spec: ranks are 1-based over (freq DESC, term ASC); the fit is OLS
+    of y = ln(freq) on x = ln(rank) over the top-k terms only — the
+    head is where Zipf holds and, deliberately, what keeps the ranking
+    distributed-safe: the global order is orderBy().limit(k) →
+    TakeOrderedAndProject (per-partition heaps), and the rank window
+    runs over ≤k survivors, never the full vocabulary. Returns one row
+    (n_terms, slope_r, intercept_r, r2_r), rounded to 6; degenerate
+    fits (fewer than 2 terms, or zero x-variance) yield nulls."""
+    from pyspark.sql import Window
+
+    from .index import col_index_tokens
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    census = (
+        docs.select(F.explode(col_index_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = census.orderBy(F.col("c").desc(), F.col("w").asc()).limit(k)
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    xy = topk.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when((n >= 2) & (dx > 0), cov / dx)
+    return agg.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope_r"),
+        F.round(
+            F.when(slope.isNotNull(), (F.col("sy") - slope * F.col("sx")) / n),
+            6,
+        ).alias("intercept_r"),
+        F.round(
+            F.when(slope.isNotNull() & (dy > 0), (cov * cov) / (dx * dy)),
+            6,
+        ).alias("r2_r"),
+    )

@@ -1,0 +1,91 @@
+"""Zipf rank-frequency fit (textqc.zipf_fit)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from spider_spark.operators import textqc
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _brute(texts, k):
+    c = Counter()
+    for t in texts:
+        c.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    if len(ranked) < 2:
+        return (len(ranked), None, None, None)
+    pts = [
+        (math.log(r + 1), math.log(f)) for r, (_, f) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    syy = sum(p[1] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    dx, dy, cov = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    if dx <= 0:
+        return (n, None, None, None)
+    slope = cov / dx
+    r2 = (cov * cov) / (dx * dy) if dy > 0 else None
+    return (n, round(slope, 6), round((sy - slope * sx) / n, 6),
+            round(r2, 6) if r2 is not None else None)
+
+
+def _run(spark, texts, k=1000):
+    r = textqc.zipf_fit(_docs(spark, texts), k=k).collect()[0]
+    return (r["n_terms"], r["slope_r"], r["intercept_r"], r["r2_r"])
+
+
+def test_perfect_zipf_slope_minus_one(spark):
+    # freq(w_r) = 60/r for ranks 1..5 -> exact slope -1, r2 = 1
+    words = []
+    for r, w in enumerate("aa bb cc dd ee".split(), 1):
+        words += [w] * (60 // r)
+    got = _run(spark, [" ".join(words)])
+    assert got[0] == 5
+    assert abs(got[1] + 1.0) < 1e-4
+    assert abs(got[3] - 1.0) < 1e-6
+
+
+def test_matches_bruteforce(spark):
+    vocab = "the a of to and in is it for on".split()
+    texts, x = [], 21
+    for _ in range(20):
+        ws = []
+        for _ in range(40):
+            x = (x * 1103515245 + 12345) % (2**31)
+            ws.append(vocab[x % len(vocab)] * (1 + x % 2))
+        texts.append(" ".join(ws))
+    want = _brute(texts, 8)
+    got = _run(spark, texts, k=8)
+    assert got[0] == want[0]
+    for i in (1, 2, 3):
+        assert abs(got[i] - want[i]) < 2e-6, i
+
+
+def test_degenerate_single_term(spark):
+    got = _run(spark, ["solo solo solo"])
+    assert got == (1, None, None, None)
+
+
+def test_uniform_frequencies_fit_zero_slope(spark):
+    got = _run(spark, ["aa bb cc dd"])
+    assert got[0] == 4
+    assert abs(got[1]) < 1e-9  # all freq 1 -> flat line
+    assert got[3] is None  # zero y-variance -> r2 undefined
+
+
+def test_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        textqc.zipf_fit(_docs(spark, ["x"]), k=1)
