@@ -726,6 +726,49 @@ def q_main_content(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_wat_extract(spark, sf_dir):
+    """WAT source connector + derivation (Common Crawl's metadata artifact,
+    completing the WARC/WET/WAT trio): pages with analytically-built HTML
+    go through warc.wat_from_html — the engine's reference-parity title
+    and keep-first link extractors feed WAT metadata records (JSON
+    envelopes) which are serialized and parsed back entirely inside
+    executors. The HTML plants a duplicate href so keep-first dedupe is
+    load-bearing, a quoted title so JSON escaping is load-bearing, and
+    relative hrefs so WHATWG resolution against the page URL is
+    load-bearing — the oracle reconstructs all three analytically."""
+    from spider_spark import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.aggregate(
+        F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(4))),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc, F.lit('<a href="/l/'), i.cast("string"), F.lit('">x</a>')
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><title> Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' "q" </title></head><body>'),
+        body,
+        F.lit('<a href="/l/0">dup</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://wat.test/d/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.timestamp_seconds(F.col("doc_id")).alias("warc_ts"),
+        html.alias("html"),
+    )
+    out = warc_mod.wat_from_html(pages, compress=True)
+    return out.select(
+        "url",
+        "title",
+        F.size("links").cast("int").alias("n_links"),
+        F.array_join("links", "|").alias("links_joined"),
+    ).orderBy("url")
+
+
 def q_wet_roundtrip(spark, sf_dir):
     """WET source connector (Common Crawl's extracted-text artifact,
     completing the WARC/CDX/WET trio): conversion records serialized and
@@ -3105,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "bff_paragraph_dedupe": q_bff_paragraph_dedupe,
         "main_content_extract": q_main_content,
+        "wat_extract": q_wat_extract,
         "wet_roundtrip": q_wet_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
         "simhash_deterministic": q_simhash_md5,
@@ -3623,6 +3667,17 @@ def oracle_sql() -> dict[str, str]:
                             WHEN f2 THEN h2
                             ELSE '' END) AS main_md5
             FROM fin
+        """,
+        "wat_extract": """
+            SELECT 'https://wat.test/d/' || doc_id AS url,
+                   'Doc ' || doc_id || ' "q"' AS title,
+                   CAST(doc_id % 4 + 1 AS INT) AS n_links,
+                   array_to_string(
+                       list_transform(range(doc_id % 4 + 1),
+                                      i -> 'https://wat.test/l/' || i),
+                       '|') AS links_joined
+            FROM documents
+            ORDER BY url
         """,
         "wet_roundtrip": """
             SELECT 'https://wet.test/doc/' || doc_id AS url,

@@ -197,6 +197,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bff_paragraph_dedupe",
         "main_content_extract",
         "wet_roundtrip",
+        "wat_extract",
         "multimodal_gif_decode",
         "multimodal_jpeg_decode",
         "video_frame_sample_gif",

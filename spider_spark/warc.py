@@ -26,6 +26,7 @@ import datetime as _dt
 import gzip
 import hashlib
 import io
+import json as _json
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -645,3 +646,221 @@ def wet_roundtrip(pages: DataFrame, compress: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
 
     return pages.select("url", "warc_ts", "text").mapInPandas(rt, WET_SCHEMA)
+
+
+# --- WAT (metadata records, JSON payloads): the third Common Crawl
+# artifact next to WARC and WET — one `metadata` record per page whose
+# payload is the JSON envelope carrying extracted HTTP/HTML metadata
+# (title + outlinks), the input most link-graph pipelines consume --------
+
+
+def build_wat_record(
+    url: str, warc_ts: _dt.datetime, title: str | None, links: list[str]
+) -> bytes:
+    """One WARC/1.0 ``metadata`` record whose payload is the Common Crawl
+    WAT JSON envelope (the iipc/webarchive-commons layout): ``Envelope``
+    → ``WARC-Header-Metadata`` (the originating response's WARC headers)
+    + ``Payload-Metadata`` → ``HTTP-Response-Metadata`` →
+    ``HTML-Metadata`` with ``Head.Title`` and the ``Links`` array of
+    ``{"path": "A@/href", "url": ...}`` objects. JSON is serialized with
+    sorted keys + compact separators so records are byte-deterministic
+    (same discipline as :func:`build_record`'s md5-derived ids);
+    WARC-Refers-To points at the response record for the same URL."""
+    rid = hashlib.md5(("wat:" + url).encode("utf-8")).hexdigest()
+    ref = hashlib.md5(url.encode("utf-8")).hexdigest()
+    html_meta: dict = {
+        "Links": [{"path": "A@/href", "url": u} for u in links],
+    }
+    if title is not None:
+        html_meta["Head"] = {"Title": title}
+    envelope = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Date": _warc_date(warc_ts),
+                "WARC-Target-URI": url,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {"HTML-Metadata": html_meta},
+            },
+        }
+    }
+    payload = _json.dumps(
+        envelope, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+    ).encode("utf-8")
+
+    def _uuid(h: str) -> str:
+        return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        + f"WARC-Record-ID: {_uuid(rid)}\r\n".encode("ascii")
+        + f"WARC-Refers-To: {_uuid(ref)}\r\n".encode("ascii")
+        + f"WARC-Date: {_warc_date(warc_ts)}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + b"Content-Type: application/json\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode("ascii")
+    )
+    return headers + _CRLF + payload + _CRLF + _CRLF
+
+
+def build_wat(
+    records: list[tuple[str, _dt.datetime, str | None, list[str]]],
+    compress: bool = False,
+) -> bytes:
+    """Concatenate metadata records into one WAT blob (per-record gzip
+    members when ``compress``, the Common Crawl layout, mtime pinned)."""
+    out = io.BytesIO()
+    for url, ts, title, links in records:
+        rec = build_wat_record(url, ts, title, links)
+        if compress:
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def parse_wat(
+    data: bytes,
+) -> Iterator[tuple[str, _dt.datetime, str | None, list[str]]]:
+    """Yield (url, warc_ts, title, links) from WAT bytes. Same strict
+    Content-Length framing as :func:`parse_warc` — the JSON payload is
+    never scanned for delimiters, so titles/URLs containing ``WARC/1.0``
+    or CRLFs cannot desync the stream. Only ``metadata`` records with a
+    JSON payload are yielded, so a combined WARC+WET+WAT stream reads
+    correctly. Unparseable JSON skips the record (never aborts the file)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        header_block = data[pos:head_end].decode("utf-8", "replace")
+        headers: dict[str, str] = {}
+        for line in header_block.split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "metadata":
+            continue
+        try:
+            env = _json.loads(payload.decode("utf-8", "replace"))["Envelope"]
+        except (ValueError, KeyError, TypeError):
+            continue
+        wh = env.get("WARC-Header-Metadata", {})
+        url = wh.get("WARC-Target-URI", headers.get("warc-target-uri", ""))
+        ts = _parse_warc_date(
+            wh.get("WARC-Date", headers.get("warc-date", "1970-01-01T00:00:00Z"))
+        )
+        hm = (
+            env.get("Payload-Metadata", {})
+            .get("HTTP-Response-Metadata", {})
+            .get("HTML-Metadata", {})
+        )
+        title = hm.get("Head", {}).get("Title")
+        links = [
+            d["url"]
+            for d in hm.get("Links", [])
+            if isinstance(d, dict) and "url" in d
+        ]
+        yield url, ts, title, links
+
+
+WAT_SCHEMA = "url string, warc_ts timestamp, title string, links array<string>"
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT files → (url, warc_ts, title, links) DataFrame. One task per
+    file via binaryFile → mapInPandas, like :func:`read_warc` —
+    at 100 TB the scan parallelism is the file count, which is how
+    Common Crawl ships WAT (one ~1 GB gz per WARC)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"url": u, "warc_ts": ts, "title": t, "links": ls}
+                for blob in pdf["content"]
+                for u, ts, t, ls in parse_wat(bytes(blob))
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "title", "links"])
+
+    return files.mapInPandas(parse_files, WAT_SCHEMA)
+
+
+def wat_roundtrip(pages: DataFrame, compress: bool = False) -> DataFrame:
+    """(url, warc_ts, title, links) → WAT bytes → parsed back, entirely
+    inside executors (the :func:`roundtrip_pages` discipline) — proves
+    metadata-record framing + JSON escaping are fidelity-preserving for
+    hostile titles (CRLFs, 'WARC/1.0' lines, quotes, non-ASCII)."""
+    import pandas as pd
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                (
+                    r.url,
+                    r.warc_ts.to_pydatetime(),
+                    r.title,
+                    list(r.links) if r.links is not None else [],
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            blob = build_wat(recs, compress=compress)
+            rows = [
+                {"url": u, "warc_ts": ts, "title": t, "links": ls}
+                for u, ts, t, ls in parse_wat(blob)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "title", "links"])
+
+    return pages.select("url", "warc_ts", "title", "links").mapInPandas(rt, WAT_SCHEMA)
+
+
+def wat_from_html(pages: DataFrame, compress: bool = False) -> DataFrame:
+    """The WARC→WAT derivation Common Crawl runs: (url, warc_ts, html
+    STRING) pages → WAT metadata records built with the ENGINE'S OWN
+    reference-parity extractors (textops.extract_html_metadata for the
+    title, textops.extract_html_links for document-order keep-first
+    outlinks resolved WHATWG-style against the page URL) → parsed back to
+    (url, warc_ts, title, links). One Arrow-batched mapInPandas
+    projection, no shuffle; serialize→parse happens inside the executor
+    so the record framing is exercised on every row, not just in tests.
+
+    Scale shape (100 TB): map-only over the page store — the natural
+    companion job to the per-tick parse projection; output is the input
+    to every link-graph operator in operators/graph.py."""
+    import pandas as pd
+
+    from . import textops
+
+    def derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                html = r.html if isinstance(r.html, str) else ""
+                title = textops.extract_html_metadata(html)["title"]
+                links = [ln.href for ln in textops.extract_html_links(html, r.url)]
+                recs.append((r.url, r.warc_ts.to_pydatetime(), title, links))
+            blob = build_wat(recs, compress=compress)
+            rows = [
+                {"url": u, "warc_ts": ts, "title": t, "links": ls}
+                for u, ts, t, ls in parse_wat(blob)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "title", "links"])
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(derive, WAT_SCHEMA)
