@@ -1781,6 +1781,27 @@ def q_semdedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_prototype_prune(spark, sf_dir):
+    """Prototype-based data pruning (Sorscher et al. 2022): difficulty =
+    cosine to the assigned cluster prototype; keep the hardest 50% of each
+    cluster (per-cluster quota, so no cluster is emptied). Assignment is
+    the same map-only smallest-id-codebook scheme as semdedup/ivf, and the
+    window rank is restated in SQL by the oracle."""
+    from spider_spark.operators.similarity import prototype_pruning
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 1000)
+    out = prototype_pruning(base, n_centroids=16, keep_fraction=0.5, policy="hard")
+    return out.select(
+        "vec_id",
+        "cent_id",
+        F.round("proto_cos", 4).alias("proto_cos_r"),
+        "cluster_size",
+        "rank_in_cluster",
+        "keep",
+    ).orderBy("vec_id")
+
+
 def q_anchor_text(spark, sf_dir):
     """Per-target anchor-text rollup (the off-page relevance signal a
     focused crawler prioritizes on): inlink/source counts, distinct anchor
@@ -3204,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "anchor_text_rollup": q_anchor_text,
         "semdedup_clusters": q_semdedup,
+        "prototype_prune": q_prototype_prune,
         "token_mixture_plan": q_token_mixture,
         "mixture_materialize": q_mixture_materialize,
         "meta_robots_directives": q_meta_robots,
@@ -4803,6 +4825,33 @@ def oracle_sql() -> dict[str, str]:
                    dup_of IS NULL AS keep, dup_of,
                    ROUND(mc, 4) AS max_dup_cos_r
             FROM assign a LEFT JOIN dup USING (vec_id)
+        """,
+        "prototype_prune": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 1000),
+            cents AS (
+              SELECT vec_id AS cent_id, v AS cv
+              FROM corpus ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT vec_id, cent_id, pc FROM (
+                SELECT c.vec_id, t.cent_id,
+                       list_cosine_similarity(c.v, t.cv) AS pc,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.v, t.cv) DESC,
+                                  t.cent_id) AS rn
+                FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+            ranked AS (
+              SELECT vec_id, cent_id, pc,
+                     CAST(COUNT(*) OVER (PARTITION BY cent_id) AS INT)
+                       AS cluster_size,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+                       ORDER BY pc ASC, vec_id) AS INT) AS rank_in_cluster
+              FROM assign)
+            SELECT vec_id, cent_id, ROUND(pc, 4) AS proto_cos_r,
+                   cluster_size, rank_in_cluster,
+                   rank_in_cluster <= CEIL(0.5 * cluster_size) AS keep
+            FROM ranked ORDER BY vec_id
         """,
         "anchor_text_rollup": """
             WITH e AS (

@@ -190,6 +190,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "host_reputation",
         "anchor_text_rollup",
         "semdedup_clusters",
+        "prototype_prune",
         "token_mixture_plan",
         "mixture_materialize",
         "meta_robots_directives",

@@ -498,6 +498,113 @@ def semdedup(
     )
 
 
+def prototype_pruning(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    keep_fraction: float = 0.5,
+    policy: str = "hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power-law scaling via data pruning"): a vector's
+    difficulty is its cosine to its own cluster prototype (centroid) —
+    "easy" examples sit near the prototype, "hard" ones far. With abundant
+    data the paper prunes EASY examples (``policy='hard'`` keeps the
+    farthest ``keep_fraction`` of each cluster); with scarce data keep the
+    easy ones (``policy='easy'``). The per-cluster quota
+    ``ceil(keep_fraction · cluster_size)`` keeps every cluster represented
+    — the coverage property that makes pruned sets beat random subsets —
+    and the (cos, id) ordering makes the kept set rerun-stable, unlike the
+    paper's k-means-init-dependent scores.
+
+    Output per input row: (id, cent_id, proto_cos, cluster_size,
+    rank_in_cluster, keep).
+
+    Scale shape (100 TB): centroid assignment is map-only both ways —
+    a literal codebook in whole-stage codegen under
+    IVF_INLINE_MAX_CENTROIDS (the assignment ALSO yields the winning
+    cosine, so no second pass), a numpy-closure Arrow UDF above it (one
+    matmul per batch; the corpus never joins the codebook). The only
+    shuffle is the window keyed on cent_id (rank + count in ONE window
+    pass) — bounded by cluster size, never a global sort. Hot clusters
+    are the skew risk: size the codebook like semdedup (k ≈ n/10⁴)."""
+    if policy not in ("hard", "easy"):
+        raise ValueError(f"policy must be 'hard' or 'easy', got {policy!r}")
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+        cent_id_col, cent_vec_col = "cent_id", "cent_vec"
+    rows = _collect_centroids(centroids, cent_id_col, cent_vec_col)
+
+    if len(rows) <= IVF_INLINE_MAX_CENTROIDS:
+        cents = _centroid_literal(rows, cent_id_col, cent_vec_col)
+        dot = f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        nv = f"sqrt(aggregate({vec_col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+        nc = "sqrt(aggregate(c.cv, 0D, (acc, v) -> acc + v * v))"
+        cos = f"IF({nv} > 0D AND {nc} > 0D, {dot} / ({nv} * {nc}), 0D)"
+        scored = f"array_max(transform({cents}, c -> named_struct('cos', {cos}, 'ncid', -c.cid)))"
+        assigned = embeddings.select(
+            F.col(id_col),
+            F.expr(scored).alias("_best"),
+        ).select(
+            id_col,
+            (-F.col("_best.ncid")).cast("long").alias("cent_id"),
+            F.col("_best.cos").alias("proto_cos"),
+        )
+    else:
+        ids, unit = _centroid_matrix(rows, cent_id_col, cent_vec_col)
+
+        @pandas_udf("struct<cent_id:long,proto_cos:double>")
+        def best(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for vecs in it:
+                if len(vecs) == 0:
+                    yield pd.DataFrame({"cent_id": [], "proto_cos": []})
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                vn = np.sqrt((m * m).sum(axis=1))
+                zero = vn == 0
+                vn[zero] = 1.0
+                cs = (m / vn[:, None]) @ unit.T
+                cs[zero, :] = 0.0
+                # stable argmax ⇒ ties toward the smallest centroid id
+                # (ids ascend), matching the literal path's (cos, -cid)
+                j = np.argmax(cs, axis=1)
+                yield pd.DataFrame(
+                    {"cent_id": ids[j], "proto_cos": cs[np.arange(len(j)), j]}
+                )
+
+        assigned = embeddings.select(
+            F.col(id_col), best(F.col(vec_col)).alias("_b")
+        ).select(id_col, F.col("_b.cent_id"), F.col("_b.proto_cos"))
+
+    order = (
+        [F.asc("proto_cos"), F.asc(id_col)]
+        if policy == "hard"
+        else [F.desc("proto_cos"), F.asc(id_col)]
+    )
+    w = Window.partitionBy("cent_id").orderBy(*order)
+    wall = Window.partitionBy("cent_id")
+    return (
+        assigned.withColumn("cluster_size", F.count(F.lit(1)).over(wall).cast("int"))
+        .withColumn("rank_in_cluster", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "keep",
+            F.col("rank_in_cluster")
+            <= F.ceil(F.lit(float(keep_fraction)) * F.col("cluster_size")),
+        )
+        .select(
+            id_col, "cent_id", "proto_cos", "cluster_size", "rank_in_cluster", "keep"
+        )
+    )
+
+
 def kmeans_lloyd(
     vecs: DataFrame,
     k: int = 8,
