@@ -1802,6 +1802,50 @@ def q_prototype_prune(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality evaluation (TREC discipline) for the search
+    stack: per-query precision@10 / recall@10 / RR@10 / nDCG@10 with the
+    exponential gain, over analytically-synthesized ranked lists and
+    graded qrels (results and judgments are independent deterministic
+    functions of (query, doc), so every metric branch — misses, partial
+    recall, graded gains — is exercised and the oracle restates the whole
+    computation in SQL)."""
+    from spider_spark.operators.index import retrieval_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("query_id"))
+    results = qs.select(
+        "query_id", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rank")
+    ).select(
+        "query_id",
+        F.pmod(F.col("query_id") * 17 + F.col("rank") * 13, F.lit(200)).alias(
+            "doc_id"
+        ),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    ds = docs.filter(F.col("doc_id") < 200).select(F.col("doc_id").alias("d"))
+    qrels = (
+        qs.crossJoin(ds)
+        .filter(F.pmod(F.col("d") * 7 + F.col("query_id") * 3, F.lit(9)) == 0)
+        .select(
+            "query_id",
+            F.col("d").alias("doc_id"),
+            (F.lit(1) + F.pmod(F.col("d"), F.lit(3))).cast("int").alias("rel"),
+        )
+    )
+    per_q = retrieval_eval(results, qrels, k=10)
+    return per_q.select(
+        "query_id",
+        "n_retrieved",
+        "n_rel",
+        "n_rel_ret",
+        F.round("precision_at_k", 4).alias("precision_r"),
+        F.round("recall_at_k", 4).alias("recall_r"),
+        F.round("rr_at_k", 4).alias("rr_r"),
+        F.round("ndcg_at_k", 4).alias("ndcg_r"),
+    ).orderBy("query_id")
+
+
 def q_anchor_text(spark, sf_dir):
     """Per-target anchor-text rollup (the off-page relevance signal a
     focused crawler prioritizes on): inlink/source counts, distinct anchor
@@ -3226,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_rollup": q_anchor_text,
         "semdedup_clusters": q_semdedup,
         "prototype_prune": q_prototype_prune,
+        "retrieval_eval_ndcg": q_retrieval_eval,
         "token_mixture_plan": q_token_mixture,
         "mixture_materialize": q_mixture_materialize,
         "meta_robots_directives": q_meta_robots,
@@ -4825,6 +4870,48 @@ def oracle_sql() -> dict[str, str]:
                    dup_of IS NULL AS keep, dup_of,
                    ROUND(mc, 4) AS max_dup_cos_r
             FROM assign a LEFT JOIN dup USING (vec_id)
+        """,
+        "retrieval_eval_ndcg": """
+            WITH qs AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),
+            res AS (
+              SELECT q, (q*17 + r*13) % 200 AS d, r
+              FROM qs, UNNEST(generate_series(1, 10)) AS t(r)),
+            rels AS (
+              SELECT q, dd.doc_id AS d, 1 + (dd.doc_id % 3) AS rel
+              FROM qs, (SELECT doc_id FROM documents WHERE doc_id < 200) dd
+              WHERE (dd.doc_id*7 + q*3) % 9 = 0),
+            hits AS (
+              SELECT res.q, res.r, rels.rel
+              FROM res JOIN rels ON res.q = rels.q AND res.d = rels.d),
+            hit_agg AS (
+              SELECT q, CAST(COUNT(*) AS INT) AS n_rel_ret,
+                     SUM((POW(2, rel) - 1) / LOG2(r + 1)) AS dcg,
+                     MIN(r) AS first_rel_rank
+              FROM hits GROUP BY q),
+            ideal AS (
+              SELECT q, SUM((POW(2, rel) - 1) / LOG2(irn + 1)) AS idcg FROM (
+                SELECT q, rel,
+                       ROW_NUMBER() OVER (PARTITION BY q
+                         ORDER BY rel DESC, d) AS irn
+                FROM rels) WHERE irn <= 10 GROUP BY q),
+            nr AS (SELECT q, CAST(COUNT(*) AS INT) AS n_rel FROM rels GROUP BY q),
+            nt AS (SELECT q, CAST(COUNT(*) AS INT) AS n_retrieved FROM res GROUP BY q)
+            SELECT nt.q AS query_id, nt.n_retrieved, nr.n_rel,
+                   COALESCE(h.n_rel_ret, 0) AS n_rel_ret,
+                   ROUND(COALESCE(h.n_rel_ret, 0) / CAST(10 AS DOUBLE), 4)
+                     AS precision_r,
+                   ROUND(CASE WHEN nr.n_rel > 0
+                         THEN COALESCE(h.n_rel_ret, 0) / CAST(nr.n_rel AS DOUBLE)
+                         END, 4) AS recall_r,
+                   ROUND(COALESCE(CAST(1 AS DOUBLE) / h.first_rel_rank, 0), 4)
+                     AS rr_r,
+                   ROUND(CASE WHEN COALESCE(i.idcg, 0) > 0
+                         THEN COALESCE(h.dcg, 0) / i.idcg END, 4) AS ndcg_r
+            FROM nt
+            LEFT JOIN nr ON nt.q = nr.q
+            LEFT JOIN hit_agg h ON nt.q = h.q
+            LEFT JOIN ideal i ON nt.q = i.q
+            ORDER BY query_id
         """,
         "prototype_prune": """
             WITH corpus AS (

@@ -191,6 +191,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "anchor_text_rollup",
         "semdedup_clusters",
         "prototype_prune",
+        "retrieval_eval_ndcg",
         "token_mixture_plan",
         "mixture_materialize",
         "meta_robots_directives",

@@ -638,3 +638,99 @@ def query_snippets(
         )
         .select("doc_id", "start", "n_terms", "snippet")
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Offline retrieval-quality evaluation (the TREC discipline) for the
+    search stack: given ranked ``results`` (query, doc, rank) and graded
+    judgments ``qrels`` (query, doc, rel>0 ⇒ relevant), emit per-query
+    precision@k, recall@k, reciprocal rank@k, and nDCG@k with the
+    exponential gain (2^rel − 1)/log2(rank+1) (Järvelin & Kekäläinen
+    2002). Queries with no judged-relevant docs get NULL recall/nDCG and
+    rr 0 (TREC omits them from macro averages —
+    :func:`retrieval_eval_summary` does exactly that); judged queries
+    missing from ``results`` still emit a row (full outer on the query
+    set) so silent query drops read as 0, never as absence.
+
+    Deterministic: ideal ranking ties broken by doc id.
+
+    Scale shape (100 TB): never touches the corpus — results are
+    pre-filtered to rank ≤ k so every shuffle is ∝ k·|queries| + |qrels|:
+    one (query, doc) equi-join for hits, one window keyed on the query for
+    the ideal DCG (bounded by judgments per query), partial-agg groupBys
+    for the rest. Macro summary is a second partial-agg over |queries|
+    rows."""
+    res = results.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    ).filter(F.col("_rank") <= k)
+    rels = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).alias("_rel"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0)
+
+    hits = res.join(rels, ["_q", "_d"])
+    hit_agg = hits.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rel_ret"),
+        F.sum(gain / F.log2(F.col("_rank") + F.lit(1.0))).alias("dcg"),
+        F.min("_rank").alias("first_rel_rank"),
+    )
+    iw = Window.partitionBy("_q").orderBy(F.desc("_rel"), F.asc("_d"))
+    ideal = (
+        rels.withColumn("_irn", F.row_number().over(iw))
+        .filter(F.col("_irn") <= k)
+        .groupBy("_q")
+        .agg(F.sum(gain / F.log2(F.col("_irn") + F.lit(1.0))).alias("idcg"))
+    )
+    n_ret = res.groupBy("_q").agg(F.count(F.lit(1)).cast("int").alias("n_retrieved"))
+    n_rel = rels.groupBy("_q").agg(F.count(F.lit(1)).cast("int").alias("n_rel"))
+
+    per_q = (
+        n_ret.join(n_rel, "_q", "full")
+        .join(hit_agg, "_q", "left")
+        .join(ideal, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.coalesce("n_rel_ret", F.lit(0)).alias("n_rel_ret"),
+            (F.coalesce("n_rel_ret", F.lit(0)) / F.lit(float(k))).alias("precision_at_k"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.coalesce("n_rel_ret", F.lit(0)) / F.col("n_rel"),
+            ).alias("recall_at_k"),
+            F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)).alias("rr_at_k"),
+            F.when(
+                F.coalesce("idcg", F.lit(0.0)) > 0,
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+            ).alias("ndcg_at_k"),
+        )
+    )
+    return per_q
+
+
+def retrieval_eval_summary(per_query: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """Macro averages over JUDGED queries (n_rel > 0 — the TREC
+    convention; unjudged queries contribute nothing rather than dragging
+    averages to 0). One partial-agg row: (n_queries, n_judged, mean_p,
+    mean_recall, mrr, mean_ndcg)."""
+    judged = F.col("n_rel") > 0
+    return per_query.agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.sum(judged.cast("int")).cast("int").alias("n_judged"),
+        F.avg(F.when(judged, F.col("precision_at_k"))).alias("mean_precision"),
+        F.avg(F.when(judged, F.col("recall_at_k"))).alias("mean_recall"),
+        F.avg(F.when(judged, F.col("rr_at_k"))).alias("mrr"),
+        F.avg(F.when(judged, F.col("ndcg_at_k"))).alias("mean_ndcg"),
+    )
