@@ -1802,6 +1802,38 @@ def q_prototype_prune(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_ip_politeness(spark, sf_dir):
+    """Per-IP politeness (Heritrix ip-queue discipline): 40 vhosts resolve
+    onto 8 IPs (md5 engine-portable buckets rendered as dotted quads), and
+    each IP keeps at most 5 frontier rows per tick under the deterministic
+    (priority, discovered_tick, seq) order — the cap that protects a
+    shared server from per-host-only politeness. Two-phase salted window
+    inside; the oracle restates the exact top-k as ONE window because the
+    split is exact."""
+    from spider_spark.operators import adaptive
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), F.pmod(F.col("doc_id"), F.lit(40)).cast("string"), F.lit(".test")
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("priority"),
+        F.lit(0).alias("discovered_tick"),
+        F.col("doc_id").alias("seq"),
+    )
+    host_ip = (
+        frontier.select("host")
+        .distinct()
+        .select("host", adaptive.col_ip_bucket("host", n_ips=8).alias("ip"))
+    )
+    out = adaptive.ip_politeness_topk(frontier, host_ip, per_ip_budget=5)
+    return out.select("url", "host", "ip", "is_ip_selected").orderBy("url")
+
+
 def q_retrieval_eval(spark, sf_dir):
     """Retrieval-quality evaluation (TREC discipline) for the search
     stack: per-query precision@10 / recall@10 / RR@10 / nDCG@10 with the
@@ -3271,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_clusters": q_semdedup,
         "prototype_prune": q_prototype_prune,
         "retrieval_eval_ndcg": q_retrieval_eval,
+        "ip_politeness_topk": q_ip_politeness,
         "token_mixture_plan": q_token_mixture,
         "mixture_materialize": q_mixture_materialize,
         "meta_robots_directives": q_meta_robots,
@@ -4870,6 +4903,28 @@ def oracle_sql() -> dict[str, str]:
                    dup_of IS NULL AS keep, dup_of,
                    ROUND(mc, 4) AS max_dup_cos_r
             FROM assign a LEFT JOIN dup USING (vec_id)
+        """,
+        "ip_politeness_topk": """
+            WITH fr AS (
+              SELECT 'https://h' || (doc_id % 40) || '.test/p' || doc_id AS url,
+                     'h' || (doc_id % 40) || '.test' AS host,
+                     doc_id % 5 AS priority, doc_id AS seq
+              FROM documents),
+            ipm AS (
+              SELECT host,
+                     '10.0.' || CAST(b // 256 AS VARCHAR) || '.'
+                       || CAST(b % 256 AS VARCHAR) AS ip
+              FROM (SELECT DISTINCT host,
+                      CAST(('0x' || substr(md5(host), 1, 8))::UBIGINT % 8
+                           AS BIGINT) AS b
+                    FROM fr)),
+            ranked AS (
+              SELECT fr.url, fr.host, ipm.ip,
+                     ROW_NUMBER() OVER (PARTITION BY ipm.ip
+                       ORDER BY priority, seq) AS rk
+              FROM fr JOIN ipm USING (host))
+            SELECT url, host, ip, rk <= 5 AS is_ip_selected
+            FROM ranked ORDER BY url
         """,
         "retrieval_eval_ndcg": """
             WITH qs AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),

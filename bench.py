@@ -192,6 +192,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "semdedup_clusters",
         "prototype_prune",
         "retrieval_eval_ndcg",
+        "ip_politeness_topk",
         "token_mixture_plan",
         "mixture_materialize",
         "meta_robots_directives",

@@ -35,7 +35,7 @@ volume. No windows, no driver loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -200,5 +200,87 @@ def politeness_compliance(
             "crawl_delay_ms",
             "n_violations",
             (F.col("n_violations") == 0).alias("compliant"),
+        )
+    )
+
+
+# --- per-IP politeness (Heritrix's ip-based queue assignment): many
+# vhosts on one server must share ONE budget, or per-host politeness
+# hammers the box #vhosts-fold --------------------------------------------
+
+IP_BROADCAST_ROWS = 2_000_000
+
+
+def col_ip_bucket(host_col, n_ips: int = 256, prefix: str = "10.0"):
+    """Deterministic fake "resolved IP" for a host — the md5 engine-portable
+    bucket rendered as a dotted quad under ``prefix``. Tests and oracles
+    use this in place of a DNS resolver (production passes a real
+    (host, ip) table from resolution logs); md5 (not xxhash64) so DuckDB
+    reproduces the assignment bit-for-bit."""
+    c = host_col if not isinstance(host_col, str) else F.col(host_col)
+    b = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % n_ips
+    return F.concat(
+        F.lit(prefix + "."), (b / 256).cast("int").cast("string"),
+        F.lit("."), F.pmod(b, F.lit(256)).cast("string"),
+    )
+
+
+def ip_politeness_topk(
+    frontier: DataFrame,
+    host_ip: DataFrame,
+    per_ip_budget: int,
+    order_cols: tuple[str, ...] = ("priority", "discovered_tick", "seq"),
+    host_col: str = "host",
+    ip_col: str = "ip",
+    salt_buckets: int = 16,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Heritrix-style per-IP politeness on top of per-host budgets: join
+    the frontier to a (host, ip) resolution table and keep at most
+    ``per_ip_budget`` rows per IP this tick — the cap that protects a
+    server hosting 10⁵ vhosts from being hammered #vhosts-fold by a
+    per-host-only policy. Hosts MISSING from the resolution table each
+    become their own queue (``ip = 'host:<host>'``) — politeness can
+    degrade to per-host, but a URL is never silently dropped or an
+    unrelated pair accidentally co-queued.
+
+    ``order_cols`` must totally order rows within an IP (the frontier's
+    (priority, discovered_tick, seq) does) — that makes the two-phase
+    split exact and the selection rerun-stable.
+
+    Output: every frontier row + (ip, is_ip_selected) — a tag, not a
+    filter, same contract as politeness_tag so callers derive
+    selected/deferred as cheap filters.
+
+    Scale shape (100 TB): the resolution side broadcasts under a measured
+    ``limit(N+1).count()`` gate (IP_BROADCAST_ROWS) — above it the planner
+    shuffle-joins on host. The ranking reuses politeness_tag's two-phase
+    salted window: phase 1 partitions on (ip, salt) so a mega-IP (CDN,
+    shared hosting) never ranks in a single task; phase 2 ranks only
+    phase-1 survivors (≤ salt·budget rows per IP, bounded regardless of
+    IP size). Each true top-budget row wins its own salt bucket, so the
+    split is exact."""
+    if broadcast is None:
+        probe = host_ip.limit(IP_BROADCAST_ROWS + 1).count()
+        broadcast = probe <= IP_BROADCAST_ROWS
+    m = host_ip.select(F.col(host_col), F.col(ip_col).alias("_res_ip"))
+    if broadcast:
+        m = F.broadcast(m)
+    f = frontier.join(m, host_col, "left").withColumn(
+        "_ipq",
+        F.coalesce(F.col("_res_ip"), F.concat(F.lit("host:"), F.col(host_col))),
+    )
+    order = [F.col(c) for c in order_cols]
+    salt = F.pmod(F.xxhash64(*order), F.lit(salt_buckets))
+    w1 = Window.partitionBy("_ipq", salt).orderBy(*order)
+    w2 = Window.partitionBy("_ipq").orderBy(*order)
+    ranked1 = f.withColumn("rk1", F.row_number().over(w1))
+    phase1_ok = F.col("rk1") <= F.lit(per_ip_budget)
+    survivors = ranked1.filter(phase1_ok).withColumn("rk", F.row_number().over(w2))
+    sel = (F.col("rk") <= F.lit(per_ip_budget)).alias("is_ip_selected")
+    out_cols = [*frontier.columns, F.col("_ipq").alias(ip_col)]
+    return survivors.select(*out_cols, sel).unionByName(
+        ranked1.filter(~phase1_ok).select(
+            *out_cols, F.lit(False).alias("is_ip_selected")
         )
     )
