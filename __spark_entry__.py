@@ -1802,6 +1802,28 @@ def q_prototype_prune(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_layout_locality(spark, sf_dir):
+    """Table-layout scan-locality audit: the same pages assigned to files
+    under insertion (crawl) order vs SURT-clustered order, reporting
+    hosts-per-file and files-per-host — the numbers that decide whether a
+    host-scoped read (politeness, revalidation, reputation) is O(host) or
+    O(table). Exact writer simulation (global row_number) here for oracle
+    parity; the repartitionByRange scale path is pytest-pinned to the
+    same statistics."""
+    from spider_spark.operators import layout
+
+    docs = _t(spark, sf_dir, "documents")
+    hostn = F.pmod(F.col("doc_id"), F.lit(40)).cast("string")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), hostn, F.lit(".test/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(F.lit("h"), hostn, F.lit(".test")).alias("host"),
+        F.col("doc_id").alias("seq"),
+    )
+    return layout.layout_compare(pages, rows_per_file=50).orderBy("layout")
+
+
 def q_ip_politeness(spark, sf_dir):
     """Per-IP politeness (Heritrix ip-queue discipline): 40 vhosts resolve
     onto 8 IPs (md5 engine-portable buckets rendered as dotted quads), and
@@ -3304,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototype_prune": q_prototype_prune,
         "retrieval_eval_ndcg": q_retrieval_eval,
         "ip_politeness_topk": q_ip_politeness,
+        "layout_scan_locality": q_layout_locality,
         "token_mixture_plan": q_token_mixture,
         "mixture_materialize": q_mixture_materialize,
         "meta_robots_directives": q_meta_robots,
@@ -4903,6 +4926,49 @@ def oracle_sql() -> dict[str, str]:
                    dup_of IS NULL AS keep, dup_of,
                    ROUND(mc, 4) AS max_dup_cos_r
             FROM assign a LEFT JOIN dup USING (vec_id)
+        """,
+        "layout_scan_locality": """
+            WITH pages AS (
+              SELECT 'h' || (doc_id % 40) || '.test' AS host,
+                     'test,h' || (doc_id % 40) || ')/p/' || doc_id AS surt,
+                     doc_id AS seq
+              FROM documents),
+            srt AS (
+              SELECT host,
+                     CAST((ROW_NUMBER() OVER (ORDER BY surt, seq) - 1) // 50
+                          AS INT) AS fid
+              FROM pages),
+            ins AS (
+              SELECT host,
+                     CAST((ROW_NUMBER() OVER (ORDER BY seq) - 1) // 50
+                          AS INT) AS fid
+              FROM pages),
+            s1 AS (
+              SELECT CAST(COUNT(*) AS INT) AS n_files,
+                     ROUND(AVG(h), 4) AS avg_hosts_per_file_r,
+                     CAST(MAX(h) AS INT) AS max_hosts_per_file
+              FROM (SELECT fid, COUNT(DISTINCT host) AS h
+                    FROM srt GROUP BY fid)),
+            s2 AS (
+              SELECT ROUND(AVG(f), 4) AS avg_files_per_host_r,
+                     CAST(MAX(f) AS INT) AS max_files_per_host
+              FROM (SELECT host, COUNT(DISTINCT fid) AS f
+                    FROM srt GROUP BY host)),
+            i1 AS (
+              SELECT CAST(COUNT(*) AS INT) AS n_files,
+                     ROUND(AVG(h), 4) AS avg_hosts_per_file_r,
+                     CAST(MAX(h) AS INT) AS max_hosts_per_file
+              FROM (SELECT fid, COUNT(DISTINCT host) AS h
+                    FROM ins GROUP BY fid)),
+            i2 AS (
+              SELECT ROUND(AVG(f), 4) AS avg_files_per_host_r,
+                     CAST(MAX(f) AS INT) AS max_files_per_host
+              FROM (SELECT host, COUNT(DISTINCT fid) AS f
+                    FROM ins GROUP BY host))
+            SELECT 'surt' AS layout, s1.*, s2.* FROM s1, s2
+            UNION ALL
+            SELECT 'insertion' AS layout, i1.*, i2.* FROM i1, i2
+            ORDER BY layout
         """,
         "ip_politeness_topk": """
             WITH fr AS (

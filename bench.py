@@ -193,6 +193,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "prototype_prune",
         "retrieval_eval_ndcg",
         "ip_politeness_topk",
+        "layout_scan_locality",
         "token_mixture_plan",
         "mixture_materialize",
         "meta_robots_directives",

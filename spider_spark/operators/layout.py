@@ -1,0 +1,105 @@
+"""Table-layout scan-locality audit: does the page store's file layout
+co-locate the rows host-scoped queries read?
+
+Every recurring crawl read is host- or domain-scoped — politeness
+windows, robots refresh, revalidation probes, per-host reputation,
+sitemap coverage. If pages are written in CRAWL order (discovery
+interleaves hosts), one host's rows smear across every file and a
+host-scoped query touches the whole table; clustering the write by SURT
+(the Heritrix/CDX sort key: reversed host labels first) makes each host
+a contiguous run, so partition pruning + min/max file statistics (the
+Iceberg/parquet footer machinery) skip everything else.
+
+This module MEASURES that: assign rows to files under a candidate
+ordering, then report files-touched-per-host and hosts-per-file — the
+two numbers that decide whether a host-scoped scan is O(host) or
+O(table).
+
+Reference analog: the reference keeps per-host request accounting in
+process memory (tree.ts rate limiting); at 10^10 URLs that state lives
+in the table layout, which is why the audit exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..warc import col_surt
+
+
+def file_assignment(
+    pages: DataFrame,
+    rows_per_file: int,
+    order_exprs: list[Column],
+    exact: bool = True,
+) -> DataFrame:
+    """Tag every row with the file id a writer using ``order_exprs`` would
+    put it in.
+
+    ``exact=True`` reproduces the writer bit-for-bit — global row_number
+    over the ordering, file = (rn−1) // rows_per_file. That window is a
+    single-task sort: the ORACLE/test path, correct at any size that fits
+    one task, NOT the 100 TB path.
+
+    ``exact=False`` is the scale path: ``repartitionByRange`` over the
+    same ordering (sampled range boundaries — exactly what a sorted
+    Iceberg/parquet write does physically), file = partition id. File
+    boundaries differ from the exact path by sampling, but locality
+    STATISTICS are equivalent — which is what the audit consumes."""
+    if exact:
+        w = Window.orderBy(*order_exprs)
+        return pages.withColumn(
+            "_fid",
+            ((F.row_number().over(w) - 1) / F.lit(rows_per_file)).cast("int"),
+        )
+    n = pages.count()
+    n_files = max(1, -(-n // rows_per_file))
+    return pages.repartitionByRange(n_files, *order_exprs).withColumn(
+        "_fid", F.spark_partition_id()
+    )
+
+
+def scan_locality_stats(
+    assigned: DataFrame, layout_name: str, host_col: str = "host"
+) -> DataFrame:
+    """One summary row for a file-assigned frame: (layout, n_files,
+    avg/max hosts per file, avg/max files per host). Two partial-agg
+    groupBys (file-keyed and host-keyed) + one-row cross join — no
+    windows, no global sort; shuffles ∝ #files + #hosts."""
+    pf = assigned.groupBy("_fid").agg(F.countDistinct(host_col).alias("h"))
+    ph = assigned.groupBy(host_col).agg(F.countDistinct("_fid").alias("f"))
+    a = pf.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.round(F.avg("h"), 4).alias("avg_hosts_per_file_r"),
+        F.max("h").cast("int").alias("max_hosts_per_file"),
+    )
+    b = ph.agg(
+        F.round(F.avg("f"), 4).alias("avg_files_per_host_r"),
+        F.max("f").cast("int").alias("max_files_per_host"),
+    )
+    return a.crossJoin(b).select(F.lit(layout_name).alias("layout"), "*")
+
+
+def layout_compare(
+    pages: DataFrame,
+    rows_per_file: int,
+    url_col: str = "url",
+    host_col: str = "host",
+    seq_col: str = "seq",
+    exact: bool = True,
+) -> DataFrame:
+    """Two rows — ``insertion`` (crawl/seq order, the naive write) vs
+    ``surt`` (SURT-clustered, the locality write) — with the same
+    locality stats, so the layout decision is a number, not folklore.
+    A healthy SURT layout shows avg_files_per_host ≈ host_rows /
+    rows_per_file + 1 and hosts_per_file collapsing toward
+    rows_per_file / host_rows."""
+    surt = pages.withColumn("_surt", col_surt(url_col))
+    by_surt = file_assignment(
+        surt, rows_per_file, [F.col("_surt"), F.col(seq_col)], exact=exact
+    )
+    by_seq = file_assignment(pages, rows_per_file, [F.col(seq_col)], exact=exact)
+    return scan_locality_stats(by_surt, "surt", host_col).unionByName(
+        scan_locality_stats(by_seq, "insertion", host_col)
+    )
