@@ -3221,6 +3221,49 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def _sketch_hosts(docs: DataFrame):
+    """Deterministic zipf-ish host stream for the sketch queries: two
+    planted heads (25% each) over a per-source tail (~1.25% each)."""
+    d = F.col("doc_id")
+    return docs.select(
+        F.when(d % 4 == 0, F.lit("hot-a.example"))
+        .when(d % 4 == 1, F.lit("hot-b.example"))
+        .otherwise(F.concat(F.lit("tail-"), F.col("source")))
+        .alias("host")
+    )
+
+
+def q_heavy_hitter_hosts(spark, sf_dir):
+    """EXACT φ-heavy-hitter hosts via bounded-state Misra-Gries candidates
+    + exact recount (sketches.heavy_hitters, Misra & Gries 1982 / Agarwal
+    et al. 2012 mergeable form): keys with count > n/(k+1) at k=6 —
+    the planted 25% heads pass, the ~1.25% tail cannot. The MG stage
+    bounds intermediate state at k counters/partition; the oracle is the
+    brute-force groupBy the sketch provably equals."""
+    from spider_spark.operators import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    return sk.heavy_hitters(_sketch_hosts(docs), "host", k=6).select(
+        F.col("key").alias("host"), "cnt", "frac_r"
+    )
+
+
+def q_cms_host_counts(spark, sf_dir):
+    """Count-Min Sketch point estimates (sketches.count_min_sketch +
+    cms_estimate, Cormode & Muthukrishnan 2005) for every distinct host:
+    depth=4 × width=64 md5-bucketed counters, estimate = min over rows.
+    Engine-portable hashing means the oracle restates every counter
+    bit-for-bit — including any collision overcounts."""
+    from spider_spark.operators import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = _sketch_hosts(docs)
+    sketch = sk.count_min_sketch(hosts, "host", depth=4, width=64)
+    return sk.cms_estimate(sketch, hosts, "host", depth=4, width=64).select(
+        F.col("key").alias("host"), "est_cnt"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3335,6 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_score": q_quality_classifier,
         "dsir_importance_weights": q_dsir_weights,
         "url_trap_guard": q_trap_guard,
+        "heavy_hitter_hosts": q_heavy_hitter_hosts,
+        "cms_host_counts": q_cms_host_counts,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_recall": q_lsh_recall,
@@ -5200,6 +5245,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "heavy_hitter_hosts": """
+            WITH keyed AS (
+              SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot-a.example'
+                          WHEN doc_id % 4 = 1 THEN 'hot-b.example'
+                          ELSE 'tail-' || source END AS host
+              FROM documents
+            ), tot AS (SELECT COUNT(*) AS n FROM keyed),
+            cnts AS (SELECT host, COUNT(*) AS cnt FROM keyed GROUP BY 1)
+            SELECT host, cnt,
+                   ROUND(cnt / CAST(n AS DOUBLE), 6) AS frac_r
+            FROM cnts, tot WHERE cnt * 7 > n
+        """,
+        "cms_host_counts": """
+            WITH keyed AS (
+              SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot-a.example'
+                          WHEN doc_id % 4 = 1 THEN 'hot-b.example'
+                          ELSE 'tail-' || source END AS host
+              FROM documents
+            ), hashed AS (
+              SELECT host, r,
+                     CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || host),
+                                          1, 8))::UBIGINT % 64 AS INT) AS bucket
+              FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+            ), counters AS (
+              SELECT r, bucket, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2
+            ), probes AS (
+              SELECT DISTINCT host, r, bucket FROM hashed
+            )
+            SELECT p.host, MIN(c.cnt) AS est_cnt
+            FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+            GROUP BY 1
         """,
         "url_trap_guard": """
             WITH u AS (
