@@ -1877,12 +1877,18 @@ def q_retrieval_eval(spark, sf_dir):
         ),
         F.col("rank").cast("int").alias("rank"),
     )
-    ds = docs.filter(F.col("doc_id") < 200).select(F.col("doc_id").alias("d"))
+    # qrels synthesized map-only: explode each candidate doc over the 10
+    # query ids and keep the arithmetic matches — same rows the former
+    # qs×ds theta-join produced, with no NL join in the plan
     qrels = (
-        qs.crossJoin(ds)
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("d"),
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("query_id"),
+        )
         .filter(F.pmod(F.col("d") * 7 + F.col("query_id") * 3, F.lit(9)) == 0)
         .select(
-            "query_id",
+            F.col("query_id").cast("long").alias("query_id"),
             F.col("d").alias("doc_id"),
             (F.lit(1) + F.pmod(F.col("d"), F.lit(3))).cast("int").alias("rel"),
         )
@@ -3264,6 +3270,37 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking delta-storage estimate
+    (chunking.chunk_table → chunk_dedup_stats; LBFS window-hash CDC with
+    FastCDC min/max clamps): documents' UTF-8 bytes chunked at
+    content-local boundaries, corpus census of shared chunks. Rolling
+    hash is not SQL-expressible → rows-only; the census arithmetic is
+    oracle-anchored by the fixed_chunk_dedup sibling and the chunker
+    itself is differentially tested against a naive per-byte reference
+    (tests/test_chunking.py)."""
+    from spider_spark.operators import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content")
+    )
+    chunks = ck.chunk_table(
+        docs, "content", "doc_id", mask_bits=6, min_size=32, max_size=512
+    )
+    return ck.chunk_dedup_stats(chunks)
+
+
+def q_fixed_chunk_dedup(spark, sf_dir):
+    """Fixed-size 64-char chunk census (chunking.fixed_chunk_stats) —
+    the pure-Catalyst baseline CDC is measured against (and the
+    engine-portable oracle anchor for the census arithmetic: md5 over
+    character substrings restates verbatim in DuckDB)."""
+    from spider_spark.operators import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    return ck.fixed_chunk_stats(docs, "text", chunk_chars=64)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3380,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_guard": q_trap_guard,
         "heavy_hitter_hosts": q_heavy_hitter_hosts,
         "cms_host_counts": q_cms_host_counts,
+        "fixed_chunk_dedup": q_fixed_chunk_dedup,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_recall": q_lsh_recall,
@@ -3419,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (custom distributed operators)
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -5245,6 +5284,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "fixed_chunk_dedup": """
+            WITH base AS (
+              SELECT text FROM documents
+              WHERE length(COALESCE(text, '')) > 0
+            ), expl AS (
+              SELECT text,
+                     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+                       AS i
+              FROM base
+            ), chunks AS (
+              SELECT md5(substr(text, CAST(1 + i * 64 AS INT), 64)) AS h,
+                     CAST(length(substr(text, CAST(1 + i * 64 AS INT), 64))
+                          AS BIGINT) AS len
+              FROM expl
+            ), per AS (
+              SELECT h, COUNT(*) AS copies, MIN(len) AS len
+              FROM chunks GROUP BY 1
+            )
+            SELECT CAST(SUM(copies) AS BIGINT) AS total_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+                   CAST(SUM(copies * len) AS BIGINT) AS total_chars,
+                   CAST(SUM(len) AS BIGINT) AS distinct_chars,
+                   ROUND(SUM(len) / CAST(SUM(copies * len) AS DOUBLE), 6)
+                     AS dedup_ratio_r
+            FROM per
         """,
         "heavy_hitter_hosts": """
             WITH keyed AS (
