@@ -3270,6 +3270,17 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_maxscore_topk(spark, sf_dir):
+    """MaxScore/WAND pruned top-10 (index.maxscore_topk, Turtle & Flood
+    1995 / Broder et al. 2003) for 'dup batch' — a rare term (df≈5%)
+    OR'd with a near-stopword, the workload the essential-term split
+    exists for. The oracle is plain exact BM25 top-k: pruning must not
+    change a single row (the WAND contract)."""
+    from spider_spark.operators import index as idx
+
+    return idx.maxscore_topk(_t(spark, sf_dir, "documents"), "dup batch", k=10)
+
+
 def q_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined-chunking delta-storage estimate
     (chunking.chunk_table → chunk_dedup_stats; LBFS window-hash CDC with
@@ -3418,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_hosts": q_heavy_hitter_hosts,
         "cms_host_counts": q_cms_host_counts,
         "fixed_chunk_dedup": q_fixed_chunk_dedup,
+        "maxscore_topk": q_maxscore_topk,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_recall": q_lsh_recall,
@@ -5284,6 +5296,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "maxscore_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), scored AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term IN ('batch', 'dup')
+            )
+            SELECT doc_id, score_r, rank FROM (
+              SELECT doc_id, ROUND(SUM(bm25_r), 6) AS score_r,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
+                                        doc_id ASC) AS rank
+              FROM scored GROUP BY doc_id) WHERE rank <= 10
         """,
         "fixed_chunk_dedup": """
             WITH base AS (

@@ -261,6 +261,11 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "collocations_pmi",
         "dhash_near_dups",
         "zipf_fit",
+        "heavy_hitter_hosts",
+        "cms_host_counts",
+        "cdc_chunk_dedup",
+        "maxscore_topk",
+        "fixed_chunk_dedup",
     ]
     out = {}
     for name in names:

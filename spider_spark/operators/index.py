@@ -241,6 +241,120 @@ def bm25_search(
     )
 
 
+def bm25_term_upper_bounds(
+    scores: DataFrame,
+) -> DataFrame:
+    """Per-term BM25 upper bounds over a (doc_id, term, bm25_r) score
+    table: ub(t) = max_d score(d,t) — the precomputed impact ceilings
+    WAND/MaxScore pruning is built on (Broder et al. 2003). One
+    partial-agg census; at scale this is maintained next to the postings
+    and refreshed by the same incremental merge."""
+    return scores.groupBy("term").agg(F.max("bm25_r").alias("ub"))
+
+
+# rounding guard for the MaxScore prune: per-term scores are rounded to
+# 6 dp, so a doc's rounded sum can exceed the true sum by < 5e-7 per term;
+# pruning strictly below (θ − margin) keeps the prune sound under rounding
+_MAXSCORE_EPS = 1e-5
+
+
+def maxscore_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k by summed BM25 with MaxScore pruning (Turtle & Flood 1995;
+    the document-at-a-time WAND family, Broder et al. 2003) — returns
+    EXACTLY what ``bm25_search`` returns (same schema, same rows, same
+    tie-break; asserted by tests and the oracle), but never aggregates
+    the full matching-doc set:
+
+    1. upper bounds ub(t) per query term (≤ |query terms| rows — driver-
+       bounded by the user's query string, the centroid-literal contract);
+    2. a threshold θ = k-th exact score among the ≤k docs seeded from the
+       highest-ub term's top single contributions (every exact top-k
+       score is ≥ θ because those seeds' scores are lower bounds);
+    3. terms split MaxScore-style: the largest ub-ascending prefix whose
+       ub sum stays below θ is NON-ESSENTIAL — a doc matching only those
+       terms cannot reach θ. Candidates = docs matching ≥1 essential
+       term; only candidate rows (essential AND non-essential) enter the
+       final per-doc aggregation, so the doc-keyed shuffle is ∝
+       essential-term postings, not the query's full OR — the saving
+       that matters when a rare term is ANDed with stopword-ish ones.
+
+    The candidate filter is a semi-join on ids (broadcastable when the
+    essential postings are small; id-keyed either way). Prune decisions
+    use a 1e-5 margin under θ so 6-dp score rounding can never evict a
+    true top-k tie. Falls back to no pruning (θ=0) when fewer than k
+    seeds exist — still exact, just unpruned."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("maxscore needs at least one indexable query term")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scores_q = (
+        bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+        .where(F.col("term").isin(terms))
+        .persist()
+    )
+    # (1) impact ceilings — bounded by the query's term count
+    ub_rows = bm25_term_upper_bounds(scores_q).collect()
+    ub = {r["term"]: float(r["ub"]) for r in ub_rows}
+    if not ub:
+        return (
+            scores_q.groupBy("doc_id")
+            .agg(F.round(F.sum("bm25_r"), 6).alias("score_r"))
+            .withColumn("rank", F.lit(1))
+            .where(F.lit(False))
+            .select("doc_id", "score_r", "rank")
+        )
+    # (2) θ from the best term's postings: top-k single contributions are
+    # lower bounds on those docs' exact scores
+    t_star = max(ub, key=lambda t: (ub[t], t))
+    seed_ids = (
+        scores_q.where(F.col("term") == t_star)
+        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id")
+    )
+    seed_scores = [
+        r["s"]
+        for r in scores_q.join(F.broadcast(seed_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("s"))
+        .collect()
+    ]
+    theta = sorted(seed_scores, reverse=True)[k - 1] if len(seed_scores) >= k else 0.0
+    # (3) MaxScore term split: ub-ascending prefix summing under θ−ε is
+    # non-essential
+    essential: list[str] = []
+    acc = 0.0
+    for t in sorted(ub, key=lambda t: (ub[t], t)):
+        acc += ub[t]
+        if acc >= theta - _MAXSCORE_EPS:
+            essential.append(t)
+    cand = (
+        scores_q.where(F.col("term").isin(essential))
+        .select("doc_id")
+        .distinct()
+    )
+    topk = (
+        scores_q.join(cand, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_r", "rank"
+    )
+
+
 _VBYTE_TIERS = [128 ** i for i in range(1, 9)]  # 128^1 .. 128^8 = 2^56
 
 

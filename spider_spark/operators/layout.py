@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import join_scalar_frame
 from ..warc import col_surt
 
 
@@ -65,7 +66,8 @@ def scan_locality_stats(
 ) -> DataFrame:
     """One summary row for a file-assigned frame: (layout, n_files,
     avg/max hosts per file, avg/max files per host). Two partial-agg
-    groupBys (file-keyed and host-keyed) + one-row cross join — no
+    groupBys (file-keyed and host-keyed), their 1-row aggregates combined
+    via join_scalar_frame (a BroadcastHashJoin, not a nested loop) — no
     windows, no global sort; shuffles ∝ #files + #hosts."""
     pf = assigned.groupBy("_fid").agg(F.countDistinct(host_col).alias("h"))
     ph = assigned.groupBy(host_col).agg(F.countDistinct("_fid").alias("f"))
@@ -78,7 +80,14 @@ def scan_locality_stats(
         F.round(F.avg("f"), 4).alias("avg_files_per_host_r"),
         F.max("f").cast("int").alias("max_files_per_host"),
     )
-    return a.crossJoin(b).select(F.lit(layout_name).alias("layout"), "*")
+    return join_scalar_frame(a, b).select(
+        F.lit(layout_name).alias("layout"),
+        "n_files",
+        "avg_hosts_per_file_r",
+        "max_hosts_per_file",
+        "avg_files_per_host_r",
+        "max_files_per_host",
+    )
 
 
 def layout_compare(

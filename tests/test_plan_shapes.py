@@ -30,10 +30,6 @@ SF_DIR = "/root/testdata/sf0.001"
 ALLOWED_QUADRATIC = {
     "embedding_near_dups_exact",
     "similarity_topk_cosine",
-    # one-row × one-row combine of two global aggregates (file-keyed and
-    # host-keyed stats, layout.scan_locality_stats) — the NL join's both
-    # sides are single-row by construction, O(1) not quadratic
-    "layout_scan_locality",
 }
 
 
