@@ -3270,6 +3270,57 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_crawl_order_curve(spark, sf_dir):
+    """Crawl-ordering quality curves (ordering.crawl_order_quality, Cho
+    et al. 1998): value-blind BFS vs value-greedy tick assignment over
+    the same URL set — per-(ordering, tick) cumulative value capture.
+    The greedy curve must dominate at every interior tick (pytest);
+    the oracle restates the tick census + cumulative windows."""
+    from spider_spark.operators import ordering as od
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.pmod(d * 13, F.lit(100)).cast("double").alias("value"),
+        d.alias("doc_id"),
+    )
+    led = base.select(
+        F.lit("bfs").alias("ordering"),
+        "url",
+        F.pmod(F.col("doc_id"), F.lit(20)).cast("int").alias("tick"),
+    ).unionByName(
+        base.select(
+            F.lit("greedy").alias("ordering"),
+            "url",
+            (F.lit(19) - F.floor(F.col("value") / 5)).cast("int").alias("tick"),
+        )
+    )
+    return od.crawl_order_quality(
+        led, base.select("url", "value"), ordering_col="ordering"
+    )
+
+
+def q_expected_freshness(spark, sf_dir):
+    """Expected-freshness ledger (recrawl.expected_freshness, Cho &
+    Garcia-Molina 2003): e^(−λ̂·age) per URL at a pinned evaluation
+    instant (2024-03-01), λ̂ from the exact-µs change-rate estimator and
+    age from each URL's latest capture. Composes change_rate ∘
+    latest-capture — the recrawl scheduler's priority signal."""
+    import datetime as _dt
+
+    from spider_spark.operators import recrawl
+
+    ev = _t(spark, sf_dir, "events")
+    rates = recrawl.change_rate(
+        ev, url_col="user_id", ts_col="ts", fp_col="event_type", tiebreak_col="event_id"
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    return recrawl.expected_freshness(
+        rates.join(last, "user_id"), _dt.datetime(2024, 3, 1), url_col="user_id"
+    )
+
+
 def q_maxscore_topk(spark, sf_dir):
     """MaxScore/WAND pruned top-10 (index.maxscore_topk, Turtle & Flood
     1995 / Broder et al. 2003) for 'dup batch' — a rare term (df≈5%)
@@ -3430,6 +3481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_host_counts": q_cms_host_counts,
         "fixed_chunk_dedup": q_fixed_chunk_dedup,
         "maxscore_topk": q_maxscore_topk,
+        "crawl_order_curve": q_crawl_order_curve,
+        "expected_freshness": q_expected_freshness,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_recall": q_lsh_recall,
@@ -5296,6 +5349,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "crawl_order_curve": """
+            WITH base AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST((doc_id * 13) % 100 AS DOUBLE) AS v,
+                     doc_id
+              FROM documents
+            ), led AS (
+              SELECT 'bfs' AS ordering, url, v,
+                     CAST(doc_id % 20 AS INT) AS tick FROM base
+              UNION ALL
+              SELECT 'greedy', url, v,
+                     CAST(19 - floor(v / 5) AS INT) FROM base
+            ), per AS (
+              SELECT ordering, tick, COUNT(*) AS n_fetched, SUM(v) AS tv
+              FROM led GROUP BY 1, 2
+            )
+            SELECT ordering, tick, n_fetched,
+                   CAST(SUM(n_fetched) OVER w AS BIGINT) AS cum_fetched,
+                   ROUND(SUM(tv) OVER w, 6) AS cum_value_r,
+                   ROUND(CASE WHEN SUM(tv) OVER wt > 0
+                              THEN SUM(tv) OVER w / (SUM(tv) OVER wt)
+                              ELSE 0 END, 6) AS cum_value_frac_r
+            FROM per
+            WINDOW w AS (PARTITION BY ordering ORDER BY tick),
+                   wt AS (PARTITION BY ordering ORDER BY tick
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+        """,
+        "expected_freshness": """
+            WITH lagged AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_type AS fp,
+                     LAG(epoch_us(ts)) OVER w AS prev_ts,
+                     LAG(event_type) OVER w AS prev_fp
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            per AS (
+              SELECT user_id,
+                     count(prev_ts) AS n_int,
+                     CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     AVG(CAST(ts_us - prev_ts AS DOUBLE)) / 1000000.0 AS mean_dt,
+                     MAX(ts_us) AS last_us
+              FROM lagged GROUP BY user_id),
+            lam AS (
+              SELECT user_id, last_us,
+                     CASE WHEN n_int > 0 AND mean_dt > 0
+                          THEN -ln((n_int - n_changes + 0.5) / (n_int + 0.5))
+                               / mean_dt + 0.0
+                          END AS lambda_per_s
+              FROM per)
+            SELECT user_id, lambda_per_s,
+                   ROUND((1709251200000000 - last_us) / 1000000.0, 6) AS age_s,
+                   ROUND(CASE WHEN lambda_per_s IS NOT NULL
+                                   AND (1709251200000000 - last_us) >= 0
+                              THEN exp(-lambda_per_s *
+                                       ((1709251200000000 - last_us)
+                                        / 1000000.0))
+                              END, 6) AS freshness_r
+            FROM lam
         """,
         "maxscore_topk": """
             WITH tok AS (

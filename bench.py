@@ -265,6 +265,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "cms_host_counts",
         "cdc_chunk_dedup",
         "maxscore_topk",
+        "crawl_order_curve",
+        "expected_freshness",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -96,6 +96,78 @@ def change_rate(
     )
 
 
+def _ts_us(df: DataFrame, ts_col: str):
+    """Exact integer microseconds for a timestamp column, NTZ-safe (the
+    change_rate discipline: calendar arithmetic, never session-tz)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def expected_freshness(
+    rates: DataFrame,
+    as_of,
+    url_col: str = "url",
+    last_ts_col: str = "last_ts",
+    lambda_col: str = "lambda_per_s",
+) -> DataFrame:
+    """Expected freshness per URL under the Poisson change model (Cho &
+    Garcia-Molina 2003, "Effective Page Refresh Policies"): the local
+    copy captured at ``last_ts`` is still fresh at ``as_of`` with
+    probability F = e^(−λ·age). Input: one row per URL with the
+    change-rate estimate (``change_rate`` output joined to the latest
+    capture — the latest_capture snapshot at engine scale) and the
+    caller-pinned evaluation instant (a literal, so the result is
+    deterministic and oracle-checkable — never "now()").
+
+    Output adds age_s (exact integer-µs age, float seconds) and
+    freshness_r (rounded 6); λ null → freshness null (no interval
+    evidence — unknown, not fresh). Pure projection, no shuffle."""
+    import datetime as _dt
+
+    if as_of.tzinfo is None:
+        # naive ⇒ UTC wall time, NEVER the host tz (datetime.timestamp()
+        # on a naive value would silently localize)
+        as_of_us = int(
+            (as_of - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+    else:
+        as_of_us = int(as_of.timestamp() * 1_000_000)
+    age_s = (
+        (F.lit(as_of_us) - _ts_us(rates, last_ts_col)).cast("double") / F.lit(1e6)
+    )
+    lam = F.col(lambda_col)
+    return rates.select(
+        url_col,
+        lambda_col,
+        F.round(age_s, 6).alias("age_s"),
+        F.round(
+            F.when(lam.isNotNull() & (age_s >= 0), F.exp(-lam * age_s)),
+            6,
+        ).alias("freshness_r"),
+    )
+
+
+def freshness_rollup(fresh: DataFrame, stale_below: float = 0.5) -> DataFrame:
+    """Corpus freshness ledger: one row — URLs scored / unscored, mean
+    and min expected freshness over scored URLs, and how many sit below
+    the staleness threshold (the recrawl backlog). One partial agg."""
+    f = F.col("freshness_r")
+    return fresh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count(f).cast("long").alias("n_scored"),
+        F.round(F.avg(f), 6).alias("avg_freshness_r"),
+        F.round(F.min(f), 6).alias("min_freshness_r"),
+        F.sum(F.when(f < stale_below, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stale"),
+    )
+
+
 def recrawl_intervals(
     rates: DataFrame,
     min_interval_s: int = 3600,
