@@ -3270,6 +3270,61 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (graph.spam_mass, Gyöngyi et al. VLDB 2006): PageRank
+    minus the trusted-core contribution (n·TrustRank, the linearity
+    normalization), relative mass → 1 flags link-spam-suspect rank.
+    Composes the two already-oracled rank chains; the oracle unrolls
+    BOTH and joins them."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select(F.col("doc_id").alias("node"))
+    return graph.spam_mass(_link_edges(docs), seeds, iters=2)
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion (index.reciprocal_rank_fusion, Cormack et
+    al. SIGIR 2009, k=60) over two independent deterministic top-25
+    rankings — consensus docs outscore single-list docs; absent docs
+    contribute nothing."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def ranked(mult: int, add: int):
+        top = (
+            docs.select("doc_id", F.pmod(d * mult + add, F.lit(997)).alias("s"))
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(25)
+        )
+        w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "doc_id", "rank"
+        )
+
+    return idx.reciprocal_rank_fusion([ranked(13, 5), ranked(31, 2)], k=60)
+
+
+def q_ucb_host_priority(spark, sf_dir):
+    """UCB1 host scheduling (adaptive.ucb_host_priority, Auer et al.
+    2002): mean discovery yield + exploration bonus per host; the
+    never-fetched host carries explore=true with null scores. Host
+    ledger synthesized arithmetically (host h7 never fetched)."""
+    from spider_spark.operators import adaptive
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), F.pmod(d, F.lit(30)).cast("string"))
+    fetched = (F.pmod(d, F.lit(30)) != 7).cast("int")
+    hy = docs.groupBy(host.alias("host")).agg(
+        F.sum(fetched).alias("n_fetches"),
+        F.sum(fetched * F.pmod(d, F.lit(11))).cast("double").alias("yield_sum"),
+    )
+    return adaptive.ucb_host_priority(hy)
+
+
 def q_crawl_order_curve(spark, sf_dir):
     """Crawl-ordering quality curves (ordering.crawl_order_quality, Cho
     et al. 1998): value-blind BFS vs value-greedy tick assignment over
@@ -3483,6 +3538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_topk": q_maxscore_topk,
         "crawl_order_curve": q_crawl_order_curve,
         "expected_freshness": q_expected_freshness,
+        "spam_mass_2iter": q_spam_mass,
+        "rrf_fusion": q_rrf_fusion,
+        "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_recall": q_lsh_recall,
@@ -5349,6 +5407,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "spam_mass_2iter": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ), od AS (SELECT s AS node, COUNT(*) AS outdeg FROM e GROUP BY s),
+            r0 AS (
+              SELECT n.node, CAST(1.0 AS DOUBLE) AS rank, od.outdeg
+              FROM nodes n LEFT JOIN od USING (node)),
+            pc1 AS (SELECT e.d AS node, SUM(r.rank / r.outdeg) AS in_sum
+                    FROM e JOIN r0 r ON r.node = e.s GROUP BY e.d),
+            r1 AS (SELECT r0.node,
+                          0.15 + 0.85 * COALESCE(pc1.in_sum, 0) AS rank,
+                          r0.outdeg
+                   FROM r0 LEFT JOIN pc1 USING (node)),
+            pc2 AS (SELECT e.d AS node, SUM(r.rank / r.outdeg) AS in_sum
+                    FROM e JOIN r1 r ON r.node = e.s GROUP BY e.d),
+            r2 AS (SELECT r1.node,
+                          0.15 + 0.85 * COALESCE(pc2.in_sum, 0) AS rank
+                   FROM r1 LEFT JOIN pc2 USING (node)),
+            seeds AS (
+              SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0
+            ), ns AS (SELECT COUNT(*) AS n FROM seeds),
+            base AS (
+              SELECT n.node, od.outdeg,
+                     CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.n
+                          ELSE 0.0 END AS d0
+              FROM nodes n LEFT JOIN od USING (node)
+                           LEFT JOIN seeds sd USING (node), ns
+            ),
+            t0 AS (SELECT node, d0 AS trust, outdeg, d0 AS dd0 FROM base),
+            tc1 AS (SELECT e.d AS node, SUM(t.trust / t.outdeg) AS in_sum
+                    FROM e JOIN t0 t ON t.node = e.s GROUP BY e.d),
+            t1 AS (SELECT t0.node,
+                          0.15 * t0.dd0 + 0.85 * COALESCE(tc1.in_sum, 0)
+                            AS trust,
+                          t0.outdeg, t0.dd0
+                   FROM t0 LEFT JOIN tc1 USING (node)),
+            tc2 AS (SELECT e.d AS node, SUM(t.trust / t.outdeg) AS in_sum
+                    FROM e JOIN t1 t ON t.node = e.s GROUP BY e.d),
+            t2 AS (SELECT t1.node,
+                          0.15 * t1.dd0 + 0.85 * COALESCE(tc2.in_sum, 0)
+                            AS trust
+                   FROM t1 LEFT JOIN tc2 USING (node)),
+            nn AS (SELECT COUNT(*) AS n FROM nodes)
+            SELECT r2.node,
+                   ROUND(r2.rank, 6) AS pr_r,
+                   ROUND(nn.n * t2.trust, 6) AS core_r,
+                   ROUND(r2.rank - nn.n * t2.trust, 6) AS mass_r,
+                   ROUND(CASE WHEN r2.rank > 0
+                              THEN (r2.rank - nn.n * t2.trust) / r2.rank
+                              END, 6) AS rel_mass_r
+            FROM r2 JOIN t2 USING (node), nn
+        """,
+        "rrf_fusion": """
+            WITH a AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY (doc_id * 13 + 5) % 997 DESC, doc_id ASC)
+                       AS INT) AS rank
+              FROM documents
+              ORDER BY (doc_id * 13 + 5) % 997 DESC, doc_id ASC LIMIT 25
+            ), b AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY (doc_id * 31 + 2) % 997 DESC, doc_id ASC)
+                       AS INT) AS rank
+              FROM documents
+              ORDER BY (doc_id * 31 + 2) % 997 DESC, doc_id ASC LIMIT 25
+            ), u AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS c FROM a
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) FROM b
+            )
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
+                   ROUND(SUM(c), 6) AS rrf_r
+            FROM u GROUP BY doc_id
+        """,
+        "ucb_host_priority": """
+            WITH hy AS (
+              SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+                     CAST(SUM(CASE WHEN doc_id % 30 <> 7 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_fetches,
+                     CAST(SUM(CASE WHEN doc_id % 30 <> 7
+                                   THEN doc_id % 11 ELSE 0 END)
+                          AS DOUBLE) AS yield_sum
+              FROM documents GROUP BY 1
+            ), tot AS (
+              SELECT CAST(COALESCE(SUM(n_fetches), 0) AS DOUBLE) AS N FROM hy
+            )
+            SELECT host, n_fetches,
+                   ROUND(CASE WHEN n_fetches > 0
+                              THEN yield_sum / n_fetches END, 6)
+                     AS mean_yield_r,
+                   ROUND(CASE WHEN n_fetches > 0 AND N > 0
+                              THEN yield_sum / n_fetches
+                                   + sqrt(2) * sqrt(ln(N) / n_fetches)
+                              END, 6) AS ucb_r,
+                   n_fetches <= 0 AS explore
+            FROM hy, tot
         """,
         "crawl_order_curve": """
             WITH base AS (

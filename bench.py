@@ -267,6 +267,9 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "maxscore_topk",
         "crawl_order_curve",
         "expected_freshness",
+        "spam_mass_2iter",
+        "rrf_fusion",
+        "ucb_host_priority",
         "fixed_chunk_dedup",
     ]
     out = {}

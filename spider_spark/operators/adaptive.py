@@ -146,6 +146,50 @@ def adaptive_host_budgets(
     )
 
 
+def ucb_host_priority(
+    host_yield: DataFrame,
+    c: float = 1.4142135623730951,
+    host_col: str = "host",
+    n_col: str = "n_fetches",
+    yield_col: str = "yield_sum",
+) -> DataFrame:
+    """UCB1 host scheduling (Auer, Cesa-Bianchi & Fischer 2002, applied
+    to crawl scheduling as in bandit-based focused crawlers): treat each
+    host as an arm whose reward is its discovery yield (new URLs — or
+    quality-weighted value — per fetch), and order the next tick's host
+    allocation by
+
+        ucb(h) = mean_yield(h) + c·sqrt(ln(N) / n(h)),   N = Σ n(h).
+
+    Exploitation keeps productive hosts hot; the bonus keeps thin hosts
+    probed as evidence ages. Never-fetched hosts (n=0) carry a null ucb
+    and explore=true — schedulers place them FIRST (infinite bonus),
+    deterministically by host. Input is the per-host ledger census
+    (n fetches, summed yield); one 1-row scalar hash-join for N, then a
+    pure projection — no windows, no collect. Returns
+    (host, n_fetches, mean_yield_r, ucb_r, explore)."""
+    from . import join_scalar_frame
+
+    if c < 0:
+        raise ValueError("exploration constant c must be >= 0")
+    tot = host_yield.groupBy().agg(
+        F.coalesce(F.sum(F.col(n_col)), F.lit(0)).cast("double").alias("_N")
+    )
+    j = join_scalar_frame(host_yield, tot)
+    n = F.col(n_col).cast("double")
+    mean = F.when(n > 0, F.col(yield_col).cast("double") / n)
+    bonus = F.when(
+        (n > 0) & (F.col("_N") > 0), F.lit(c) * F.sqrt(F.log(F.col("_N")) / n)
+    )
+    return j.select(
+        F.col(host_col).alias("host"),
+        F.col(n_col).cast("long").alias("n_fetches"),
+        F.round(mean, 6).alias("mean_yield_r"),
+        F.round(mean + bonus, 6).alias("ucb_r"),
+        (F.coalesce(n, F.lit(0.0)) <= 0).alias("explore"),
+    )
+
+
 def politeness_compliance(
     fetches: DataFrame,
     delays: DataFrame,

@@ -522,6 +522,53 @@ def trustrank(
     return out
 
 
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, VLDB 2006,
+    "Link Spam Detection Based on Mass Estimation"): how much of a page's
+    PageRank arrives from OUTSIDE the trusted core. Composes the two
+    rank operators this repo already has: PR (uniform teleport, the
+    (1−d)+d·Σ convention, per-node teleport mass 1) and TrustRank
+    (teleport 1/|S| on seeds, total mass 1). Scaling n·trust puts the
+    trusted-core PR on PR's convention (same total teleport mass n by
+    linearity of the recursion), so
+
+        mass(p) = PR(p) − n·trust(p);  rel_mass(p) = mass/PR.
+
+    rel_mass → 1 flags rank earned from untrusted (spam-suspect) links;
+    ≈0 means the page's rank is seed-backed. Same O(|E|)-per-sweep
+    physical shape as the two components; the combine is one node-keyed
+    join + a 1-row scalar hash-join for n. Returns
+    (node, pr_r, core_r, mass_r, rel_mass_r), all rounded 6."""
+    from . import join_scalar_frame
+
+    pr = pagerank(edges, iters=iters, damping=damping, src=src, dst=dst)
+    tr = trustrank(
+        edges, seeds, iters=iters, damping=damping, src=src, dst=dst,
+        seed_col=seed_col,
+    )
+    n_nodes = pr.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    j = join_scalar_frame(pr.join(tr, "node"), n_nodes)
+    core = F.col("_n") * F.col("trust")
+    mass = F.col("rank") - core
+    return j.select(
+        "node",
+        F.round("rank", 6).alias("pr_r"),
+        F.round(core, 6).alias("core_r"),
+        F.round(mass, 6).alias("mass_r"),
+        F.round(
+            F.when(F.col("rank") > 0, mass / F.col("rank")), 6
+        ).alias("rel_mass_r"),
+    )
+
+
 def bfs_depth(
     edges: DataFrame,
     seeds: DataFrame,

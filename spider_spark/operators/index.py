@@ -355,6 +355,40 @@ def maxscore_topk(
     )
 
 
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    score(d) = Σ over input rankings of 1/(k + rank(d)) — the
+    training-free way to combine heterogeneous rankers (BM25, PageRank
+    priority, freshness) that consistently beats each input. k=60 per
+    the paper. Inputs are (id, rank) frames (rank 1-based; a doc absent
+    from a list contributes nothing). One union + one partial-agg
+    groupBy — shuffle ∝ Σ list lengths, which for top-k inputs is tiny.
+    Returns (id, n_lists, rrf_r) rounded 6; ties broken downstream by id
+    like every ranker here."""
+    if not rankings:
+        raise ValueError("rrf needs at least one ranking")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = None
+    for r in rankings:
+        leg = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        u = leg if u is None else u.unionByName(leg)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.round(F.sum("_c"), 6).alias("rrf_r"),
+    )
+
+
 _VBYTE_TIERS = [128 ** i for i in range(1, 9)]  # 128^1 .. 128^8 = 2^56
 
 
