@@ -3270,6 +3270,28 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_bm25f_search(spark, sf_dir):
+    """BM25F body+anchor retrieval (index.bm25f_search, Robertson et al.
+    CIKM 2004): anchors weighted 2× INSIDE the tf saturation (the
+    paper's point), idf over any-field df. Anchor field synthesized
+    arithmetically incl. null and empty anchors; oracle restates the
+    whole two-field computation."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    anchored = docs.select(
+        "doc_id",
+        "text",
+        F.when(d % 7 == 0, F.lit(None).cast("string"))
+        .when(d % 5 == 0, F.lit("merge spark"))
+        .when(d % 5 == 1, F.lit("spark window guide"))
+        .otherwise(F.lit("misc anchor text"))
+        .alias("anchor_text"),
+    )
+    return idx.bm25f_search(anchored, "spark window merge", k=10)
+
+
 def q_spam_mass(spark, sf_dir):
     """Spam mass (graph.spam_mass, Gyöngyi et al. VLDB 2006): PageRank
     minus the trusted-core contribution (n·TrustRank, the linearity
@@ -3539,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_order_curve": q_crawl_order_curve,
         "expected_freshness": q_expected_freshness,
         "spam_mass_2iter": q_spam_mass,
+        "bm25f_search": q_bm25f_search,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
@@ -5407,6 +5430,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "bm25f_search": """
+            WITH anch AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          WHEN doc_id % 5 = 0 THEN 'merge spark'
+                          WHEN doc_id % 5 = 1 THEN 'spark window guide'
+                          ELSE 'misc anchor text' END AS anchor_text
+              FROM documents
+            ), nd AS (SELECT COUNT(*) AS n FROM anch),
+            btok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM anch
+            ), atok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(anchor_text,
+                                                              '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM anch
+            ), bdl AS (
+              SELECT a.doc_id, COUNT(t.term) AS dl
+              FROM anch a LEFT JOIN btok t USING (doc_id) GROUP BY 1
+            ), adl AS (
+              SELECT a.doc_id, COUNT(t.term) AS dl
+              FROM anch a LEFT JOIN atok t USING (doc_id) GROUP BY 1
+            ), bavg AS (SELECT SUM(dl) / CAST((SELECT n FROM nd) AS DOUBLE)
+                          AS avgl FROM bdl),
+            aavg AS (SELECT SUM(dl) / CAST((SELECT n FROM nd) AS DOUBLE)
+                       AS avgl FROM adl),
+            bpost AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM btok
+              WHERE term IN ('merge', 'spark', 'window') GROUP BY 1, 2
+            ), apost AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM atok
+              WHERE term IN ('merge', 'spark', 'window') GROUP BY 1, 2
+            ), wtf AS (
+              SELECT p.doc_id, p.term,
+                     1.0 * p.tf / (0.25 + 0.75 * l.dl / g.avgl) AS c
+              FROM bpost p JOIN bdl l USING (doc_id), bavg g
+              UNION ALL
+              SELECT p.doc_id, p.term,
+                     2.0 * p.tf / (0.25 + 0.75 * l.dl / g.avgl)
+              FROM apost p JOIN adl l USING (doc_id), aavg g
+            ), pseudo AS (
+              SELECT doc_id, term, SUM(c) AS tft FROM wtf GROUP BY 1, 2
+            ), dfa AS (
+              SELECT term, COUNT(*) AS df FROM pseudo GROUP BY 1
+            ), scored AS (
+              SELECT p.doc_id,
+                     ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                       * p.tft / (1.2 + p.tft) AS s
+              FROM pseudo p JOIN dfa d USING (term), nd c
+            )
+            SELECT doc_id, score_r, rank FROM (
+              SELECT doc_id, ROUND(SUM(s), 6) AS score_r,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(SUM(s), 6) DESC,
+                                        doc_id ASC) AS rank
+              FROM scored GROUP BY doc_id) WHERE rank <= 10
         """,
         "spam_mass_2iter": """
             WITH e AS (

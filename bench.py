@@ -270,6 +270,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "spam_mass_2iter",
         "rrf_fusion",
         "ucb_host_priority",
+        "bm25f_search",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -355,6 +355,91 @@ def maxscore_topk(
     )
 
 
+def bm25f_search(
+    docs: DataFrame,
+    query: str,
+    fields: list[tuple[str, float, float]] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Simple BM25F (Robertson, Zaragoza & Taylor, CIKM 2004): the
+    field-weighted ranker that made anchor text the strongest web-search
+    signal — per-field term frequencies are length-normalized, weighted,
+    SUMMED into one pseudo-frequency, then saturated once:
+
+        tf̃(t,d) = Σ_f w_f · tf_f(t,d) / B_f,
+        B_f = 1 − b_f + b_f · l_f(d)/avgl_f,
+        score(d) = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+
+    (the paper's point: weight INSIDE the saturation — boosting a field
+    by repeating the whole-doc score breaks saturation). idf is the
+    Lucene non-negative form with df = docs matching the term in ANY
+    field. ``fields`` is [(text_col, weight, b)], default
+    [("text", 1.0, 0.75), ("anchor_text", 2.0, 0.75)] — the body+anchor
+    pair, anchors boosted 2× per web-search convention.
+
+    Scale shape: one postings shuffle per field (each ∝ its own token
+    stream; the anchor field is typically tiny), term-filtered by the
+    query IN-list before any join; per-field length/avg constants ride
+    1-row scalar hash-joins; the field combine is a (doc,term)-keyed
+    union + partial agg; global top-k is TakeOrderedAndProject. Returns
+    (doc_id, score_r, rank), deterministic ties on doc_id."""
+    if fields is None:
+        fields = [("text", 1.0, 0.75), ("anchor_text", 2.0, 0.75)]
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("bm25f needs at least one indexable query term")
+    if not fields:
+        raise ValueError("bm25f needs at least one field")
+    from . import join_scalar_frame
+
+    n_docs_frame = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    combined = None
+    for text_col, w, b in fields:
+        post = postings(docs, id_col, text_col)
+        dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        tot = post.groupBy().agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("tot_tokens")
+        )
+        leg = join_scalar_frame(
+            post.where(F.col("term").isin(terms)).join(dl, "doc_id"),
+            join_scalar_frame(n_docs_frame, tot),
+        )
+        avgl = F.col("tot_tokens") / F.col("n_docs")
+        bf = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgl
+        leg = leg.select(
+            "doc_id",
+            "term",
+            (F.lit(float(w)) * F.col("tf") / bf).alias("_wtf"),
+        )
+        combined = leg if combined is None else combined.unionByName(leg)
+    pseudo = combined.groupBy("doc_id", "term").agg(
+        F.sum("_wtf").alias("_tft")
+    )
+    # df over ANY field: distinct (doc, term) across the query-filtered
+    # pseudo-frequency table IS that census (a term absent everywhere has
+    # no row)
+    df_any = pseudo.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = join_scalar_frame(pseudo.join(df_any, "term"), n_docs_frame)
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_doc = (
+        scored.select(
+            "doc_id",
+            (idf * F.col("_tft") / (F.lit(k1) + F.col("_tft"))).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score_r"))
+    )
+    topk = per_doc.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()).limit(k)
+    w_rank = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w_rank)).select(
+        "doc_id", "score_r", "rank"
+    )
+
+
 def reciprocal_rank_fusion(
     rankings: list[DataFrame],
     k: int = 60,
