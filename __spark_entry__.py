@@ -3270,6 +3270,20 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW shard routing (layout.rendezvous_assign, Thaler &
+    Ravishankar 1998): doc → argmax over 4 shards of the md5 score;
+    adding a shard moves keys only onto it (pytest-pinned minimal
+    movement). Map-only codegen; the oracle restates all four hashes and
+    the ≥-cascade tie rule."""
+    from spider_spark.operators import layout
+
+    docs = _t(spark, sf_dir, "documents")
+    return layout.rendezvous_assign(
+        docs.select("doc_id"), ["s-a", "s-b", "s-c", "s-d"]
+    )
+
+
 def q_bm25f_search(spark, sf_dir):
     """BM25F body+anchor retrieval (index.bm25f_search, Robertson et al.
     CIKM 2004): anchors weighted 2× INSIDE the tf saturation (the
@@ -3562,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expected_freshness": q_expected_freshness,
         "spam_mass_2iter": q_spam_mass,
         "bm25f_search": q_bm25f_search,
+        "rendezvous_shards": q_rendezvous_shards,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
@@ -5430,6 +5445,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "rendezvous_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-a'), 1, 8))::UBIGINT
+                          AS BIGINT) AS ha,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-b'), 1, 8))::UBIGINT
+                          AS BIGINT) AS hb,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-c'), 1, 8))::UBIGINT
+                          AS BIGINT) AS hc,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-d'), 1, 8))::UBIGINT
+                          AS BIGINT) AS hd
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN hd >= ha AND hd >= hb AND hd >= hc THEN 's-d'
+                        WHEN hc >= ha AND hc >= hb THEN 's-c'
+                        WHEN hb >= ha THEN 's-b'
+                        ELSE 's-a' END AS shard
+            FROM h
         """,
         "bm25f_search": """
             WITH anch AS (

@@ -271,6 +271,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "rrf_fusion",
         "ucb_host_priority",
         "bm25f_search",
+        "rendezvous_shards",
         "fixed_chunk_dedup",
     ]
     out = {}

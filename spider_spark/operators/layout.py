@@ -90,6 +90,48 @@ def scan_locality_stats(
     )
 
 
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    key_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight shard routing (Thaler &
+    Ravishankar 1998): key → argmax over shards of h(key, shard). The
+    property that matters for a living index/frontier: ADDING a shard
+    moves only the keys that now win on the new shard (~1/(n+1) of
+    them), and every moved key moves TO the new shard — no global
+    reshuffle, unlike mod-N routing where nearly all keys move. h is the
+    repo's engine-portable md5 bucket hash so a DuckDB oracle restates
+    the assignment bit-for-bit.
+
+    Pure map-only projection (one md5 per shard per row, all codegen);
+    ties (≈2⁻³² per pair) break toward the lexicographically LARGEST
+    shard id, deterministically. Shard list is a literal — the routing
+    table, driver-held by definition."""
+    if not shards:
+        raise ValueError("rendezvous_assign needs at least one shard")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard ids")
+    key = F.col(key_col).cast("string")
+    scored = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(F.md5(F.concat(key, F.lit(f":{s}"))), 1, 8),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(scored).getField("s"))
+
+
 def layout_compare(
     pages: DataFrame,
     rows_per_file: int,

@@ -94,6 +94,42 @@ def stream_trending_terms(
     )
 
 
+def stream_cms(
+    keyed: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min Sketch — the running frontier-telemetry twin
+    of ``operators.sketches.count_min_sketch``: the aggregation STATE is
+    the sketch itself (≤ depth×width counter rows), so an unbounded key
+    stream — hosts seen, URL patterns, error codes — tracks in constant
+    memory with no watermark and no key-cardinality risk; that is the
+    whole reason CMS exists. Run with complete/update output mode; the
+    counters in the sink at any instant equal the batch sketch over every
+    row ingested so far (asserted by the twin test), so point estimates
+    come from batch ``sketches.cms_estimate`` over the sink."""
+    from spider_spark.operators.sketches import col_cms_bucket
+
+    key = F.col(key_col).cast("string")
+    pairs = keyed.where(key.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hrow"),
+                        col_cms_bucket(key, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return pairs.groupBy(
+        F.col("rb.hrow").alias("hrow"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def stream_first_seen(links: DataFrame, num_shards: int = 32) -> DataFrame:
     """Stateful streaming URL-seen filter: emit each canonical URL exactly
     once across all micro-batches (``applyInPandasWithState``), sharded by
