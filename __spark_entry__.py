@@ -3270,6 +3270,29 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_term_proximity(spark, sf_dir):
+    """Pairwise term-proximity re-rank signal (index.term_proximity,
+    Büttcher et al. SIGIR 2006 core) for 'spark window merge': per doc
+    the min position distance per term pair, prox = Σ 1/min_dist.
+    Positional postings filtered to the query before any shuffle."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.term_proximity(docs, "spark window merge")
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """Corpus keywords by TextRank (textqc.textrank_keywords, Mihalcea &
+    Tarau EMNLP 2004): weighted PageRank over the adjacent-token
+    co-occurrence graph, 2 sweeps; centrality beats raw frequency. The
+    oracle unrolls the bigram census, the symmetric edge merge, and both
+    weighted sweeps."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.textrank_keywords(docs, iters=2, min_len=2)
+
+
 def q_rendezvous_shards(spark, sf_dir):
     """Rendezvous/HRW shard routing (layout.rendezvous_assign, Thaler &
     Ravishankar 1998): doc → argmax over 4 shards of the md5 score;
@@ -3577,6 +3600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass_2iter": q_spam_mass,
         "bm25f_search": q_bm25f_search,
         "rendezvous_shards": q_rendezvous_shards,
+        "term_proximity_rerank": q_term_proximity,
+        "textrank_keywords": q_textrank_keywords,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
@@ -5445,6 +5470,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "term_proximity_rerank": """
+            WITH tdocs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '([a-z0-9]+)', 1) AS terms
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(terms) AS term,
+                     CAST(unnest(range(len(terms))) AS BIGINT) AS pos
+              FROM tdocs),
+            qp AS (
+              SELECT doc_id, term, pos FROM pos
+              WHERE term IN ('merge', 'spark', 'window')),
+            present AS (
+              SELECT doc_id, CAST(COUNT(DISTINCT term) AS INT)
+                       AS n_terms_present
+              FROM qp GROUP BY 1),
+            pairmin AS (
+              SELECT a.doc_id, a.term AS ta, b.term AS tb,
+                     MIN(ABS(a.pos - b.pos)) AS md
+              FROM qp a JOIN qp b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2, 3),
+            perdoc AS (
+              SELECT doc_id, CAST(MIN(md) AS INT) AS min_pair_dist,
+                     ROUND(SUM(1.0 / md), 6) AS prox_r
+              FROM pairmin GROUP BY 1)
+            SELECT p.doc_id, p.n_terms_present, d.min_pair_dist,
+                   COALESCE(d.prox_r, 0.0) AS prox_r
+            FROM present p LEFT JOIN perdoc d USING (doc_id)
+        """,
+        "textrank_keywords": """
+            WITH toks AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')),
+                                             '[^a-z0-9]+'),
+                       x -> length(x) >= 2) AS t
+              FROM documents),
+            pairs AS (
+              SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)]),
+                            recursive := true)
+              FROM toks WHERE len(t) >= 2),
+            census AS (
+              SELECT element1 AS w1, element2 AS w2, COUNT(*) AS c
+              FROM pairs WHERE element1 <> element2 GROUP BY 1, 2),
+            edges AS (
+              SELECT src, dst, CAST(SUM(c) AS DOUBLE) AS w FROM (
+                SELECT w1 AS src, w2 AS dst, c FROM census
+                UNION ALL
+                SELECT w2, w1, c FROM census)
+              GROUP BY 1, 2),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+            wout AS (SELECT src AS node, SUM(w) AS wout FROM edges GROUP BY 1),
+            r0 AS (SELECT n.node, 1.0 AS rank, wout.wout
+                   FROM nodes n LEFT JOIN wout USING (node)),
+            c1 AS (SELECT e.dst AS node, SUM(r.rank * e.w / r.wout) AS in_sum
+                   FROM edges e JOIN r0 r ON r.node = e.src GROUP BY 1),
+            r1 AS (SELECT r0.node,
+                          0.15 + 0.85 * COALESCE(c1.in_sum, 0) AS rank,
+                          r0.wout
+                   FROM r0 LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT e.dst AS node, SUM(r.rank * e.w / r.wout) AS in_sum
+                   FROM edges e JOIN r1 r ON r.node = e.src GROUP BY 1),
+            r2 AS (SELECT r1.node,
+                          0.15 + 0.85 * COALESCE(c2.in_sum, 0) AS rank
+                   FROM r1 LEFT JOIN c2 USING (node))
+            SELECT node AS term, ROUND(rank, 6) AS rank_r FROM r2
         """,
         "rendezvous_shards": """
             WITH h AS (

@@ -272,6 +272,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "ucb_host_priority",
         "bm25f_search",
         "rendezvous_shards",
+        "term_proximity_rerank",
+        "textrank_keywords",
         "fixed_chunk_dedup",
     ]
     out = {}

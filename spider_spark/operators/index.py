@@ -631,6 +631,55 @@ def positional_postings(
     ).select("term", "doc_id", "pos")
 
 
+def term_proximity(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise term-proximity signal (the span/proximity re-ranker of
+    Büttcher, Clarke & Lushman SIGIR 2006, reduced to its deterministic
+    core): for every unordered pair of distinct query terms present in a
+    doc, the minimum absolute position distance, accumulated as
+    prox = Σ_pairs 1/min_dist — terms adjacent somewhere score a full
+    point per pair, terms far apart almost nothing. Re-ranks the BM25
+    top-k (join on doc_id) rather than replacing it; docs containing
+    fewer than 2 distinct query terms get prox 0 and null min_dist.
+
+    Scale shape: positional postings filtered to the query IN-list
+    BEFORE any shuffle (postings ∝ query terms only), one doc_id-keyed
+    self-join (per-doc-local position pairing), two partial aggs. Output
+    (doc_id, n_terms_present, min_pair_dist, prox_r)."""
+    terms = tokenize_phrase(query)
+    uniq = sorted(set(terms))
+    if len(uniq) < 1:
+        raise ValueError("proximity needs at least one indexable query term")
+    pos = positional_postings(docs, id_col, text_col).where(
+        F.col("term").isin(uniq)
+    )
+    present = pos.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("int").alias("n_terms_present")
+    )
+    a = pos.select("doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa"))
+    b = pos.select("doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb"))
+    pair_min = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("doc_id", "ta", "tb")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("md"))
+    )
+    per_doc = pair_min.groupBy("doc_id").agg(
+        F.min("md").cast("int").alias("min_pair_dist"),
+        F.round(F.sum(F.lit(1.0) / F.col("md")), 6).alias("prox_r"),
+    )
+    return present.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_terms_present",
+        "min_pair_dist",
+        F.coalesce(F.col("prox_r"), F.lit(0.0)).alias("prox_r"),
+    )
+
+
 def tokenize_phrase(phrase: str) -> list[str]:
     """Driver-side twin of ``col_index_tokens`` for query strings."""
     import re

@@ -718,6 +718,64 @@ def collocations_pmi(
     )
 
 
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    iters: int = 2,
+    damping: float = 0.85,
+    min_len: int = 2,
+) -> DataFrame:
+    """Corpus keyword ranking by TextRank (Mihalcea & Tarau, EMNLP 2004):
+    weighted PageRank over the word co-occurrence graph — nodes are
+    terms, an edge per ADJACENT token pair (the window-2 form), weight =
+    corpus-wide adjacency count, symmetric (both directions, the paper's
+    undirected graph on a directed engine). Centrality beats raw
+    frequency: a term bridging many contexts outranks one repeated
+    inside a single boilerplate phrase. Stopword policy composes
+    upstream (filter text first); ``min_len`` drops 1-char noise tokens.
+
+    Scale shape: the bigram census is one (w1, w2) partial-agg shuffle
+    bounded by distinct adjacent pairs (collocations_pmi's shape), then
+    ``graph.weighted_pagerank``'s O(|E|)-per-sweep joins. Returns
+    (term, rank_r)."""
+    from .graph import weighted_pagerank
+
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    toks = F.filter(
+        F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+"
+        ),
+        lambda t: F.length(t) >= min_len,
+    )
+    pairs = (
+        docs.select(toks.alias("_t"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where(F.col("w1") != F.col("w2"))
+    )
+    counted = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    sym = counted.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("c").alias("weight")
+    ).unionByName(
+        counted.select(
+            F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("c").alias("weight")
+        )
+    )
+    # a↔b adjacency in both text orders merges into one weighted edge
+    edges = sym.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ranks = weighted_pagerank(edges, iters=iters, damping=damping)
+    return ranks.select(F.col("node").alias("term"), F.round("rank", 6).alias("rank_r"))
+
+
 def zipf_fit(
     docs: DataFrame,
     k: int = 1000,
