@@ -3270,6 +3270,31 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def q_boolean_search(spark, sf_dir):
+    """Boolean retrieval (index.boolean_search, IIR ch.1): spark AND
+    merge AND (window OR join) AND NOT dup — MUST as a partial-agg count
+    equality (never a k-way self-join), SHOULD semi, NOT anti, all on
+    doc_id."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.boolean_search(
+        docs, must=["spark", "merge"], should=["window", "join"], must_not=["dup"]
+    )
+
+
+def q_more_like_this(spark, sf_dir):
+    """Related documents by tf-idf cosine vs doc 0 (index.more_like_this,
+    the Lucene MoreLikeThis discipline): source terms df-screened at 80%
+    (the synthetic corpus vocabulary is deliberately common; the tighter
+    production screen is pytest-pinned), full-vector norms, top-10. Oracle restates the whole weight/norm/dot
+    chain."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.more_like_this(docs, 0, k=10, max_df_frac=0.8)
+
+
 def q_term_proximity(spark, sf_dir):
     """Pairwise term-proximity re-rank signal (index.term_proximity,
     Büttcher et al. SIGIR 2006 core) for 'spark window merge': per doc
@@ -3602,6 +3627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "term_proximity_rerank": q_term_proximity,
         "textrank_keywords": q_textrank_keywords,
+        "boolean_search": q_boolean_search,
+        "more_like_this": q_more_like_this,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
@@ -5470,6 +5497,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "boolean_search": """
+            WITH seen AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '([a-z0-9]+)', 1)) AS term
+                FROM documents)
+              WHERE term IN ('spark', 'merge', 'window', 'join', 'dup')
+            ), flags AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN term IN ('merge', 'spark')
+                                   THEN 1 ELSE 0 END) AS INT) AS n_must,
+                     CAST(SUM(CASE WHEN term IN ('join', 'window')
+                                   THEN 1 ELSE 0 END) AS INT) AS n_should,
+                     SUM(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS neg
+              FROM seen GROUP BY doc_id)
+            SELECT doc_id, n_must, n_should FROM flags
+            WHERE neg = 0 AND n_must = 2 AND n_should >= 1
+        """,
+        "more_like_this": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), nd AS (SELECT COUNT(*) AS n FROM documents),
+            w AS (
+              SELECT p.doc_id, p.term, d.df,
+                     p.tf * ln(1 + CAST(c.n AS DOUBLE) / d.df) AS w
+              FROM post p JOIN dft d USING (term), nd c
+            ), norms AS (
+              SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY 1
+            ), src AS (
+              SELECT w.term, w.w AS w_src FROM w, nd c
+              WHERE w.doc_id = 0 AND w.df <= c.n * 0.8
+            ), cand AS (
+              SELECT w.doc_id, SUM(w.w * s.w_src) AS dot
+              FROM w JOIN src s USING (term)
+              WHERE w.doc_id <> 0 GROUP BY 1
+            ), scored AS (
+              SELECT c.doc_id,
+                     ROUND(c.dot / (n.norm *
+                       (SELECT norm FROM norms WHERE doc_id = 0)), 6)
+                       AS cosine_r
+              FROM cand c JOIN norms n USING (doc_id))
+            SELECT doc_id, cosine_r, rank FROM (
+              SELECT doc_id, cosine_r,
+                     ROW_NUMBER() OVER (ORDER BY cosine_r DESC, doc_id ASC)
+                       AS rank
+              FROM scored) WHERE rank <= 10
         """,
         "term_proximity_rerank": """
             WITH tdocs AS (

@@ -274,6 +274,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "rendezvous_shards",
         "term_proximity_rerank",
         "textrank_keywords",
+        "boolean_search",
+        "more_like_this",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -631,6 +631,124 @@ def positional_postings(
     ).select("term", "doc_id", "pos")
 
 
+def boolean_search(
+    docs: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval (Manning IIR ch.1 — the AND/OR/NOT model every
+    ranked engine still exposes as filter clauses): docs containing ALL
+    ``must`` terms, at least one ``should`` term (when any are given),
+    and no ``must_not`` term. Terms are single tokens under the index
+    tokenizer; at least one positive clause is required (pure negation
+    over a 100 TB corpus is a full scan by definition — refused, not
+    silently executed).
+
+    Physical shape: one distinct (doc, term) census filtered to the
+    clause terms before any shuffle; MUST is a partial-agg count
+    equality (never a k-way self-join), SHOULD a semi-join, MUST_NOT an
+    anti-join — all on doc_id. Returns (doc_id, n_must, n_should),
+    deterministic."""
+    must = sorted(set(must or []))
+    should = sorted(set(should or []))
+    must_not = sorted(set(must_not or []))
+    if not must and not should:
+        raise ValueError("boolean_search needs at least one must/should term")
+    if set(must) & set(must_not):
+        raise ValueError("a term cannot be both must and must_not")
+    every = sorted(set(must) | set(should) | set(must_not))
+    seen = (
+        positional_postings(docs, id_col, text_col)
+        .where(F.col("term").isin(every))
+        .select("doc_id", "term")
+        .distinct()
+    )
+    flags = seen.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term").isin(must), 1).otherwise(0))
+        .cast("int")
+        .alias("n_must"),
+        F.sum(F.when(F.col("term").isin(should), 1).otherwise(0))
+        .cast("int")
+        .alias("n_should"),
+        F.sum(F.when(F.col("term").isin(must_not), 1).otherwise(0)).alias("_neg"),
+    )
+    out = flags.where(F.col("_neg") == 0)
+    if must:
+        out = out.where(F.col("n_must") == len(must))
+    if should:
+        out = out.where(F.col("n_should") >= 1)
+    return out.select("doc_id", "n_must", "n_should")
+
+
+def more_like_this(
+    docs: DataFrame,
+    source_doc_id,
+    k: int = 10,
+    max_df_frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Related-document retrieval by tf-idf cosine against one source doc
+    (the Lucene MoreLikeThis discipline): the source's terms become the
+    query, STOP-TERM-SCREENED by document frequency (terms in more than
+    ``max_df_frac`` of docs carry no signal AND would join against most
+    of the corpus — the screen is the scale guard, not a tuning knob).
+
+    weight(d,t) = tf · ln(1 + N/df); cosine over the full weight vectors
+    of the source and each candidate sharing ≥1 surviving term. Shuffle
+    ∝ postings of the source's surviving terms; per-doc norms are one
+    partial agg over the full postings (needed for a true cosine);
+    the source row is ≤ |source terms| and broadcasts. Returns top-k
+    (doc_id, cosine_r, rank), the source itself excluded."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0 < max_df_frac <= 1):
+        raise ValueError("max_df_frac must be in (0, 1]")
+    from . import join_scalar_frame
+
+    post = postings(docs, id_col, text_col)
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = document_frequency(post)
+    w = join_scalar_frame(post.join(dfreq, "term"), n_docs).select(
+        "doc_id",
+        "term",
+        "df",
+        "n_docs",
+        (
+            F.col("tf")
+            * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    src = w.where(
+        (F.col("doc_id") == source_doc_id)
+        & (F.col("df") <= F.col("n_docs") * max_df_frac)
+    ).select(F.col("term"), F.col("w").alias("w_src"))
+    cand = (
+        w.join(F.broadcast(src), "term")
+        .where(F.col("doc_id") != source_doc_id)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w_src")).alias("dot"))
+    )
+    src_norm = norms.where(F.col("doc_id") == source_doc_id).select(
+        F.col("norm").alias("src_norm")
+    )
+    scored = join_scalar_frame(cand.join(norms, "doc_id"), src_norm).select(
+        "doc_id",
+        F.round(
+            F.col("dot") / (F.col("norm") * F.col("src_norm")), 6
+        ).alias("cosine_r"),
+    )
+    topk = scored.orderBy(F.col("cosine_r").desc(), F.col("doc_id").asc()).limit(k)
+    w_rank = Window.orderBy(F.col("cosine_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w_rank)).select(
+        "doc_id", "cosine_r", "rank"
+    )
+
+
 def term_proximity(
     docs: DataFrame,
     query: str,
