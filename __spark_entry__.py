@@ -3270,6 +3270,51 @@ def q_cms_host_counts(spark, sf_dir):
     )
 
 
+def _capture_pair(spark, sf_dir):
+    """Two deterministic captures of the documents table: %3==0 got an
+    appended block, %3==1 unchanged, %3==2 fully rewritten; %10==0 gone
+    from the recrawl."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    prev = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    curr = docs.where(d % 10 != 0).select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat(F.coalesce("text", F.lit("")), F.lit(" EDIT BLOCK APPENDED HERE")))
+        .when(d % 3 == 1, F.coalesce("text", F.lit("")))
+        .otherwise(F.concat(F.lit("completely rewritten page body "), d.cast("string")))
+        .alias("text"),
+    )
+    return prev, curr
+
+
+def q_capture_delta(spark, sf_dir):
+    """Recrawl byte-delta ledger (chunking.capture_delta_stats): CDC chunk
+    multisets compared across two captures — appended-block pages share
+    most bytes, rewrites share none, vanished pages read all-change.
+    Rolling hash → rows-only; the multiset-compare arithmetic is
+    oracle-anchored by fixed_capture_delta."""
+    from spider_spark.operators import chunking as ck
+
+    prev, curr = _capture_pair(spark, sf_dir)
+    enc = lambda df: df.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return ck.capture_delta_stats(
+        enc(prev), enc(curr), mask_bits=6, min_size=32, max_size=512
+    )
+
+
+def q_fixed_capture_delta(spark, sf_dir):
+    """Fixed-size capture delta (chunking.fixed_capture_delta) — the
+    pure-Catalyst oracle anchor for the multiset compare, same synthetic
+    capture pair."""
+    from spider_spark.operators import chunking as ck
+
+    prev, curr = _capture_pair(spark, sf_dir)
+    return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
+
+
 def q_boolean_search(spark, sf_dir):
     """Boolean retrieval (index.boolean_search, IIR ch.1): spark AND
     merge AND (window OR join) AND NOT dup — MUST as a partial-agg count
@@ -3629,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "boolean_search": q_boolean_search,
         "more_like_this": q_more_like_this,
+        "fixed_capture_delta": q_fixed_capture_delta,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
@@ -3671,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_ffd": q_pack_bins_ffd,
         "crawl_tick": q_crawl_tick,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "capture_delta": q_capture_delta,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -5497,6 +5544,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "fixed_capture_delta": """
+            WITH prev AS (
+              SELECT doc_id, COALESCE(text, '') AS text FROM documents
+            ), curr AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                            THEN COALESCE(text, '')
+                                 || ' EDIT BLOCK APPENDED HERE'
+                          WHEN doc_id % 3 = 1 THEN COALESCE(text, '')
+                          ELSE 'completely rewritten page body '
+                               || CAST(doc_id AS VARCHAR) END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+            ), pcen AS (
+              SELECT doc_id AS _id,
+                     md5(substr(text, CAST(1 + i * 64 AS INT), 64)) AS h,
+                     COUNT(*) AS n,
+                     MIN(CAST(length(substr(text, CAST(1 + i * 64 AS INT), 64))
+                              AS BIGINT)) AS len
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, CAST(ceil(length(text) / 64.0)
+                                                AS BIGINT))) AS i
+                    FROM prev WHERE length(text) > 0)
+              GROUP BY 1, 2
+            ), ccen AS (
+              SELECT doc_id AS _id,
+                     md5(substr(text, CAST(1 + i * 64 AS INT), 64)) AS h,
+                     COUNT(*) AS n,
+                     MIN(CAST(length(substr(text, CAST(1 + i * 64 AS INT), 64))
+                              AS BIGINT)) AS len
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, CAST(ceil(length(text) / 64.0)
+                                                AS BIGINT))) AS i
+                    FROM curr WHERE length(text) > 0)
+              GROUP BY 1, 2
+            ), j AS (
+              SELECT COALESCE(p._id, c._id) AS _id,
+                     COALESCE(p.n, 0) AS pn, COALESCE(c.n, 0) AS cn,
+                     COALESCE(p.len, c.len) AS len
+              FROM pcen p FULL OUTER JOIN ccen c
+                ON p._id = c._id AND p.h = c.h
+            ), per AS (
+              SELECT _id,
+                     CAST(SUM(pn * len) AS BIGINT) AS prev_chars,
+                     CAST(SUM(cn * len) AS BIGINT) AS curr_chars,
+                     CAST(SUM(LEAST(pn, cn) * len) AS BIGINT) AS shared_chars
+              FROM j GROUP BY 1)
+            SELECT _id AS doc_id, prev_chars, curr_chars, shared_chars,
+                   ROUND(CASE WHEN GREATEST(prev_chars, curr_chars) > 0
+                              THEN 1.0 - CAST(shared_chars AS DOUBLE)
+                                   / GREATEST(prev_chars, curr_chars)
+                              ELSE 0.0 END, 6) AS changed_frac_r
+            FROM per
         """,
         "boolean_search": """
             WITH seen AS (

@@ -276,6 +276,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "textrank_keywords",
         "boolean_search",
         "more_like_this",
+        "capture_delta",
+        "fixed_capture_delta",
         "fixed_chunk_dedup",
     ]
     out = {}

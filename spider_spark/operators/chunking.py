@@ -109,7 +109,9 @@ def cdc_chunks(
     return out
 
 
-def _chunk_factory(bytes_name: str, id_name: str, mask_bits, min_size, max_size):
+def _chunk_factory(
+    bytes_name: str, id_name: str, id_dtype: str, mask_bits, min_size, max_size
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, offs, lens, hashes = [], [], [], [], []
@@ -127,7 +129,7 @@ def _chunk_factory(bytes_name: str, id_name: str, mask_bits, min_size, max_size)
                     hashes.append(h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype=id_dtype),
                     "chunk_idx": pd.Series(idxs, dtype="int32"),
                     "offset": pd.Series(offs, dtype="int64"),
                     "length": pd.Series(lens, dtype="int64"),
@@ -145,16 +147,21 @@ def chunk_table(
     mask_bits: int = 6,
     min_size: int = 32,
     max_size: int = 1024,
+    id_type: str = "long",
 ) -> DataFrame:
     """One row per CDC chunk: (doc_id, chunk_idx, offset, length,
     chunk_hash). Null payloads contribute no rows. Chunking is per-row
-    independent — map-only, no shuffle."""
+    independent — map-only, no shuffle. ``id_type`` is "long" (numeric
+    doc ids) or "string" (URLs)."""
+    if id_type not in ("long", "string"):
+        raise ValueError("id_type must be 'long' or 'string'")
     keyed = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(bytes_col)
+        F.col(id_col).cast(id_type).alias("doc_id"), F.col(bytes_col)
     )
+    pd_dtype = "int64" if id_type == "long" else "object"
     return keyed.mapInPandas(
-        _chunk_factory(bytes_col, "doc_id", mask_bits, min_size, max_size),
-        schema="doc_id long, chunk_idx int, offset long, length long,"
+        _chunk_factory(bytes_col, "doc_id", pd_dtype, mask_bits, min_size, max_size),
+        schema=f"doc_id {id_type}, chunk_idx int, offset long, length long,"
         " chunk_hash string",
     )
 
@@ -180,6 +187,147 @@ def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
             ),
             6,
         ).alias("dedup_ratio_r"),
+    )
+
+
+def capture_delta_stats(
+    prev: DataFrame,
+    curr: DataFrame,
+    bytes_col: str = "content",
+    id_col: str = "url",
+    mask_bits: int = 6,
+    min_size: int = 32,
+    max_size: int = 1024,
+) -> DataFrame:
+    """Per-URL recrawl byte delta: CDC-chunk two consecutive captures and
+    compare chunk MULTISETS — shared bytes = Σ_hash min(copies) · len.
+    This is the number recrawl scheduling actually wants: a page whose
+    footer timestamp ticked shares ~all chunks (changed_frac ≈ 0, stop
+    refetching it so often); a rewritten page shares none. Whole-capture
+    fingerprints (change_rate's fp) can only say CHANGED; this says how
+    much.
+
+    URLs present in only one capture report the other side as 0 bytes
+    (changed_frac 1.0 — appeared or vanished content is all-change).
+    Scale shape: chunking is map-only per side; the compare is ONE
+    (url, chunk_hash)-keyed full-outer join of two partial-agg censuses
+    — shuffle ∝ distinct chunks, co-partitioned on the same key. Output:
+    (url, prev_bytes, curr_bytes, shared_bytes, changed_frac_r) where
+    changed_frac is against the LARGER side (symmetric)."""
+
+    def census(df: DataFrame) -> DataFrame:
+        return (
+            chunk_table(
+                df, bytes_col, id_col, mask_bits, min_size, max_size,
+                id_type="string",
+            )
+            .groupBy(F.col("doc_id").alias("_id"), "chunk_hash")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("length").alias("len"))
+        )
+
+    p = census(prev).select(
+        "_id", "chunk_hash", F.col("n").alias("pn"), F.col("len").alias("plen")
+    )
+    c = census(curr).select(
+        "_id", "chunk_hash", F.col("n").alias("cn"), F.col("len").alias("clen")
+    )
+    j = p.join(c, ["_id", "chunk_hash"], "full_outer").select(
+        "_id",
+        F.coalesce(F.col("pn"), F.lit(0)).alias("pn"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        F.coalesce(F.col("plen"), F.col("clen")).alias("len"),
+    )
+    per = j.groupBy("_id").agg(
+        F.sum(F.col("pn") * F.col("len")).cast("long").alias("prev_bytes"),
+        F.sum(F.col("cn") * F.col("len")).cast("long").alias("curr_bytes"),
+        F.sum(F.least(F.col("pn"), F.col("cn")) * F.col("len"))
+        .cast("long")
+        .alias("shared_bytes"),
+    )
+    bigger = F.greatest(F.col("prev_bytes"), F.col("curr_bytes"))
+    return per.select(
+        F.col("_id").alias(id_col),
+        "prev_bytes",
+        "curr_bytes",
+        "shared_bytes",
+        F.round(
+            F.when(bigger > 0, 1.0 - F.col("shared_bytes") / bigger).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("changed_frac_r"),
+    )
+
+
+def fixed_capture_delta(
+    prev: DataFrame,
+    curr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 64,
+) -> DataFrame:
+    """Fixed-size sibling of ``capture_delta_stats`` over TEXT captures —
+    pure Catalyst, engine-portable md5 chunk hashes, same output shape
+    (chars instead of bytes). Exists as the oracle anchor for the
+    multiset-compare arithmetic; CDC's shift robustness is what makes the
+    real operator report small deltas for small edits."""
+    if chunk_chars < 1:
+        raise ValueError("chunk_chars must be >= 1")
+
+    def census(df: DataFrame) -> DataFrame:
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        idx = F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(F.length(t) / chunk_chars).cast("int") - 1
+            )
+        ).alias("i")
+        return (
+            df.where(F.length(t) > 0)
+            .select(F.col(id_col).alias("_id"), t.alias("t"), idx)
+            .select(
+                "_id",
+                F.md5(
+                    F.substring(F.col("t"), F.col("i") * chunk_chars + 1, chunk_chars)
+                ).alias("chunk_hash"),
+                F.length(
+                    F.substring(F.col("t"), F.col("i") * chunk_chars + 1, chunk_chars)
+                ).cast("long").alias("len"),
+            )
+            .groupBy("_id", "chunk_hash")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("len").alias("len"))
+        )
+
+    p = census(prev).select(
+        "_id", "chunk_hash", F.col("n").alias("pn"), F.col("len").alias("plen")
+    )
+    c = census(curr).select(
+        "_id", "chunk_hash", F.col("n").alias("cn"), F.col("len").alias("clen")
+    )
+    j = p.join(c, ["_id", "chunk_hash"], "full_outer").select(
+        "_id",
+        F.coalesce(F.col("pn"), F.lit(0)).alias("pn"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        F.coalesce(F.col("plen"), F.col("clen")).alias("len"),
+    )
+    per = j.groupBy("_id").agg(
+        F.sum(F.col("pn") * F.col("len")).cast("long").alias("prev_chars"),
+        F.sum(F.col("cn") * F.col("len")).cast("long").alias("curr_chars"),
+        F.sum(F.least(F.col("pn"), F.col("cn")) * F.col("len"))
+        .cast("long")
+        .alias("shared_chars"),
+    )
+    bigger = F.greatest(F.col("prev_chars"), F.col("curr_chars"))
+    return per.select(
+        F.col("_id").alias(id_col),
+        "prev_chars",
+        "curr_chars",
+        "shared_chars",
+        F.round(
+            F.when(bigger > 0, 1.0 - F.col("shared_chars") / bigger).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("changed_frac_r"),
     )
 
 

@@ -164,3 +164,63 @@ def test_fixed_chunk_stats_bruteforce(spark):
     assert got["distinct_chars"] == sum(len(c) for c in set(allc))
     with pytest.raises(ValueError):
         ck.fixed_chunk_stats(df, "text", chunk_chars=0)
+
+
+def test_capture_delta_small_edit_small_delta(spark):
+    base = _payload(b"page", 4000)
+    edited = base[:2000] + b"NEW-AD-BLOCK-INSERTED" + base[2000:]
+    rewritten = _payload(b"other", 4000)
+    prev = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b", "gone"], "content": [base, base, base]})
+    )
+    curr = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["a", "b", "new"], "content": [edited, rewritten, base]}
+        )
+    )
+    kw = dict(mask_bits=5, min_size=16, max_size=200)
+    got = {
+        r["url"]: r
+        for r in ck.capture_delta_stats(prev, curr, **kw).collect()
+    }
+    # small edit → most bytes shared
+    assert got["a"]["changed_frac_r"] < 0.3
+    assert got["a"]["shared_bytes"] > 3000
+    # full rewrite → (almost) nothing shared
+    assert got["b"]["changed_frac_r"] > 0.95
+    # one-sided URLs are all-change with the other side at 0
+    assert got["gone"]["curr_bytes"] == 0 and got["gone"]["changed_frac_r"] == 1.0
+    assert got["new"]["prev_bytes"] == 0 and got["new"]["changed_frac_r"] == 1.0
+    # byte accounting: prev/curr byte totals equal payload lengths
+    assert got["a"]["prev_bytes"] == len(base)
+    assert got["a"]["curr_bytes"] == len(edited)
+
+
+def test_capture_delta_identical_is_zero(spark):
+    p = _payload(b"same", 1500)
+    prev = spark.createDataFrame(pd.DataFrame({"url": ["x"], "content": [p]}))
+    got = ck.capture_delta_stats(prev, prev).collect()[0]
+    assert got["changed_frac_r"] == 0.0
+    assert got["shared_bytes"] == got["prev_bytes"] == got["curr_bytes"]
+
+
+def test_fixed_capture_delta_bruteforce(spark):
+    prev = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["aaaa" * 40, "bbbb" * 40]}
+        )
+    )
+    curr = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["aaaa" * 40, "cccc" * 40]}
+        )
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ck.fixed_capture_delta(prev, curr, chunk_chars=64).collect()
+    }
+    assert got[1]["changed_frac_r"] == 0.0  # identical
+    assert got[2]["changed_frac_r"] == 1.0  # disjoint
+    assert got[1]["shared_chars"] == 160
+    with pytest.raises(ValueError):
+        ck.fixed_capture_delta(prev, curr, chunk_chars=0)
