@@ -3315,6 +3315,29 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_kcore_survivors(spark, sf_dir):
+    """k-core peeling (graph.kcore_survivors, Seidman 1983) at k=3 over
+    the synthetic link graph, 3 peel rounds — the link-farm-core lens
+    next to spam_mass. Monotone peeling: the oracle unrolls the SAME 3
+    rounds, so the frames agree even short of fixpoint."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph.kcore_survivors(_link_edges(docs), k=3, rounds=3)
+
+
+def q_dictionary_frontcoding(spark, sf_dir):
+    """Term-dictionary front-coding size estimate
+    (index.dictionary_frontcoding_stats, IIR §5.2): two-level bucketed
+    sort (no global vocabulary sort), consecutive-term shared prefixes
+    replaced by a length byte. The §5.2 dictionary half next to §5.3's
+    postings vbyte estimator."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.dictionary_frontcoding_stats(docs, bucket_chars=2)
+
+
 def q_boolean_search(spark, sf_dir):
     """Boolean retrieval (index.boolean_search, IIR ch.1): spark AND
     merge AND (window OR join) AND NOT dup — MUST as a partial-agg count
@@ -3675,6 +3698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "more_like_this": q_more_like_this,
         "fixed_capture_delta": q_fixed_capture_delta,
+        "kcore_survivors": q_kcore_survivors,
+        "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
         "line_dedup_c4": q_line_dedup,
@@ -5544,6 +5569,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "kcore_survivors": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), u0 AS (
+              SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+              FROM e WHERE s <> d
+            ), d1 AS (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM u0 UNION ALL SELECT b FROM u0)
+              GROUP BY node
+            ), k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+            u1 AS (
+              SELECT u0.a, u0.b FROM u0
+              JOIN k1 x ON x.node = u0.a JOIN k1 y ON y.node = u0.b
+            ), d2 AS (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM u1 UNION ALL SELECT b FROM u1)
+              GROUP BY node
+            ), k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+            u2 AS (
+              SELECT u1.a, u1.b FROM u1
+              JOIN k2 x ON x.node = u1.a JOIN k2 y ON y.node = u1.b
+            ), d3 AS (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM u2 UNION ALL SELECT b FROM u2)
+              GROUP BY node
+            ), k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+            u3 AS (
+              SELECT u2.a, u2.b FROM u2
+              JOIN k3 x ON x.node = u2.a JOIN k3 y ON y.node = u2.b
+            )
+            SELECT DISTINCT node FROM (
+              SELECT a AS node FROM u3 UNION ALL SELECT b FROM u3)
+        """,
+        "dictionary_frontcoding": """
+            WITH vocab AS (
+              SELECT DISTINCT term FROM (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '([a-z0-9]+)', 1)) AS term
+                FROM documents)
+            ), lagged AS (
+              SELECT term,
+                     COALESCE(LAG(term) OVER (
+                       PARTITION BY substr(term, 1, 2) ORDER BY term), '')
+                       AS prev
+              FROM vocab
+            ), per AS (
+              SELECT length(term) AS tl,
+                     CASE WHEN prev = '' OR
+                               LEAST(length(term), length(prev)) <= 0 THEN 0
+                          ELSE len(list_filter(
+                            range(1, LEAST(length(term), length(prev)) + 1),
+                            i -> substr(term, 1, CAST(i AS INT))
+                                 = substr(prev, 1, CAST(i AS INT))))
+                          END AS cpl
+              FROM lagged)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(tl + 1) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(tl - cpl + 2) AS BIGINT) AS coded_bytes,
+                   CAST(SUM(cpl - 1) AS BIGINT) AS saved_bytes,
+                   ROUND(SUM(tl - cpl + 2)
+                         / CAST(SUM(tl + 1) AS DOUBLE), 6) AS ratio_r
+            FROM per
         """,
         "fixed_capture_delta": """
             WITH prev AS (

@@ -278,6 +278,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "more_like_this",
         "capture_delta",
         "fixed_capture_delta",
+        "kcore_survivors",
+        "dictionary_frontcoding",
         "fixed_chunk_dedup",
     ]
     out = {}

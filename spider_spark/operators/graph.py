@@ -522,6 +522,54 @@ def trustrank(
     return out
 
 
+def kcore_survivors(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling (Seidman 1983; the dense-subgraph signal link-farm
+    hunts use — a spam alliance's mutual-link core survives peeling that
+    strips the organic periphery): repeatedly drop nodes with UNDIRECTED
+    degree < k until fixpoint. ``rounds`` bounds the sweeps — peeling is
+    monotone, so the result after R rounds is a SUPERSET of the true
+    k-core and equals it once a round removes nothing (small-graph
+    fixpoints are pytest-pinned; the oracle unrolls the same R rounds).
+
+    Per round: one degree census (partial agg over surviving edges) +
+    two semi-joins — O(|E|) each, lineage cut per round via
+    localCheckpoint. Returns (node,) survivors."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s") != F.col("d")
+    )
+    und = e.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+
 def spam_mass(
     edges: DataFrame,
     seeds: DataFrame,

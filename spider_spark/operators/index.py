@@ -887,6 +887,66 @@ def percolate(
     )
 
 
+def dictionary_frontcoding_stats(
+    docs: DataFrame,
+    bucket_chars: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-dictionary front-coding estimate (Manning IIR §5.2 — the
+    dictionary half of index sizing, next to §5.3's postings vbyte): in
+    a sorted dictionary, consecutive terms share prefixes; front coding
+    stores (shared-prefix length, suffix). Two-level like
+    ``postings_compression_stats``: terms sort WITHIN first-
+    ``bucket_chars`` buckets (each bucket's first term stored in full —
+    the bucketed-dictionary layout real indexes use for random access),
+    so no global vocabulary sort and every window task is bucket-
+    bounded. raw = Σ (len+1) per term (NUL-terminated strawman); coded
+    replaces each shared prefix with a 1-byte length. Returns one row:
+    (n_terms, raw_bytes, coded_bytes, saved_bytes, ratio_r)."""
+    if bucket_chars < 1:
+        raise ValueError("bucket_chars must be >= 1")
+    vocab = (
+        positional_postings(docs, id_col, text_col)
+        .select("term")
+        .distinct()
+        .select("term", F.substring("term", 1, bucket_chars).alias("_b"))
+    )
+    w = Window.partitionBy("_b").orderBy("term")
+    # materialize the lag first (a window result can't appear inside a
+    # higher-order-function lambda), then count common-prefix positions:
+    # substring equality at i implies equality at every j < i, so the
+    # count IS the common-prefix length
+    lagged = vocab.select(
+        "term", F.coalesce(F.lag("term").over(w), F.lit("")).alias("_prev")
+    )
+    minlen = F.least(F.length("term"), F.length("_prev"))
+    cpl = F.when(minlen <= 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), minlen),  # guarded: never sequence(1,0)
+                lambda i: F.substring(F.col("term"), F.lit(1), i)
+                == F.substring(F.col("_prev"), F.lit(1), i),
+            )
+        )
+    )
+    per_term = lagged.select(
+        F.length("term").alias("tl"),
+        F.when(F.col("_prev") == "", F.lit(0)).otherwise(cpl).alias("cpl"),
+    )
+    return per_term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("tl") + 1).cast("long").alias("raw_bytes"),
+        F.sum(F.col("tl") - F.col("cpl") + 2).cast("long").alias("coded_bytes"),
+        F.sum(F.col("cpl") - 1).cast("long").alias("saved_bytes"),
+        F.round(
+            F.sum(F.col("tl") - F.col("cpl") + 2)
+            / F.when(F.sum(F.col("tl") + 1) > 0, F.sum(F.col("tl") + 1)),
+            6,
+        ).alias("ratio_r"),
+    )
+
+
 def vocab_kgrams(vocab: DataFrame, k: int = 2) -> Column:
     """Distinct character k-grams of the ``term`` column (terms shorter
     than k contribute themselves) — the k-gram index key of IIR §3.3.4."""
