@@ -196,17 +196,24 @@ def bm25_query_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Summed BM25 over the query's distinct terms for EVERY matching
     document (bag-of-words disjunction) — the per-doc relevance signal
     ``bm25_search`` ranks and focused crawling propagates to outlinks.
     The term filter is an IN-list literal pushed into the postings
     aggregation, so only matching (term, doc) pairs ever shuffle.
-    Returns (doc_id, score_r); docs matching no term are absent."""
+    Returns (doc_id, score_r); docs matching no term are absent.
+
+    ``scores``: a precomputed ``bm25_scores`` table (the materialized
+    impact index a serving tier maintains next to the postings) — when
+    given, ``docs`` is never touched and the per-query cost is the
+    IN-list scan of that table instead of re-tokenizing the corpus."""
     terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
     if not terms:
         raise ValueError("bm25 needs at least one indexable query term")
-    scores = bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+    if scores is None:
+        scores = bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
     return (
         scores.where(F.col("term").isin(terms))
         .groupBy("doc_id")
@@ -222,6 +229,7 @@ def bm25_search(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a free-text query by summed BM25 (the classic
     first-stage ranker). The global top-k is orderBy(...).limit(k) —
@@ -231,7 +239,10 @@ def bm25_search(
     only. Deterministic: ranked on the ROUNDED total then doc_id.
     Returns (doc_id, score_r, rank)."""
     topk = (
-        bm25_query_scores(docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col)
+        bm25_query_scores(
+            docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col,
+            scores=scores,
+        )
         .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -266,6 +277,7 @@ def maxscore_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by summed BM25 with MaxScore pruning (Turtle & Flood 1995;
     the document-at-a-time WAND family, Broder et al. 2003) — returns
@@ -297,7 +309,8 @@ def maxscore_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     scores_q = (
-        bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+        (bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+         if scores is None else scores)
         .where(F.col("term").isin(terms))
         .persist()
     )
