@@ -3315,6 +3315,26 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_zorder_locality(spark, sf_dir):
+    """Z-order vs single-key layout audit (layout.zorder_locality_audit):
+    the same (host_bucket, time_bucket) table written three ways, one
+    rectangular query box — files touched per layout. Injective grid
+    (a = doc_id%32, b = doc_id/32 %32) so the writer order is total and
+    both engines assign identical files."""
+    from spider_spark.operators import layout
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    grid = docs.select(
+        F.pmod(d, F.lit(32)).cast("int").alias("host_bucket"),
+        F.pmod(F.floor(d / 32), F.lit(32)).cast("int").alias("time_bucket"),
+    )
+    return layout.zorder_locality_audit(
+        grid, "host_bucket", "time_bucket",
+        rows_per_file=32, box_a=(0, 7), box_b=(0, 7), bits=5,
+    )
+
+
 def q_kcore_survivors(spark, sf_dir):
     """k-core peeling (graph.kcore_survivors, Seidman 1983) at k=3 over
     the synthetic link graph, 3 peel rounds — the link-farm-core lens
@@ -3699,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "fixed_capture_delta": q_fixed_capture_delta,
         "kcore_survivors": q_kcore_survivors,
+        "zorder_locality": q_zorder_locality,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5569,6 +5590,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "zorder_locality": """
+            WITH grid AS (
+              SELECT CAST(doc_id % 32 AS INT) AS a,
+                     CAST((doc_id // 32) % 32 AS INT) AS b
+              FROM documents
+            ), keyed AS (
+              SELECT a, b,
+                     CAST(list_sum(list_transform(range(0, 5), i ->
+                       ((a >> i) & 1) * (1 << (2 * i + 1))
+                       + ((b >> i) & 1) * (1 << (2 * i)))) AS BIGINT) AS z
+              FROM grid
+            ), l1 AS (
+              SELECT 'a_then_b' AS layout, a, b,
+                     CAST((ROW_NUMBER() OVER (ORDER BY a, b, a, b) - 1) // 32
+                          AS INT) AS fid
+              FROM keyed
+            ), l2 AS (
+              SELECT 'b_then_a', a, b,
+                     CAST((ROW_NUMBER() OVER (ORDER BY b, a, a, b) - 1) // 32
+                          AS INT)
+              FROM keyed
+            ), l3 AS (
+              SELECT 'zorder', a, b,
+                     CAST((ROW_NUMBER() OVER (ORDER BY z, a, b) - 1) // 32
+                          AS INT)
+              FROM keyed
+            ), allf AS (
+              SELECT * FROM l1 UNION ALL SELECT * FROM l2
+              UNION ALL SELECT * FROM l3
+            )
+            SELECT layout,
+                   CAST(COUNT(DISTINCT fid) AS INT) AS n_files,
+                   CAST(COUNT(DISTINCT CASE WHEN a BETWEEN 0 AND 7
+                                             AND b BETWEEN 0 AND 7
+                                            THEN fid END) AS INT)
+                     AS files_touched,
+                   ROUND(COUNT(DISTINCT CASE WHEN a BETWEEN 0 AND 7
+                                              AND b BETWEEN 0 AND 7
+                                             THEN fid END)
+                         / CAST(COUNT(DISTINCT fid) AS DOUBLE), 6)
+                     AS files_touched_frac_r
+            FROM allf GROUP BY layout
         """,
         "kcore_survivors": """
             WITH e AS (

@@ -280,6 +280,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "fixed_capture_delta",
         "kcore_survivors",
         "dictionary_frontcoding",
+        "zorder_locality",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -90,6 +90,78 @@ def scan_locality_stats(
     )
 
 
+def col_zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    non-negative dimension values (a's bit i lands at position 2i+1, b's
+    at 2i) — the space-filling-curve sort key lakehouse writers use so a
+    2-D range scan (host × time, the crawl ledger's natural query box)
+    touches O(√files) instead of all of one dimension's stripes. Pure
+    codegen bit arithmetic; the disjoint bit positions mean the OR is a
+    SUM, which is how the DuckDB oracle restates it."""
+    if not (1 <= bits <= 31):
+        raise ValueError("bits must be in [1, 31]")
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = (
+            acc
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i)
+        )
+    return acc
+
+
+def zorder_locality_audit(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    rows_per_file: int,
+    box_a: tuple[int, int],
+    box_b: tuple[int, int],
+    bits: int = 16,
+    exact: bool = True,
+) -> DataFrame:
+    """Three candidate layouts for the same table — sort by (a, b), sort
+    by (b, a), Z-order — audited against one rectangular query box:
+    which layout lets a reader skip the most files? Output per layout:
+    (layout, n_files, files_touched, files_touched_frac_r). Single-key
+    sorts ace their own dimension and degrade to full scans on the
+    other; Z-order pays a little on both to win on the BOX — the number
+    this audit puts in front of the layout decision.
+
+    Same machinery as ``layout_compare``: exact writer simulation for
+    oracle parity, ``repartitionByRange`` at scale. Census is two
+    partial aggs per layout (files total, files containing box rows)."""
+    a, b = F.col(a_col), F.col(b_col)
+    layouts = {
+        "a_then_b": [a, b],
+        "b_then_a": [b, a],
+        "zorder": [col_zorder_key(a, b, bits)],
+    }
+    out = None
+    in_box = (
+        (a >= box_a[0]) & (a <= box_a[1]) & (b >= box_b[0]) & (b <= box_b[1])
+    )
+    for name, order in layouts.items():
+        assigned = file_assignment(df, rows_per_file, order + [a, b], exact=exact)
+        stats = assigned.agg(
+            F.countDistinct("_fid").cast("int").alias("n_files"),
+            F.countDistinct(F.when(in_box, F.col("_fid")))
+            .cast("int")
+            .alias("files_touched"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "n_files",
+            "files_touched",
+            F.round(
+                F.col("files_touched")
+                / F.when(F.col("n_files") > 0, F.col("n_files")),
+                6,
+            ).alias("files_touched_frac_r"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
 def rendezvous_assign(
     df: DataFrame,
     shards: list[str],
