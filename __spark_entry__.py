@@ -3315,6 +3315,45 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_term_drift_kl(spark, sf_dir):
+    """Corpus drift alarm with attribution (textqc.term_drift_kl):
+    smoothed KL(curr ‖ prev) between two snapshots — curr plants
+    ' driftword' bursts on every 4th doc — total plus the top-20
+    contributing terms, so the alarm says WHAT changed."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    prev = docs.select(F.coalesce("text", F.lit("")).alias("text"))
+    curr = docs.select(
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(d % 4 == 0, F.lit(" driftword driftword")).otherwise(F.lit("")),
+        ).alias("text")
+    )
+    return textqc.term_drift_kl(prev, curr, top_contributors=20)
+
+
+def q_frontier_eta(spark, sf_dir):
+    """Politeness-aware frontier drain forecast (adaptive.frontier_eta):
+    per-host ⌈pending/budget⌉ ticks — the critical-path view the
+    politeness cap creates (the deepest host, not total volume, gates
+    the makespan). Hosts h0..h4 carry an adaptive budget of 4, the rest
+    the default 16."""
+    from spider_spark.operators import adaptive
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(25)).cast("string")).alias(
+            "host"
+        )
+    )
+    budgets = spark.createDataFrame(
+        [(f"h{i}", 4) for i in range(5)], "host string, budget int"
+    )
+    return adaptive.frontier_eta(frontier, budgets, default_budget=16)
+
+
 def q_zorder_locality(spark, sf_dir):
     """Z-order vs single-key layout audit (layout.zorder_locality_audit):
     the same (host_bucket, time_bucket) table written three ways, one
@@ -3720,6 +3759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_capture_delta": q_fixed_capture_delta,
         "kcore_survivors": q_kcore_survivors,
         "zorder_locality": q_zorder_locality,
+        "term_drift_kl": q_term_drift_kl,
+        "frontier_eta": q_frontier_eta,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5590,6 +5631,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "term_drift_kl": """
+            WITH ptok AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), ctok AS (
+              SELECT unnest(regexp_extract_all(lower(
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' driftword driftword' ELSE '' END),
+                       '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), pc AS (SELECT term, COUNT(*) AS pc FROM ptok GROUP BY 1),
+            cc AS (SELECT term, COUNT(*) AS cc FROM ctok GROUP BY 1),
+            j AS (
+              SELECT COALESCE(pc.term, cc.term) AS term,
+                     COALESCE(pc.pc, 0) AS pc, COALESCE(cc.cc, 0) AS cc
+              FROM pc FULL OUTER JOIN cc ON pc.term = cc.term
+            ), tot AS (
+              SELECT CAST(SUM(pc) AS DOUBLE) AS np,
+                     CAST(SUM(cc) AS DOUBLE) AS nc,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM j
+            ), scored AS (
+              SELECT term,
+                     ((cc + 0.5) / (nc + 0.5 * v))
+                     * ln(((cc + 0.5) / (nc + 0.5 * v))
+                          / ((pc + 0.5) / (np + 0.5 * v))) AS contrib
+              FROM j, tot)
+            SELECT '__TOTAL__' AS term, ROUND(SUM(contrib), 6) AS kl_r
+            FROM scored
+            UNION ALL
+            SELECT term, ROUND(contrib, 6) FROM (
+              SELECT term, contrib FROM scored
+              ORDER BY abs(contrib) DESC, term ASC LIMIT 20)
+        """,
+        "frontier_eta": """
+            WITH pend AS (
+              SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS host,
+                     COUNT(*) AS pending
+              FROM documents GROUP BY 1
+            ), budgets AS (
+              SELECT 'h' || CAST(i AS VARCHAR) AS host, 4 AS b
+              FROM (SELECT unnest(range(5)) AS i)
+            )
+            SELECT p.host, p.pending,
+                   CAST(GREATEST(COALESCE(b.b, 16), 1) AS INT) AS budget,
+                   CAST(ceil(p.pending
+                             / CAST(GREATEST(COALESCE(b.b, 16), 1) AS DOUBLE))
+                        AS INT) AS eta_ticks
+            FROM pend p LEFT JOIN budgets b USING (host)
         """,
         "zorder_locality": """
             WITH grid AS (

@@ -281,6 +281,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "kcore_survivors",
         "dictionary_frontcoding",
         "zorder_locality",
+        "term_drift_kl",
+        "frontier_eta",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -146,6 +146,48 @@ def adaptive_host_budgets(
     )
 
 
+def frontier_eta(
+    frontier: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = 16,
+    host_col: str = "host",
+    budget_col: str = "budget",
+) -> DataFrame:
+    """Politeness-aware drain forecast: with at most ``budget`` fetches
+    per host per tick, a host with P pending URLs needs ⌈P/budget⌉
+    ticks — the per-host ETA that tells an operator WHICH hosts gate the
+    crawl's makespan (the politeness cap makes the deepest host, not
+    total volume, the critical path). Per-host budgets join from
+    ``budgets`` (adaptive_host_budgets output) when given; hosts absent
+    there fall back to ``default_budget``.
+
+    One partial-agg census on host + an optional broadcast-size budget
+    join; pure arithmetic after. Output (host, pending, budget,
+    eta_ticks), deterministic."""
+    if default_budget < 1:
+        raise ValueError("default_budget must be >= 1")
+    pend = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("pending")
+    )
+    if budgets is not None:
+        b = budgets.select(
+            F.col(host_col).alias("host"),
+            F.col(budget_col).cast("long").alias("_b"),
+        )
+        pend = pend.join(F.broadcast(b), "host", "left")
+    else:
+        pend = pend.withColumn("_b", F.lit(None).cast("long"))
+    budget = F.greatest(
+        F.coalesce(F.col("_b"), F.lit(default_budget)), F.lit(1)
+    )
+    return pend.select(
+        "host",
+        "pending",
+        budget.cast("int").alias("budget"),
+        F.ceil(F.col("pending") / budget).cast("int").alias("eta_ticks"),
+    )
+
+
 def ucb_host_priority(
     host_yield: DataFrame,
     c: float = 1.4142135623730951,

@@ -718,6 +718,82 @@ def collocations_pmi(
     )
 
 
+def term_drift_kl(
+    prev: DataFrame,
+    curr: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    top_contributors: int = 20,
+) -> DataFrame:
+    """Corpus term-distribution drift between two crawl snapshots:
+    smoothed KL(curr ‖ prev) plus the top contributing terms — the
+    drift alarm that says WHAT changed, where ``zipf_fit`` only says
+    THAT the shape bent. Add-α smoothing over the union vocabulary keeps
+    every term finite (a term newborn in curr has prev-mass α/(N_p+αV));
+    contribution(t) = q(t)·ln(q(t)/p(t)), KL = Σ contributions.
+
+    One unigram census per side (partial-agg, vocab-bounded), a
+    full-outer join on term, two scalar hash-joins for the totals. Output
+    row 1 is the corpus total (term='__TOTAL__', kl_r = full KL); rows
+    2..k+1 the top drift contributors by |contribution| (ties → term) —
+    one frame so the alarm and its explanation travel together."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if top_contributors < 0:
+        raise ValueError("top_contributors must be >= 0")
+    from . import join_scalar_frame
+
+    def census(df):
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(
+                            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"[^a-z0-9]+",
+                        ),
+                        lambda t: t != "",
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    pc = census(prev).select("term", F.col("c").alias("pc"))
+    cc = census(curr).select("term", F.col("c").alias("cc"))
+    j = pc.join(cc, "term", "full_outer").select(
+        "term",
+        F.coalesce("pc", F.lit(0)).alias("pc"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    tot = j.groupBy().agg(
+        F.sum("pc").cast("double").alias("np"),
+        F.sum("cc").cast("double").alias("nc"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = join_scalar_frame(j, tot).select(
+        "term",
+        (
+            ((F.col("cc") + alpha) / (F.col("nc") + alpha * F.col("v")))
+            * F.log(
+                ((F.col("cc") + alpha) / (F.col("nc") + alpha * F.col("v")))
+                / ((F.col("pc") + alpha) / (F.col("np") + alpha * F.col("v")))
+            )
+        ).alias("contrib"),
+    )
+    total = scored.agg(
+        F.lit("__TOTAL__").alias("term"),
+        F.round(F.sum("contrib"), 6).alias("kl_r"),
+    )
+    top = (
+        scored.orderBy(F.abs(F.col("contrib")).desc(), F.col("term").asc())
+        .limit(top_contributors)
+        .select("term", F.round("contrib", 6).alias("kl_r"))
+    )
+    return total.unionByName(top)
+
+
 def textrank_keywords(
     docs: DataFrame,
     text_col: str = "text",
