@@ -3315,6 +3315,17 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_prf_search(spark, sf_dir):
+    """Rocchio pseudo-relevance-feedback retrieval (index.bm25_search_prf,
+    IIR §9.1): 'dup' (df≈5%) → top-5 feedback docs → 5 strongest
+    co-occurring terms at β=0.4 → rescore, top-10. The whole two-pass
+    chain restates in SQL."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.bm25_search_prf(docs, "dup", k=10, k_fb=5, n_expand=5, beta=0.4)
+
+
 def q_term_drift_kl(spark, sf_dir):
     """Corpus drift alarm with attribution (textqc.term_drift_kl):
     smoothed KL(curr ‖ prev) between two snapshots — curr plants
@@ -3761,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_locality": q_zorder_locality,
         "term_drift_kl": q_term_drift_kl,
         "frontier_eta": q_frontier_eta,
+        "prf_search": q_prf_search,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5631,6 +5643,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "prf_search": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), sc AS (
+              SELECT p.doc_id, p.term,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+            ), fb AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, ROUND(SUM(bm25_r), 6) AS s
+                FROM sc WHERE term = 'dup' GROUP BY doc_id
+                ORDER BY s DESC, doc_id ASC LIMIT 5)
+            ), expansion AS (
+              SELECT term, 0.4 AS weight FROM (
+                SELECT term, ROUND(SUM(bm25_r), 6) AS w
+                FROM sc SEMI JOIN fb USING (doc_id)
+                WHERE term <> 'dup'
+                GROUP BY term ORDER BY w DESC, term ASC LIMIT 5)
+            ), weighted AS (
+              SELECT 'dup' AS term, 1.0 AS weight
+              UNION ALL SELECT term, weight FROM expansion
+            ), rescored AS (
+              SELECT s.doc_id,
+                     ROUND(SUM(s.bm25_r * w.weight), 6) AS score_r
+              FROM sc s JOIN weighted w USING (term)
+              GROUP BY s.doc_id)
+            SELECT doc_id, score_r, rank FROM (
+              SELECT doc_id, score_r,
+                     ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id ASC)
+                       AS rank
+              FROM rescored) WHERE rank <= 10
         """,
         "term_drift_kl": """
             WITH ptok AS (

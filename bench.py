@@ -283,6 +283,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "zorder_locality",
         "term_drift_kl",
         "frontier_eta",
+        "prf_search",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -453,6 +453,78 @@ def bm25f_search(
     )
 
 
+def bm25_search_prf(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k_fb: int = 5,
+    n_expand: int = 5,
+    beta: float = 0.4,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971 reduced to its
+    deterministic two-pass core; Manning IIR §9.1): assume the first
+    pass's top-``k_fb`` docs are relevant, harvest their ``n_expand``
+    strongest non-query terms (by summed BM25 contribution within the
+    feedback set, ties term ASC), and rescore with the expanded query —
+    original terms at weight 1, expansion terms at ``beta``. The classic
+    recall lever when queries underspecify (crawl operators searching an
+    incident by two keywords get the co-occurring vocabulary for free).
+
+    Entirely DataFrame-composed — the expansion terms flow into pass 2
+    as a broadcast join, never a driver literal. Cost: pass 1's scoring
+    + one feedback-scoped agg + pass 2 over (query ∪ expansion)-term
+    postings. ``scores`` reuses a materialized impact index for both
+    passes. Returns (doc_id, score_r, rank)."""
+    if k_fb < 1 or n_expand < 0:
+        raise ValueError("k_fb must be >= 1 and n_expand >= 0")
+    if beta < 0:
+        raise ValueError("beta must be >= 0")
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("prf needs at least one indexable query term")
+    if scores is None:
+        scores = bm25_scores(docs, k1=k1, b=b, id_col=id_col, text_col=text_col)
+    fb_ids = (
+        scores.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(k_fb)
+        .select("doc_id")
+    )
+    expansion = (
+        scores.join(F.broadcast(fb_ids), "doc_id", "left_semi")
+        .where(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("_w"))
+        .orderBy(F.col("_w").desc(), F.col("term").asc())
+        .limit(n_expand)
+        .select("term", F.lit(float(beta)).alias("weight"))
+    )
+    qterms = None
+    for t in terms:
+        leg = expansion.sparkSession.createDataFrame(
+            [(t, 1.0)], "term string, weight double"
+        )
+        qterms = leg if qterms is None else qterms.unionByName(leg)
+    weighted = qterms.unionByName(expansion)
+    rescored = (
+        scores.join(F.broadcast(weighted), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("bm25_r") * F.col("weight")), 6).alias("score_r"))
+    )
+    topk = rescored.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()).limit(k)
+    w_rank = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w_rank)).select(
+        "doc_id", "score_r", "rank"
+    )
+
+
 def reciprocal_rank_fusion(
     rankings: list[DataFrame],
     k: int = 60,
