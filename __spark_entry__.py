@@ -3315,6 +3315,22 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_batch_bm25_topk(spark, sf_dir):
+    """Whole-batch retrieval in one plan (index.batch_bm25_topk): three
+    queries broadcast-joined against the impact table, one partial agg,
+    one per-query rank window — the serving shape for query logs; a
+    query-at-a-time loop pays a driver round-trip per query (the Amdahl
+    term the search pipeline measured before this operator)."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "dup batch"), (2, "spark window merge"), (3, "vector group")],
+        "query_id long, q string",
+    )
+    return idx.batch_bm25_topk(idx.bm25_scores(docs), queries, k=10)
+
+
 def q_prf_search(spark, sf_dir):
     """Rocchio pseudo-relevance-feedback retrieval (index.bm25_search_prf,
     IIR §9.1): 'dup' (df≈5%) → top-5 feedback docs → 5 strongest
@@ -3773,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift_kl": q_term_drift_kl,
         "frontier_eta": q_frontier_eta,
         "prf_search": q_prf_search,
+        "batch_bm25_topk": q_batch_bm25_topk,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5643,6 +5660,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "batch_bm25_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), sc AS (
+              SELECT p.doc_id, p.term,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+            ), qterms AS (
+              SELECT * FROM (VALUES
+                (1, 'dup'), (1, 'batch'),
+                (2, 'spark'), (2, 'window'), (2, 'merge'),
+                (3, 'vector'), (3, 'group')) AS t(query_id, term)
+            ), per AS (
+              SELECT q.query_id, s.doc_id,
+                     ROUND(SUM(s.bm25_r), 6) AS score_r
+              FROM sc s JOIN qterms q USING (term)
+              GROUP BY 1, 2)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_r,
+                   rank
+            FROM (
+              SELECT query_id, doc_id, score_r,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_r DESC, doc_id ASC) AS rank
+              FROM per) WHERE rank <= 10
         """,
         "prf_search": """
             WITH tok AS (

@@ -6,9 +6,10 @@ scripts/curation_pipeline.py:
     (Crawler.update_index, incremental merge) → index sizing
     (postings vbyte + dictionary front coding) → known-item query set
     (5 lowest-df tokens of sampled docs — the classic known-item eval)
-    → MaxScore pruned top-10 per query (equality-checked against exact
-    BM25 on a sample) → TREC eval (MRR / recall@10) against the planted
-    known items
+    → whole-batch top-10 retrieval in ONE plan (index.batch_bm25_topk
+    over the materialized impact index; equality-checked per query
+    against exact BM25 AND MaxScore on a sample) → TREC eval
+    (MRR / recall@10) against the planted known items
 
 The report is one JSON object on stdout: per-stage wall seconds, index
 size estimates, retrieval quality, query throughput. ``--scaling`` runs
@@ -146,34 +147,48 @@ def run_pipeline(
     ledger["stages"]["queries"] = {"n_queries": len(queries)}
     t0 = tick("query_gen", t0)
 
-    # --- stage 5: MaxScore retrieval from the materialized impact index ------
-    # the serving shape: (doc, term, bm25_r) computed ONCE, written next to
-    # the postings; each query pays only the IN-list scan of that table,
-    # never a corpus re-tokenize
+    # --- stage 5: BATCH retrieval from the materialized impact index ---------
+    # the serving shape: (doc, term, bm25_r) computed ONCE next to the
+    # postings; the WHOLE query batch scores in one plan
+    # (index.batch_bm25_topk) — query-at-a-time loops pay one driver
+    # round-trip of pure latency per query, the Amdahl serial term that
+    # capped this stage's scaling before the batch operator existed
     ix.bm25_scores(docs).write.mode("overwrite").parquet(f"{workdir}/impact")
     impact = spark.read.parquet(f"{workdir}/impact")
     t0 = tick("impact_index", t0)
-    all_results = None
-    n_equal = 0
-    for qid, known, q in queries:
-        top = ix.maxscore_topk(docs, q, k=10, scores=impact).withColumn(
-            "query_id", F.lit(int(qid))
-        )
-        if qid <= equality_sample:
-            exact = ix.bm25_search(docs, q, k=10)  # independent full path
-            got = [(r["doc_id"], r["score_r"]) for r in top.collect()]
-            want = [(r["doc_id"], r["score_r"]) for r in exact.collect()]
-            if got == want:
-                n_equal += 1
-        all_results = top if all_results is None else all_results.unionByName(top)
-    results = all_results.select("query_id", "doc_id", "rank")
+    qframe = spark.createDataFrame(
+        [(int(qid), q) for qid, _, q in queries], "query_id long, q string"
+    )
+    results = ix.batch_bm25_topk(impact, qframe, k=10)
     results.write.mode("overwrite").parquet(f"{workdir}/results")
     results = spark.read.parquet(f"{workdir}/results")
+    t0 = tick("retrieval", t0)
+    # equality sample (timed separately — deliberately query-at-a-time):
+    # the batch plan vs per-query exact BM25 AND per-query MaxScore —
+    # three independent paths must agree row-for-row
+    n_equal = 0
+    for qid, known, q in queries[:equality_sample]:
+        got = [
+            (r["doc_id"], r["score_r"])
+            for r in results.where(F.col("query_id") == int(qid))
+            .orderBy("rank")
+            .collect()
+        ]
+        exact = [
+            (r["doc_id"], r["score_r"])
+            for r in ix.bm25_search(docs, q, k=10).collect()
+        ]
+        pruned = [
+            (r["doc_id"], r["score_r"])
+            for r in ix.maxscore_topk(docs, q, k=10, scores=impact).collect()
+        ]
+        if got == exact == pruned:
+            n_equal += 1
     ledger["stages"]["retrieval"] = {
         "equality_checked": min(equality_sample, len(queries)),
         "equality_matched": n_equal,
     }
-    t0 = tick("retrieval", t0)
+    t0 = tick("equality_check", t0)
 
     # --- stage 6: TREC eval vs the planted known items ------------------------
     qrels = spark.createDataFrame(

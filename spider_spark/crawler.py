@@ -878,6 +878,37 @@ class Crawler:
         self.catalog.replace_index(t, merged)
         return t
 
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Serve a BM25 top-k query from the STANDING index — the loop
+        closed: crawl → update_index → search without ever touching raw
+        text again (operators/index.bm25_scores_from_postings +
+        maxscore_topk's pruned evaluation over the precomputed scores).
+        Returns (doc_id=url_canon, score_r, rank). Requires a prior
+        ``update_index()``; an empty index returns an empty frame."""
+        from .operators.index import bm25_scores_from_postings, maxscore_topk
+
+        post = self.catalog.load_index(self.spark)
+        scores = bm25_scores_from_postings(post)
+        return maxscore_topk(None, query, k=k, scores=scores)
+
+    def frontier_eta(self, default_budget: int | None = None) -> DataFrame:
+        """Politeness-aware drain forecast over the PENDING frontier
+        (operators/adaptive.frontier_eta): per host, pending URLs and
+        the ⌈pending/budget⌉ ticks the politeness cap needs to drain
+        them — the critical-path view of the crawl's remaining work."""
+        from .operators.adaptive import frontier_eta as _eta
+
+        t = self.catalog.committed_tick() + 1
+        pending = self.catalog.load_frontier(self.spark, t)
+        return _eta(
+            pending,
+            default_budget=(
+                self.cfg.per_host_budget
+                if default_budget is None
+                else default_budget
+            ),
+        )
+
     # --- inspection helpers -------------------------------------------------
 
     def results(self) -> DataFrame:

@@ -152,6 +152,49 @@ def bm25_scores(
     )
 
 
+def bm25_scores_from_postings(
+    post: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``bm25_scores`` computed from a (term, doc_id, tf) postings table
+    alone — the standing-index serving path (``Crawler.update_index``
+    maintains exactly this table): dl, df, N and avgdl all derive from
+    the postings, so scoring never touches raw text again. One caveat
+    vs the docs form, stated not hidden: documents whose text tokenizes
+    to NOTHING carry no postings row, so N counts docs with ≥1 term —
+    identical scores whenever every doc has at least one token.
+    Returns (doc_id, term, tf, bm25_r)."""
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    consts = join_scalar_frame(
+        post.select("doc_id").distinct().groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ),
+        post.groupBy().agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("tot_tokens")
+        ),
+    )
+    scored = join_scalar_frame(
+        post.join(document_frequency(post), "term").join(dl, "doc_id"), consts
+    )
+    avgdl = F.col("tot_tokens") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return scored.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+            6,
+        ).alias("bm25_r"),
+    )
+
+
 def merge_postings(
     old_postings: DataFrame,
     delta_docs: DataFrame,
@@ -450,6 +493,49 @@ def bm25f_search(
     w_rank = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(w_rank)).select(
         "doc_id", "score_r", "rank"
+    )
+
+
+def batch_bm25_topk(
+    scores: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    text_col: str = "q",
+) -> DataFrame:
+    """Top-k for a whole QUERY BATCH in one plan — the serving shape for
+    query logs and offline eval sweeps, and the reason a distributed
+    engine beats query-at-a-time here: N queries as N sequential jobs pay
+    N driver round-trips of pure latency (Amdahl's serial term — measured
+    as the search pipeline's scaling ceiling before this operator), while
+    one broadcast join + one partial agg + one per-query window amortizes
+    everything.
+
+    ``queries``: (query_id, q free-text); tokenized JVM-side (same
+    tokenizer as the corpus), distinct terms per query, broadcast against
+    the impact table. The rank window partitions by query_id over that
+    query's MATCHING docs — fine for specific queries; for stop-wordy
+    logs screen terms by df first (the more_like_this discipline) or the
+    window inherits the full corpus. Returns (query_id, doc_id, score_r,
+    rank ≤ k), ties toward smaller doc_id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qterms = queries.select(
+        F.col(query_col).alias("query_id"),
+        F.explode(F.array_distinct(col_index_tokens(text_col))).alias("term"),
+    )
+    per = (
+        scores.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("score_r"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_r", "rank")
     )
 
 

@@ -105,3 +105,27 @@ def test_upper_bounds_census(spark, corpus):
     for r in scores.collect():
         brute[r["term"]] = max(brute.get(r["term"], 0.0), r["bm25_r"])
     assert ub == brute
+
+
+def test_batch_topk_equals_per_query(spark, corpus):
+    import pandas as pd
+
+    queries = pd.DataFrame(
+        {"query_id": [1, 2, 3], "q": ["zebra common", "filler", "common zebra filler"]}
+    )
+    scores = ix.bm25_scores(corpus)
+    batch = ix.batch_bm25_topk(scores, spark.createDataFrame(queries), k=5)
+    rows = batch.collect()
+    for qid, q in zip(queries["query_id"], queries["q"]):
+        got = sorted(
+            (r["rank"], r["doc_id"], r["score_r"])
+            for r in rows
+            if r["query_id"] == qid
+        )
+        want = [
+            (r["rank"], r["doc_id"], r["score_r"])
+            for r in ix.bm25_search(corpus, q, k=5).collect()
+        ]
+        assert got == want, q
+    with pytest.raises(ValueError):
+        ix.batch_bm25_topk(scores, spark.createDataFrame(queries), k=0)
