@@ -284,6 +284,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "term_drift_kl",
         "frontier_eta",
         "prf_search",
+        "batch_bm25_topk",
         "fixed_chunk_dedup",
     ]
     out = {}
