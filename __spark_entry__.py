@@ -3315,6 +3315,31 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank (similarity.mmr_select, Carbonell &
+    Goldstein SIGIR 1998): top-20 cosine candidates for probe vec 0,
+    then 3 greedy λ=0.7 picks at the repo's 4-dp float32 cosine
+    precision. The oracle unrolls all three greedy steps."""
+    from spider_spark.operators import join_scalar_frame
+    from spider_spark.operators.similarity import _cosine_expr, mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    cands = (
+        join_scalar_frame(emb.where(F.col("vec_id") >= 4), probe)
+        .select(
+            "vec_id",
+            _cosine_expr("embedding", "probe_vec").alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.round(F.col("rel"), 4).desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    return mmr_select(cands, k=3, lam=0.7, round_dp=4)
+
+
 def q_batch_bm25_topk(spark, sf_dir):
     """Whole-batch retrieval in one plan (index.batch_bm25_topk): three
     queries broadcast-joined against the impact table, one partial agg,
@@ -3790,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_eta": q_frontier_eta,
         "prf_search": q_prf_search,
         "batch_bm25_topk": q_batch_bm25_topk,
+        "mmr_rerank": q_mmr_rerank,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5660,6 +5686,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "mmr_rerank": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id >= 4
+            ), probe AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS pv
+              FROM embeddings WHERE vec_id = 0
+            ), rels AS (
+              SELECT vec_id, list_cosine_similarity(v, pv) AS rel, v
+              FROM corpus, probe
+            ), cands AS (
+              SELECT * FROM rels
+              ORDER BY ROUND(rel, 4) DESC, vec_id ASC LIMIT 20
+            ), s1 AS (
+              SELECT * FROM cands
+              ORDER BY ROUND(rel, 4) DESC, vec_id ASC LIMIT 1
+            ), r2 AS (
+              SELECT c.vec_id, c.rel, c.v,
+                     ROUND(0.7 * c.rel
+                           - 0.3 * list_cosine_similarity(c.v, s1.v), 4)
+                       AS mmr
+              FROM cands c, s1 WHERE c.vec_id <> s1.vec_id
+            ), s2 AS (
+              SELECT * FROM r2 ORDER BY mmr DESC, vec_id ASC LIMIT 1
+            ), r3 AS (
+              SELECT c.vec_id, c.rel,
+                     ROUND(0.7 * c.rel
+                           - 0.3 * GREATEST(
+                               list_cosine_similarity(c.v, s1.v),
+                               list_cosine_similarity(c.v, s2.v)), 4) AS mmr
+              FROM cands c, s1, s2
+              WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
+            ), s3 AS (
+              SELECT vec_id, rel, mmr FROM r3
+              ORDER BY mmr DESC, vec_id ASC LIMIT 1
+            )
+            SELECT 1 AS rank, vec_id AS id, ROUND(rel, 4) AS rel_r,
+                   ROUND(rel, 4) AS mmr_r FROM s1
+            UNION ALL
+            SELECT 2, vec_id, ROUND(rel, 4), mmr FROM s2
+            UNION ALL
+            SELECT 3, vec_id, ROUND(rel, 4), mmr FROM s3
         """,
         "batch_bm25_topk": """
             WITH tok AS (

@@ -285,6 +285,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "frontier_eta",
         "prf_search",
         "batch_bm25_topk",
+        "mmr_rerank",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -53,6 +53,92 @@ def brute_force_topk(
     )
 
 
+def mmr_select(
+    cands: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k items maximizing
+    λ·relevance − (1−λ)·max-cosine-to-already-selected — the diversity
+    pass after a first-stage ranker, so near-duplicate hits don't fill
+    the SERP/context window. CONTRACT: ``cands`` is the BOUNDED first-
+    stage top-N (N ≲ 1000) — greedy selection is inherently sequential,
+    so this runs k driver-step jobs over that small frame (each one
+    broadcast-hash sim join + a 1-row TakeOrdered; the per-step collect
+    is one id — the centroid-literal bounded-contract discipline, never
+    a corpus-scale loop).
+
+    Ordering happens on values ROUNDED to ``round_dp`` (ties → smaller
+    id), which is what makes two engines' float cosines agree on the
+    selection (use 4 for float32 embeddings, the repo's cosine
+    precision). λ=1 degenerates to plain relevance order (tested).
+    Returns (rank, id, rel_r, mmr_r)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+    spark = cands.sparkSession
+    base = cands.select(
+        F.col(id_col).alias("_id"), F.col(rel_col).alias("_rel"), F.col(vec_col).alias("_v")
+    ).persist()
+    try:
+        picked: list = []
+        out_rows: list = []
+        for rank in range(1, k + 1):
+            if not picked:
+                scored = base.select(
+                    "_id", "_rel", F.round("_rel", round_dp).alias("_mmr_r")
+                )
+            else:
+                # non-foldable constant join key on BOTH sides (the
+                # join_scalar_frame trick, k-row side) → BroadcastHashJoin,
+                # never a nested loop
+                sel = base.where(F.col("_id").isin(picked)).select(
+                    F.col("_v").alias("_sv"),
+                    F.pmod(F.xxhash64(F.col("_id")), F.lit(1)).alias("_k"),
+                )
+                rem = base.where(~F.col("_id").isin(picked)).withColumn(
+                    "_k", F.pmod(F.xxhash64(F.col("_id")), F.lit(1))
+                )
+                scored = (
+                    rem.join(F.broadcast(sel), "_k")
+                    .withColumn("_cos", _cosine_expr("_v", "_sv"))
+                    .groupBy("_id", "_rel")
+                    .agg(F.max("_cos").alias("_sim"))
+                    .select(
+                        "_id",
+                        "_rel",
+                        F.round(
+                            F.lit(lam) * F.col("_rel")
+                            - F.lit(1.0 - lam) * F.col("_sim"),
+                            round_dp,
+                        ).alias("_mmr_r"),
+                    )
+                )
+            pick = (
+                scored.orderBy(F.col("_mmr_r").desc(), F.col("_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not pick:
+                break
+            row = pick[0]
+            picked.append(row["_id"])
+            out_rows.append(
+                (rank, row["_id"], round(float(row["_rel"]), round_dp), float(row["_mmr_r"]))
+            )
+        return spark.createDataFrame(
+            out_rows, "rank int, id long, rel_r double, mmr_r double"
+        )
+    finally:
+        base.unpersist(blocking=False)
+
+
 def hyperplane_signature_udf(dim: int, num_planes: int = 16, seed: int = 42):
     """array<float> → int bucket signature from random hyperplane signs."""
     rng = np.random.RandomState(seed)
