@@ -3315,6 +3315,23 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_cori_shard_select(spark, sf_dir):
+    """Federated shard selection (index.cori_shard_scores, Callan et al.
+    SIGIR 1995) over the rendezvous-routed 4-shard split of the corpus:
+    rank shards by query-fit from the tiny resource-description table
+    (shard_term_stats), never the postings — the query-side complement
+    of HRW document routing."""
+    from spider_spark.operators import index as idx
+    from spider_spark.operators import layout
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = layout.rendezvous_assign(
+        docs.select("doc_id", "text"), ["s-a", "s-b", "s-c", "s-d"]
+    )
+    stats = idx.shard_term_stats(sharded)
+    return idx.cori_shard_scores(stats, "dup batch small")
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversity re-rank (similarity.mmr_select, Carbonell &
     Goldstein SIGIR 1998): top-20 cosine candidates for probe vec 0,
@@ -3816,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": q_prf_search,
         "batch_bm25_topk": q_batch_bm25_topk,
         "mmr_rerank": q_mmr_rerank,
+        "cori_shard_select": q_cori_shard_select,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5686,6 +5704,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "cori_shard_select": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-a'), 1, 8))::UBIGINT
+                          AS BIGINT) AS ha,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-b'), 1, 8))::UBIGINT
+                          AS BIGINT) AS hb,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-c'), 1, 8))::UBIGINT
+                          AS BIGINT) AS hc,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':s-d'), 1, 8))::UBIGINT
+                          AS BIGINT) AS hd
+              FROM documents
+            ), sharded AS (
+              SELECT CASE WHEN hd >= ha AND hd >= hb AND hd >= hc THEN 's-d'
+                          WHEN hc >= ha AND hc >= hb THEN 's-c'
+                          WHEN hb >= ha THEN 's-b'
+                          ELSE 's-a' END AS shard,
+                     doc_id, text
+              FROM h
+            ), tok AS (
+              SELECT shard, doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM sharded
+            ), dfp AS (
+              SELECT shard, term, COUNT(DISTINCT doc_id) AS df,
+                     COUNT(*) AS toks
+              FROM tok GROUP BY 1, 2
+            ), cwt AS (
+              SELECT shard, SUM(toks) AS cw FROM dfp GROUP BY 1
+            ), consts AS (
+              SELECT COUNT(*) AS n_shards, AVG(cw) AS avg_cw FROM cwt
+            ), cf AS (
+              SELECT term, COUNT(*) AS cf FROM dfp
+              WHERE term IN ('batch', 'dup', 'small') GROUP BY 1
+            ), beliefs AS (
+              SELECT d.shard,
+                     0.4 + 0.6
+                       * (d.df / (d.df + 50.0 + 150.0 * w.cw / c.avg_cw))
+                       * (ln((c.n_shards + 0.5) / f.cf)
+                          / ln(c.n_shards + 1.0)) AS belief
+              FROM dfp d JOIN cwt w USING (shard) JOIN cf f USING (term),
+                   consts c
+              WHERE d.term IN ('batch', 'dup', 'small')
+            ), per AS (
+              SELECT w.shard,
+                     ROUND((COALESCE(b.s, 0) + 0.4 * (3 - COALESCE(b.n, 0)))
+                           / 3.0, 6) AS score_r
+              FROM cwt w LEFT JOIN (
+                SELECT shard, SUM(belief) AS s, COUNT(*) AS n
+                FROM beliefs GROUP BY 1) b USING (shard)
+            )
+            SELECT shard, score_r,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, shard ASC)
+                        AS INT) AS rank
+            FROM per
         """,
         "mmr_rerank": """
             WITH corpus AS (

@@ -286,6 +286,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "prf_search",
         "batch_bm25_topk",
         "mmr_rerank",
+        "cori_shard_select",
         "fixed_chunk_dedup",
     ]
     out = {}

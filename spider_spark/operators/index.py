@@ -1058,6 +1058,108 @@ def percolate(
     )
 
 
+def shard_term_stats(
+    docs: DataFrame,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(shard, term) document frequency + per-shard token counts —
+    the resource-description table federated search keeps per index
+    shard (one row per shard×term, refreshed by the same incremental
+    discipline as the postings). Returns (shard, term, df, cw) where cw
+    is the shard's total token count."""
+    post = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(col_index_tokens(text_col)).alias("term"),
+    )
+    df_t = (
+        post.groupBy("shard", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("_toks"))
+    )
+    cw = df_t.groupBy("shard").agg(F.sum("_toks").alias("cw"))
+    return df_t.join(cw, "shard").select("shard", "term", "df", "cw")
+
+
+def cori_shard_scores(
+    stats: DataFrame,
+    query: str,
+    b: float = 0.4,
+) -> DataFrame:
+    """CORI resource selection (Callan, Lu & Croft, SIGIR 1995): rank
+    index SHARDS by how likely they are to hold a query's results, so a
+    federated top-k touches a few shards instead of all of them — the
+    query-side complement of rendezvous document routing.
+
+        T = df / (df + 50 + 150·cw_s/avg_cw)
+        I = log((|S| + 0.5) / cf_t) / log(|S| + 1)
+        belief(t,s) = b + (1−b)·T·I;   score(s) = mean over query terms
+
+    (the paper's constants; cf_t = shards containing t, absent terms
+    contribute belief b). Input is the ``shard_term_stats`` table — the
+    tiny resource description, never the postings. One filtered census +
+    two scalar hash-joins. Returns (shard, score_r, rank)."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("cori needs at least one indexable query term")
+    if not (0.0 <= b < 1.0):
+        raise ValueError("b must be in [0, 1)")
+    shards = stats.select("shard", "cw").distinct()
+    consts = shards.groupBy().agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.avg("cw").alias("avg_cw"),
+    )
+    cf = (
+        stats.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    q = stats.where(F.col("term").isin(terms)).join(cf, "term")
+    scored = join_scalar_frame(q, consts).select(
+        "shard",
+        "term",
+        (
+            F.lit(b)
+            + F.lit(1.0 - b)
+            * (
+                F.col("df")
+                / (F.col("df") + 50.0 + 150.0 * F.col("cw") / F.col("avg_cw"))
+            )
+            * (
+                F.log((F.col("n_shards") + 0.5) / F.col("cf"))
+                / F.log(F.col("n_shards") + 1.0)
+            )
+        ).alias("belief"),
+    )
+    # absent (shard, term) pairs contribute the default belief b: mean =
+    # (Σ present beliefs + b·n_absent) / n_terms
+    per_shard = (
+        shards.select("shard")
+        .join(scored.groupBy("shard").agg(
+            F.sum("belief").alias("_s"), F.count(F.lit(1)).alias("_n")
+        ), "shard", "left")
+        .select(
+            "shard",
+            F.round(
+                (
+                    F.coalesce(F.col("_s"), F.lit(0.0))
+                    + F.lit(float(b))
+                    * (F.lit(len(terms)) - F.coalesce(F.col("_n"), F.lit(0)))
+                )
+                / F.lit(float(len(terms))),
+                6,
+            ).alias("score_r"),
+        )
+    )
+    w = Window.orderBy(F.col("score_r").desc(), F.col("shard").asc())
+    return per_shard.withColumn("rank", F.row_number().over(w)).select(
+        "shard", "score_r", "rank"
+    )
+
+
 def dictionary_frontcoding_stats(
     docs: DataFrame,
     bucket_chars: int = 2,
