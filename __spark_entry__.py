@@ -3315,6 +3315,30 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_pruned_postings(spark, sf_dir):
+    """Static index pruning (index.prune_postings_static, Carmel et al.
+    SIGIR 2001): each term keeps its top-8 postings by impact via the
+    two-phase salted top-k (hot-term windows bounded). Returns the
+    surviving rows; the oracle is the naive single-window selection the
+    salted form must equal."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.prune_postings_static(idx.bm25_scores(docs), lam=8, salt=4)
+
+
+def q_query_clarity(spark, sf_dir):
+    """Query-difficulty prediction (index.query_clarity, Cronen-Townsend
+    et al. SIGIR 2002): KL between the 'dup' feedback language model
+    (top-10 docs) and the collection model."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.query_clarity(
+        idx.bm25_scores(docs), idx.postings(docs), "dup", k_fb=10
+    )
+
+
 def q_cori_shard_select(spark, sf_dir):
     """Federated shard selection (index.cori_shard_scores, Callan et al.
     SIGIR 1995) over the rendezvous-routed 4-shard split of the corpus:
@@ -3834,6 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": q_batch_bm25_topk,
         "mmr_rerank": q_mmr_rerank,
         "cori_shard_select": q_cori_shard_select,
+        "pruned_postings": q_pruned_postings,
+        "query_clarity": q_query_clarity,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5704,6 +5730,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "pruned_postings": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), sc AS (
+              SELECT p.doc_id, p.term, p.tf,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+            )
+            SELECT doc_id, term, tf, bm25_r FROM (
+              SELECT doc_id, term, tf, bm25_r,
+                     ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY bm25_r DESC, doc_id ASC) AS r
+              FROM sc) WHERE r <= 8
+        """,
+        "query_clarity": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), sc AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term = 'dup'
+            ), fb AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, ROUND(SUM(bm25_r), 6) AS s FROM sc
+                GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT 10)
+            ), fbt AS (
+              SELECT term, SUM(tf) AS qtf FROM post SEMI JOIN fb
+                USING (doc_id) GROUP BY term
+            ), coll AS (
+              SELECT term, SUM(tf) AS cf FROM post GROUP BY term
+            ), tots AS (
+              SELECT (SELECT CAST(SUM(qtf) AS DOUBLE) FROM fbt) AS qtot,
+                     (SELECT CAST(SUM(tf) AS DOUBLE) FROM post) AS ctot
+            )
+            SELECT 10 AS n_fb_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   ROUND(SUM((f.qtf / t.qtot)
+                             * log2((f.qtf / t.qtot) / (c.cf / t.ctot))), 6)
+                     AS clarity_r
+            FROM fbt f JOIN coll c USING (term), tots t
         """,
         "cori_shard_select": """
             WITH h AS (

@@ -287,6 +287,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "batch_bm25_topk",
         "mmr_rerank",
         "cori_shard_select",
+        "pruned_postings",
+        "query_clarity",
         "fixed_chunk_dedup",
     ]
     out = {}

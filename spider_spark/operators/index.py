@@ -1058,6 +1058,96 @@ def percolate(
     )
 
 
+def prune_postings_static(
+    scores: DataFrame,
+    lam: int = 32,
+    salt: int = 8,
+) -> DataFrame:
+    """Static index pruning (Carmel et al., SIGIR 2001): keep only each
+    term's top-λ postings by impact (bm25_r, ties → smaller doc_id) —
+    the serving-index diet that trades a bounded quality loss for a
+    hard per-term size cap (stop-word postings stop being corpus-sized).
+    Returns the surviving (doc_id, term, tf, bm25_r) rows.
+
+    Hot-term safe: the naive per-term window is corpus-sized for a stop
+    word, so this uses the repo's two-phase salted top-k — phase 1 ranks
+    within (term, doc-hash salt) so every window task is bounded, phase
+    2 ranks the ≤ salt·λ survivors per term. Identical results to the
+    single-window form (pytest-pinned), never its skew."""
+    if lam < 1 or salt < 1:
+        raise ValueError("lam and salt must be >= 1")
+    salted = scores.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
+    w1 = Window.partitionBy("term", "_salt").orderBy(
+        F.col("bm25_r").desc(), F.col("doc_id").asc()
+    )
+    phase1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= lam)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("term").orderBy(
+        F.col("bm25_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        phase1.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= lam)
+        .drop("_r2")
+    )
+
+
+def query_clarity(
+    scores: DataFrame,
+    post: DataFrame,
+    query: str,
+    k_fb: int = 10,
+) -> DataFrame:
+    """Query clarity score (Cronen-Townsend, Zhou & Croft, SIGIR 2002):
+    KL divergence between the query's feedback language model (MLE over
+    the top-``k_fb`` docs' token stream) and the collection model —
+    HIGH clarity = the query's result language is focused (an easy,
+    well-specified query); near zero = results look like the whole
+    corpus (the query-difficulty predictor a serving tier uses to decide
+    when to expand/route/escalate).
+
+        clarity = Σ_t P(t|q)·log2(P(t|q) / P(t|C))
+
+    over the feedback docs' terms; P(t|C) = collection frequency / total
+    tokens. Deterministic: feedback set = the rounded-BM25 top-k.
+    Inputs are the impact table and the postings (both standing); one
+    semi-join + two censuses. Returns one row
+    (n_fb_docs, n_terms, clarity_r)."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("clarity needs at least one indexable query term")
+    if k_fb < 1:
+        raise ValueError("k_fb must be >= 1")
+    fb_ids = (
+        scores.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25_r"), 6).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(k_fb)
+        .select("doc_id")
+    )
+    fb = post.join(F.broadcast(fb_ids), "doc_id", "left_semi")
+    fb_terms = fb.groupBy("term").agg(F.sum("tf").alias("qtf"))
+    coll = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    totals = join_scalar_frame(
+        fb_terms.groupBy().agg(F.sum("qtf").cast("double").alias("qtot")),
+        post.groupBy().agg(F.sum("tf").cast("double").alias("ctot")),
+    )
+    j = join_scalar_frame(fb_terms.join(coll, "term"), totals)
+    pq = F.col("qtf") / F.col("qtot")
+    pc = F.col("cf") / F.col("ctot")
+    contrib = pq * F.log2(pq / pc)
+    n_docs = fb_ids.count()
+    return j.agg(
+        F.lit(int(n_docs)).alias("n_fb_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum(contrib), 6).alias("clarity_r"),
+    )
+
+
 def shard_term_stats(
     docs: DataFrame,
     shard_col: str = "shard",
