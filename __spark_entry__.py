@@ -3315,6 +3315,41 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_ql_dirichlet(spark, sf_dir):
+    """Dirichlet query-likelihood top-10 (index.ql_dirichlet_search,
+    Zhai & Lafferty SIGIR 2001) for 'dup batch' at μ=2000 — the LM
+    ranker beside BM25, so fusion combines genuinely different
+    rankers."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    return idx.ql_dirichlet_search(docs, "dup batch", k=10, mu=2000.0)
+
+
+def q_revisit_priority(spark, sf_dir):
+    """Revisit-value ordering (recrawl.revisit_priority, Cho & GM 2003
+    §6 greedy): rank · (1 − expected freshness) over the events-derived
+    freshness ledger, rank synthesized arithmetically; null-λ̂ URLs read
+    fully stale (never starved of evidence)."""
+    import datetime as _dt
+
+    from spider_spark.operators import recrawl
+
+    ev = _t(spark, sf_dir, "events")
+    rates = recrawl.change_rate(
+        ev, url_col="user_id", ts_col="ts", fp_col="event_type", tiebreak_col="event_id"
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    fresh = recrawl.expected_freshness(
+        rates.join(last, "user_id"), _dt.datetime(2024, 3, 1), url_col="user_id"
+    )
+    ranks = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.lit(1) + F.pmod(F.col("user_id") * 3, F.lit(7))).cast("double").alias("rank"),
+    )
+    return recrawl.revisit_priority(fresh, ranks, url_col="user_id")
+
+
 def q_pruned_postings(spark, sf_dir):
     """Static index pruning (index.prune_postings_static, Carmel et al.
     SIGIR 2001): each term keeps its top-8 postings by impact via the
@@ -3860,6 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cori_shard_select": q_cori_shard_select,
         "pruned_postings": q_pruned_postings,
         "query_clarity": q_query_clarity,
+        "ql_dirichlet_topk": q_ql_dirichlet,
+        "revisit_priority": q_revisit_priority,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
         "ucb_host_priority": q_ucb_host_priority,
@@ -5730,6 +5767,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "ql_dirichlet_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), ctot AS (
+              SELECT CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS ctot FROM post
+            ), known AS (
+              SELECT term, SUM(tf) / t.ctot AS ptc
+              FROM post, ctot t WHERE term IN ('batch', 'dup')
+              GROUP BY term, t.ctot
+            ), cand AS (
+              SELECT DISTINCT p.doc_id, l.dl
+              FROM post p JOIN dl l USING (doc_id)
+              WHERE p.term IN ('batch', 'dup')
+            ), grid AS (
+              SELECT c.doc_id, c.dl, k.term, k.ptc FROM cand c, known k
+            ), scored AS (
+              SELECT g.doc_id,
+                     ln((COALESCE(p.tf, 0) + 2000.0 * g.ptc)
+                        / (g.dl + 2000.0)) AS s
+              FROM grid g LEFT JOIN post p
+                ON p.doc_id = g.doc_id AND p.term = g.term)
+            SELECT doc_id, score_r, rank FROM (
+              SELECT doc_id, ROUND(SUM(s), 6) AS score_r,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(SUM(s), 6) DESC,
+                                        doc_id ASC) AS rank
+              FROM scored GROUP BY doc_id) WHERE rank <= 10
+        """,
+        "revisit_priority": """
+            WITH lagged AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_type AS fp,
+                     LAG(epoch_us(ts)) OVER w AS prev_ts,
+                     LAG(event_type) OVER w AS prev_fp
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            per AS (
+              SELECT user_id,
+                     count(prev_ts) AS n_int,
+                     CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     AVG(CAST(ts_us - prev_ts AS DOUBLE)) / 1000000.0 AS mean_dt,
+                     MAX(ts_us) AS last_us
+              FROM lagged GROUP BY user_id),
+            lam AS (
+              SELECT user_id, last_us,
+                     CASE WHEN n_int > 0 AND mean_dt > 0
+                          THEN -ln((n_int - n_changes + 0.5) / (n_int + 0.5))
+                               / mean_dt + 0.0
+                          END AS lambda_per_s
+              FROM per),
+            fresh AS (
+              SELECT user_id,
+                     ROUND(CASE WHEN lambda_per_s IS NOT NULL
+                                     AND (1709251200000000 - last_us) >= 0
+                                THEN exp(-lambda_per_s *
+                                         ((1709251200000000 - last_us)
+                                          / 1000000.0))
+                                END, 6) AS freshness_r
+              FROM lam)
+            SELECT user_id,
+                   ROUND(CAST(1 + (user_id * 3) % 7 AS DOUBLE), 6) AS rank,
+                   ROUND(1.0 - COALESCE(freshness_r, 0.0), 6) AS staleness_r,
+                   ROUND(CAST(1 + (user_id * 3) % 7 AS DOUBLE)
+                         * (1.0 - COALESCE(freshness_r, 0.0)), 6)
+                     AS revisit_r
+            FROM fresh
         """,
         "pruned_postings": """
             WITH tok AS (

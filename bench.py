@@ -289,6 +289,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "cori_shard_select",
         "pruned_postings",
         "query_clarity",
+        "ql_dirichlet_topk",
+        "revisit_priority",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -1058,6 +1058,92 @@ def percolate(
     )
 
 
+def ql_dirichlet_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling ranker next to BM25
+    (the two ends of the classic probabilistic-IR spectrum; having both
+    lets rrf/fusion combine genuinely different rankers):
+
+        score(d) = Σ_t log( (tf(t,d) + μ·P(t|C)) / (dl(d) + μ) )
+
+    over the query's terms, P(t|C) = collection frequency / total
+    tokens. Smoothing means a doc missing a term is penalized, not
+    zeroed — but a term absent from the whole COLLECTION has P(t|C)=0
+    and would -inf every doc, so unknown terms are dropped (the standard
+    treatment; a query whose EVERY term is collection-unknown yields an
+    empty frame — deciding that eagerly would cost a job, so it stays
+    lazy). Matching docs only (docs matching no query term are absent,
+    like bm25_search).
+
+    Same physical shape as bm25_scores: postings + dl + one scalar
+    hash-join; top-k via TakeOrderedAndProject. Returns
+    (doc_id, score_r, rank); scores are negative log-likelihoods —
+    closer to 0 is better."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("ql needs at least one indexable query term")
+    if mu <= 0:
+        raise ValueError("mu must be > 0")
+    post = postings(docs, id_col, text_col)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    coll = (
+        post.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    tot = post.groupBy().agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("double").alias("ctot")
+    )
+    known = join_scalar_frame(coll, tot).select(
+        "term", (F.col("cf") / F.col("ctot")).alias("ptc")
+    )
+    # matching docs: any known query term present; score needs EVERY
+    # known term's tf (0 when absent) → right join term-grid onto the
+    # doc's postings via the (doc × known-term) frame built from dl
+    cand = (
+        post.where(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+        .join(dl, "doc_id")
+    )
+    # doc × known-term grid via a non-foldable constant equi-key (the
+    # join_scalar_frame trick, k-row side) — BroadcastHashJoin, never NL
+    grid = cand.withColumn("_k", F.pmod(F.xxhash64("doc_id"), F.lit(1))).join(
+        F.broadcast(
+            known.withColumn("_k", F.pmod(F.xxhash64("term"), F.lit(1)))
+        ),
+        "_k",
+    ).drop("_k")
+    tf = (
+        post.where(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf")
+    )
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(mu) * F.col("ptc"))
+                / (F.col("dl") + F.lit(mu))
+            ).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score_r"))
+    )
+    topk = scored.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_r", "rank"
+    )
+
+
 def prune_postings_static(
     scores: DataFrame,
     lam: int = 32,

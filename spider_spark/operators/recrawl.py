@@ -168,6 +168,53 @@ def freshness_rollup(fresh: DataFrame, stale_below: float = 0.5) -> DataFrame:
     )
 
 
+def revisit_priority(
+    fresh: DataFrame,
+    ranks: DataFrame | None = None,
+    url_col: str = "url",
+    rank_col: str = "rank",
+    freshness_col: str = "freshness_r",
+) -> DataFrame:
+    """Revisit-value ordering — the greedy step of the importance-
+    weighted freshness objective (Cho & Garcia-Molina 2003 §6: maximize
+    Σ importance·freshness): refetch the pages that are BOTH important
+    and likely stale,
+
+        revisit = rank · (1 − expected_freshness).
+
+    Unknown freshness (null λ̂ — no interval evidence yet) counts as
+    fully stale, so new pages are never starved of the evidence that
+    would earn them a schedule; URLs absent from the rank table take
+    rank 1 (the PageRank teleport floor, `graph.pagerank`'s convention).
+    One url-keyed left join + a projection; composes
+    ``expected_freshness`` ∘ ``graph.pagerank`` and feeds
+    `Crawler.requeue_urls`. Returns (url, rank, staleness_r,
+    revisit_r)."""
+    f = fresh.select(
+        F.col(url_col),
+        (
+            F.lit(1.0) - F.coalesce(F.col(freshness_col), F.lit(0.0))
+        ).alias("_stale"),
+    )
+    if ranks is not None:
+        f = f.join(
+            ranks.select(
+                F.col(url_col), F.col(rank_col).cast("double").alias("_rank")
+            ),
+            url_col,
+            "left",
+        )
+    else:
+        f = f.withColumn("_rank", F.lit(None).cast("double"))
+    rank = F.coalesce(F.col("_rank"), F.lit(1.0))
+    return f.select(
+        url_col,
+        F.round(rank, 6).alias("rank"),
+        F.round(F.col("_stale"), 6).alias("staleness_r"),
+        F.round(rank * F.col("_stale"), 6).alias("revisit_r"),
+    )
+
+
 def recrawl_intervals(
     rates: DataFrame,
     min_interval_s: int = 3600,
