@@ -3315,6 +3315,17 @@ def q_fixed_capture_delta(spark, sf_dir):
     return ck.fixed_capture_delta(prev, curr, chunk_chars=64)
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility ledger (textqc.tokenizer_fertility): pieces
+    per word and chars per piece under the GPT-style pre-tokenizer —
+    the QA numbers that catch a corpus silently doubling its token
+    bill."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.tokenizer_fertility(docs)
+
+
 def q_ql_dirichlet(spark, sf_dir):
     """Dirichlet query-likelihood top-10 (index.ql_dirichlet_search,
     Zhai & Lafferty SIGIR 2001) for 'dup batch' at μ=2000 — the LM
@@ -3896,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_postings": q_pruned_postings,
         "query_clarity": q_query_clarity,
         "ql_dirichlet_topk": q_ql_dirichlet,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "revisit_priority": q_revisit_priority,
         "dictionary_frontcoding": q_dictionary_frontcoding,
         "rrf_fusion": q_rrf_fusion,
@@ -5767,6 +5779,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nf, 0) AS INT) AS n_feats,
                    ROUND(COALESCE(lw, 0), 3) AS log_weight_r
             FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+        """,
+        "tokenizer_fertility": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(
+                       trim(COALESCE(text, '')), '\\s+'), x -> x <> ''))
+                       AS n_words,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS n_pieces,
+                     length(COALESCE(text, '')) AS n_chars
+              FROM documents)
+            SELECT doc_id, n_words, n_pieces, n_chars,
+                   ROUND(CASE WHEN n_words > 0
+                              THEN CAST(n_pieces AS DOUBLE) / n_words END, 6)
+                     AS fertility_r,
+                   ROUND(CASE WHEN n_pieces > 0
+                              THEN CAST(n_chars AS DOUBLE) / n_pieces END, 6)
+                     AS chars_per_piece_r
+            FROM base
         """,
         "ql_dirichlet_topk": """
             WITH tok AS (

@@ -291,6 +291,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "query_clarity",
         "ql_dirichlet_topk",
         "revisit_priority",
+        "tokenizer_fertility",
         "fixed_chunk_dedup",
     ]
     out = {}

@@ -718,6 +718,37 @@ def collocations_pmi(
     )
 
 
+def tokenizer_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-fertility ledger (the tokenizer-QA numbers every
+    training-data pipeline tracks — fertility creep is how a corpus
+    silently doubles its token bill): per doc, whitespace words,
+    BPE-ish pieces (the GPT-style pre-tokenizer regex), characters, and
+    the two ratios that matter — fertility = pieces/word (≈1 for clean
+    prose, >>1 for mojibake/code/URL soup) and chars/piece (compression;
+    low = the tokenizer is shredding). Empty docs carry null ratios.
+    Pure projection, no shuffle; corpus rollups are one agg away."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = col_token_count(c)
+    pieces = col_bpe_ish_token_count(c)
+    chars = F.length(c)
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        pieces.alias("n_pieces"),
+        chars.alias("n_chars"),
+        F.round(
+            F.when(words > 0, pieces.cast("double") / words), 6
+        ).alias("fertility_r"),
+        F.round(
+            F.when(pieces > 0, chars.cast("double") / pieces), 6
+        ).alias("chars_per_piece_r"),
+    )
+
+
 def term_drift_kl(
     prev: DataFrame,
     curr: DataFrame,

@@ -79,3 +79,23 @@ def test_frontier_eta_arithmetic(spark):
     assert got["capped"]["eta_ticks"] > got["deep"]["eta_ticks"]
     with pytest.raises(ValueError):
         adaptive.frontier_eta(frontier, default_budget=0)
+
+
+def test_tokenizer_fertility_literals(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["plain words here", "url-soup:x9//q?a=1", ""],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r for r in textqc.tokenizer_fertility(df).collect()}
+    # 'plain words here': 3 words, 3 pieces → fertility 1.0
+    assert got[0]["n_words"] == 3 and got[0]["n_pieces"] == 3
+    assert got[0]["fertility_r"] == 1.0
+    # punctuation soup shreds: pieces >> words
+    assert got[1]["n_words"] == 1 and got[1]["n_pieces"] > 4
+    assert got[1]["fertility_r"] > 4
+    # empty doc: zero counts, null ratios
+    assert got[2]["n_words"] == 0 and got[2]["n_pieces"] == 0
+    assert got[2]["fertility_r"] is None and got[2]["chars_per_piece_r"] is None
