@@ -2638,6 +2638,19 @@ def q_postings_vbyte_stats(spark, sf_dir):
     return index_ops.postings_compression_stats(docs, bucket_bits=4)
 
 
+def q_elias_fano_stats(spark, sf_dir):
+    """Elias–Fano index storage estimate (index.elias_fano_stats, Vigna
+    WSDM'13): per-term quasi-succinct size from (df, max_id) alone — one
+    partial-agg census, no windows, no gap sequence. floor(log2) via
+    integer bit length (`col_floor_log2`) so power-of-two universes are
+    exact on both engines; the oracle restates the formula with DuckDB's
+    bin()/>>/'//'."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_ops.elias_fano_stats(docs)
+
+
 def q_bm25_search_collapsed(spark, sf_dir):
     """Host-collapsed SERP top-10 (index.bm25_search_diversified): summed
     BM25 over the query terms, at most 1 result per source (site
@@ -3846,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggestions": q_term_suggestions,
         "bm25_search_collapsed": q_bm25_search_collapsed,
         "postings_vbyte_stats": q_postings_vbyte_stats,
+        "elias_fano_stats": q_elias_fano_stats,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7733,6 +7747,33 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'still_denied'
                    END AS verdict
             FROM documents
+        """,
+        "elias_fano_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id FROM tok GROUP BY 1, 2
+            ), lists AS (
+              SELECT term, COUNT(*) AS df, MAX(doc_id) AS max_id
+              FROM post GROUP BY 1
+            ), lo AS (
+              SELECT term, df, max_id,
+                     GREATEST(0, length(bin((max_id + 1) // df)) - 1) AS l
+              FROM lists
+            ), e AS (
+              SELECT term, df,
+                     df * l + df + ((max_id + 1) >> l) AS ef_bits
+              FROM lo
+            )
+            SELECT term, df, df * 8 AS raw_bytes,
+                   CAST(ef_bits AS BIGINT) AS ef_bits,
+                   CAST((ef_bits + 7) // 8 AS BIGINT) AS ef_bytes,
+                   round(CAST((ef_bits + 7) // 8 AS DOUBLE) / (df * 8.0), 6)
+                     AS ratio_r
+            FROM e
         """,
         "postings_vbyte_stats": """
             WITH tok AS (

@@ -250,6 +250,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "term_suggestions",
         "bm25_search_collapsed",
         "postings_vbyte_stats",
+        "elias_fano_stats",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -730,6 +730,76 @@ def postings_compression_stats(
     )
 
 
+def col_floor_log2(q: Column) -> Column:
+    """floor(log2(q)) for a positive int64, integer-exact on every engine:
+    the bit length of q's binary representation minus 1. `F.log2` is libm
+    float — at q = 2^k a last-ulp undershoot would floor to k−1 and flip
+    a compressed-size estimate by a whole bit per posting; `conv(q,10,2)`
+    string length cannot. DuckDB's `bin()` restates it exactly."""
+    return (F.length(F.conv(q.cast("string"), 10, 2)) - 1).cast("int")
+
+
+def elias_fano_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-term inverted-list storage estimate under Elias–Fano encoding
+    (Vigna, \"Quasi-succinct indices\", WSDM'13 — the monotone-sequence
+    code behind partitioned-EF postings in Lucene/MG4J): a sorted list of
+    n doc ids drawn from a per-list universe U = max_id + 1 splits each id
+    into l = max(0, floor(log2(U/n))) low bits stored verbatim (n·l bits)
+    and high bits stored unary (n ones + (U >> l) zeros ≤ 2n), for
+    ef_bits = n·l + n + (U >> l) — within half a bit per element of the
+    information-theoretic minimum, with O(1) random access (the property
+    that makes EF postings skippable without a separate skip list).
+
+    Returns (term, df, raw_bytes, ef_bits, ef_bytes, ratio_r) with
+    raw_bytes = 8·df (int64 ids), ef_bytes = ceil(ef_bits / 8) and
+    ratio_r = ef_bytes / raw_bytes rounded to 6. Complements the d-gap
+    VByte estimate (`postings_compression_stats`) and the dictionary
+    front-coding estimate (`dictionary_frontcoding_stats`) as the third
+    leg of index sizing.
+
+    Physical shape: EF's size depends ONLY on (n, max_id) — no gap
+    sequence, no windows — so the whole estimate is the postings census
+    plus ONE partial-agg groupBy(term) computing count + max. A stopword
+    with a 10^10-row posting list costs the same partial-agg max as any
+    other term; there is no hot-key window anywhere. floor(log2) runs
+    through `col_floor_log2` (integer bit-length, never libm) so power-
+    of-two universes land exactly on every engine.
+    """
+    lists = postings(docs, id_col, text_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.max("doc_id").alias("max_id")
+    )
+    # l = max(0, floor(log2(U div n))) — `div` is int64 division (float
+    # `/` could round k·n−1 up to k·n near 2^53 and overshoot l by one
+    # at a power-of-two boundary); U ≥ n always (n distinct ids in
+    # [0, U)), so the quotient is ≥ 1 and the bit-length form is defined.
+    # floor(log2(x)) = floor(log2(floor(x))) for x ≥ 1 since powers of
+    # two are integers, so integer division loses nothing.
+    lists = lists.withColumn(
+        "_l",
+        F.greatest(
+            F.lit(0), col_floor_log2(F.expr("(max_id + 1) div df"))
+        ),
+    )
+    lists = lists.withColumn(
+        "_ef_bits",
+        (
+            F.col("df") * F.col("_l")
+            + F.col("df")
+            + F.expr("shiftright(max_id + 1, _l)")
+        ).cast("long"),
+    ).withColumn("_ef_bytes", F.expr("(_ef_bits + 7) div 8"))
+    return lists.select(
+        "term",
+        "df",
+        (F.col("df") * 8).alias("raw_bytes"),
+        F.col("_ef_bits").alias("ef_bits"),
+        F.col("_ef_bytes").alias("ef_bytes"),
+        F.round(F.col("_ef_bytes") / (F.col("df") * 8.0), 6).alias("ratio_r"),
+    )
+
+
 def bm25_search_diversified(
     docs: DataFrame,
     query: str,

@@ -99,3 +99,70 @@ def test_ratio_and_df(spark):
 def test_rejects_bad_bucket_bits(spark):
     with pytest.raises(ValueError):
         ix.postings_compression_stats(_docs(spark, [(0, "x")]), bucket_bits=0)
+
+
+def _ef_bits(n, max_id):
+    u = max_id + 1
+    q = u // n
+    l = max(0, q.bit_length() - 1)
+    return n * l + n + (u >> l)
+
+
+def _ef_brute(texts):
+    lists = {}
+    for i, t in enumerate(texts):
+        for tok in set(re.findall(r"[a-z0-9]+", (t or "").lower())):
+            lists.setdefault(tok, []).append(i)
+    out = {}
+    for term, ids in lists.items():
+        bits = _ef_bits(len(ids), max(ids))
+        out[term] = (len(ids), 8 * len(ids), bits, (bits + 7) // 8)
+    return out
+
+
+def test_floor_log2_exact_at_powers_of_two(spark):
+    vals = [1, 2, 3, 4, 7, 8, 1023, 1024, 2**40 - 1, 2**40, 2**52 + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", ix.col_floor_log2(F.col("v")).alias("l")
+    )
+    got = {r["v"]: r["l"] for r in df.collect()}
+    assert got == {v: v.bit_length() - 1 for v in vals}
+
+
+def test_elias_fano_matches_formula(spark):
+    texts = ["fox pad", "fox", "pad fox", "fox pad zip", "zip", None, "fox"]
+    want = _ef_brute(texts)
+    rows = ix.elias_fano_stats(
+        _docs(spark, [(i, t) for i, t in enumerate(texts)])
+    ).collect()
+    got = {
+        r["term"]: (r["df"], r["raw_bytes"], r["ef_bits"], r["ef_bytes"])
+        for r in rows
+    }
+    assert got == want
+    # ratio sanity: ef_bytes / raw_bytes, rounded
+    for r in rows:
+        assert r["ratio_r"] == round(r["ef_bytes"] / (r["df"] * 8.0), 6)
+
+
+def test_elias_fano_sparse_vs_dense_sizing(spark):
+    # A dense list (every id) compresses to ~2 bits/posting; a single
+    # faraway posting pays the whole upper-bits runway. EF beats raw
+    # int64 in both, and dense beats sparse per posting.
+    dense = [(i, "densely") for i in range(64)]
+    sparse = [(0, "sparsely"), (10_000, "sparsely")]
+    rows = ix.elias_fano_stats(_docs(spark, dense + sparse)).collect()
+    by = {r["term"]: r for r in rows}
+    d, s = by["densely"], by["sparsely"]
+    assert d["ef_bits"] == _ef_bits(64, 63)
+    assert s["ef_bits"] == _ef_bits(2, 10_000)
+    assert d["ef_bits"] / d["df"] < s["ef_bits"] / s["df"]
+    assert d["ef_bytes"] < d["raw_bytes"] and s["ef_bytes"] < s["raw_bytes"]
+
+
+def test_elias_fano_single_shuffle_plan(spark):
+    plan = ix.elias_fano_stats(
+        _docs(spark, [(0, "a b"), (1, "b")])
+    )._jdf.queryExecution().executedPlan().toString()
+    # censuses only: postings groupBy + per-term agg; no window, no join
+    assert "Window" not in plan and "Join" not in plan
