@@ -2651,6 +2651,27 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_weighted_sample_per_source(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (curation.weighted_sample,
+    A-ES 2006): 20 docs per source with inclusion probability
+    proportional to text length — the lottery a training mixture draws
+    when it wants quality-biased but not winner-take-all selection.
+    Randomness is md5-of-id (col_hash_uniform), so the oracle replays
+    the exact same draw; ranking on the ROUNDED log-key (then id) keeps
+    last-ulp ln() divergence from flipping an ordering."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators import curation as cu
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "weight",
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) + 1).cast("double"),
+    )
+    return cu.weighted_sample(
+        docs, k=20, weight_col="weight", strata_col="source"
+    ).select("doc_id", "source", "sample_key_r", "sample_rank")
+
+
 def q_bm25_search_collapsed(spark, sf_dir):
     """Host-collapsed SERP top-10 (index.bm25_search_diversified): summed
     BM25 over the query terms, at most 1 result per source (site
@@ -3860,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_collapsed": q_bm25_search_collapsed,
         "postings_vbyte_stats": q_postings_vbyte_stats,
         "elias_fano_stats": q_elias_fano_stats,
+        "weighted_sample_per_source": q_weighted_sample_per_source,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7747,6 +7769,27 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'still_denied'
                    END AS verdict
             FROM documents
+        """,
+        "weighted_sample_per_source": """
+            WITH keyed AS (
+              SELECT doc_id, source,
+                     round(
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8))::UBIGINT + 0.5)
+                          / 4294967296.0)
+                       / (length(COALESCE(text, '')) + 1), 9)
+                       AS sample_key_r
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, source, sample_key_r,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY sample_key_r DESC, doc_id ASC) AS INT)
+                       AS sample_rank
+              FROM keyed
+            )
+            SELECT doc_id, source, sample_key_r, sample_rank
+            FROM ranked WHERE sample_rank <= 20
         """,
         "elias_fano_stats": """
             WITH tok AS (

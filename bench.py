@@ -251,6 +251,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_search_collapsed",
         "postings_vbyte_stats",
         "elias_fano_stats",
+        "weighted_sample_per_source",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -41,6 +41,8 @@ __all__ = [
     "assign_splits",
     "stratified_hash_sample",
     "per_source_quota",
+    "col_hash_uniform",
+    "weighted_sample",
     "PII_PATTERNS",
     "url_filters",
     "pii_signals",
@@ -212,6 +214,95 @@ def per_source_quota(
     return (
         survivors.withColumn("quota_rank", F.row_number().over(w2))
         .filter(F.col("quota_rank") <= k)
+    )
+
+
+def col_hash_uniform(id_col: str | Column) -> Column:
+    """Deterministic, engine-portable uniform in (0, 1): first 8 hex
+    chars of md5(id as string) → 32-bit int h, then (h + 0.5) / 2^32.
+    The +0.5 keeps 0 and 1 strictly out (ln(u) must stay finite) and
+    every value is an exact double (32 + 1 mantissa bits ≪ 53), so
+    Spark, DuckDB, and Python reproduce it bit-for-bit — the same
+    discipline as `col_hash_bucket`, extended from buckets to reals."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: int = 32,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum, inclusion
+    probability proportional to ``weight_col`` (Efraimidis & Spirakis
+    2006, algorithm A-ES): each row gets key = u^(1/w) with u uniform in
+    (0,1); the k largest keys ARE a w-weighted sample. Computed in log
+    space — key_ln = ln(u)/w — which is order-isomorphic and never
+    underflows (u^(1/w) for a tiny u and w < 1 denormalizes; ln(u)/w is
+    a tame double).
+
+    Unlike `per_source_quota` (deterministic top-k BY the score — the
+    best docs, full stop) this draws a lottery BIASED by the score: a
+    10× weight means 10× the odds, not certain inclusion — the shape a
+    training mixture wants when diversity matters as much as quality
+    ("sample 1M docs/source, favoring quality, without collapsing onto
+    the head"). u comes from `col_hash_uniform`, so the "randomness" is
+    a pure function of the id: the same rows win on every rerun, every
+    engine, every cluster size — seed-free reproducibility, same as
+    `assign_splits`.
+
+    Rows with null/non-positive weight are dropped (they cannot be
+    sampled). Ranking uses key_ln ROUNDED to 9 decimals (then id ASC):
+    Spark's Math.log and DuckDB's libm ln may differ in the last ulp,
+    and ranking raw doubles would let that flip an ordering — the
+    tfidf_top_terms discipline. Returns the input columns plus
+    (sample_key_r, sample_rank).
+
+    Physical shape: pure projection + the two-phase salted top-k window
+    from `per_source_quota` — phase 1 bounds every window task at k per
+    (stratum, salt) bucket, so a mega-stratum (one source with 10^9
+    docs at 100 TB) never serializes one task; phase 2 ranks the
+    ≤ k·salt survivors exactly. No joins, one shuffle per phase.
+    strata_col=None draws one global sample (phase 2 degenerates to a
+    single ≤ k·salt-row task — bounded by construction).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    key_ln = F.round(
+        F.log(col_hash_uniform(id_col)) / F.col(weight_col), 9
+    )
+    keyed = docs.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("sample_key_r", key_ln)
+    strata = [strata_col] if strata_col is not None else []
+    order = [F.col("sample_key_r").desc(), F.col(id_col).asc()]
+    salted = keyed.withColumn(
+        "_wsalt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    )
+    w1 = Window.partitionBy(*strata, "_wsalt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_wsalt")
+    )
+    w2 = (
+        Window.partitionBy(*strata).orderBy(*order)
+        if strata
+        else Window.partitionBy(F.lit(0)).orderBy(*order)
+    )
+    return (
+        survivors.withColumn(
+            "sample_rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("sample_rank") <= k)
     )
 
 
