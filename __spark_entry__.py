@@ -2651,6 +2651,20 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_bm25_maxp_search(spark, sf_dir):
+    """Passage-level BM25 MaxP top-10 (index.bm25_maxp_search, Callan
+    SIGIR'94 / Dai & Callan SIGIR'19): docs scored by their best
+    16-token passage over the passage-corpus BM25 universe. The oracle
+    restates the passage split (zipped unnest // 16), both roundings,
+    and the struct-max argmax with negated p_idx."""
+    from spider_spark.operators import index as index_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_ops.bm25_maxp_search(
+        docs, "merge spark window", k=10, passage_tokens=16
+    )
+
+
 def q_weighted_sample_per_source(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample (curation.weighted_sample,
     A-ES 2006): 20 docs per source with inclusion probability
@@ -3882,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_vbyte_stats": q_postings_vbyte_stats,
         "elias_fano_stats": q_elias_fano_stats,
         "weighted_sample_per_source": q_weighted_sample_per_source,
+        "bm25_maxp_search": q_bm25_maxp_search,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7769,6 +7784,55 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'still_denied'
                    END AS verdict
             FROM documents
+        """,
+        "bm25_maxp_search": """
+            WITH tdocs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '([a-z0-9]+)', 1) AS terms
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(terms) AS term,
+                     CAST(unnest(range(len(terms))) AS BIGINT) // 16
+                       AS p_idx
+              FROM tdocs
+            ), post AS (
+              SELECT doc_id, p_idx, term, COUNT(*) AS tf
+              FROM pos GROUP BY 1, 2, 3
+            ), dl AS (
+              SELECT doc_id, p_idx, SUM(tf) AS dl FROM post GROUP BY 1, 2
+            ), consts AS (
+              SELECT COUNT(*) AS n_pass, COALESCE(SUM(dl), 0) AS tot
+              FROM dl
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post
+              WHERE term IN ('merge', 'spark', 'window') GROUP BY 1
+            ), per AS (
+              SELECT p.doc_id, p.p_idx,
+                     ROUND(ln(1 + (c.n_pass - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                / (CAST(c.tot AS DOUBLE) / c.n_pass))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term)
+                   JOIN dl l USING (doc_id, p_idx), consts c
+            ), ps AS (
+              SELECT doc_id, p_idx, ROUND(SUM(bm25_r), 6) AS p_score_r
+              FROM per GROUP BY 1, 2
+            ), best AS (
+              SELECT doc_id,
+                     MAX(struct_pack(s := p_score_r, np := -p_idx)) AS m
+              FROM ps GROUP BY 1
+            ), ds AS (
+              SELECT doc_id, m.s AS score_r, CAST(-m.np AS BIGINT) AS best_p
+              FROM best
+            ), r AS (
+              SELECT doc_id, score_r, best_p,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+              FROM ds
+            )
+            SELECT doc_id, score_r, best_p, rank FROM r WHERE rank <= 10
         """,
         "weighted_sample_per_source": """
             WITH keyed AS (

@@ -252,6 +252,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "postings_vbyte_stats",
         "elias_fano_stats",
         "weighted_sample_per_source",
+        "bm25_maxp_search",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

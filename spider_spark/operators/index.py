@@ -295,6 +295,114 @@ def bm25_search(
     )
 
 
+def passage_postings(
+    docs: DataFrame,
+    passage_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level inverted index: (doc_id, p_idx, term, tf) with
+    passages = fixed non-overlapping windows of ``passage_tokens`` index
+    tokens (p_idx = token position div passage_tokens — position comes
+    from posexplode, so the split is a pure projection; no second
+    tokenizer, no UDF). Per-doc passage count is bounded by doc length,
+    so the (doc_id, p_idx, term) census inherits postings' skew-free
+    partial-agg shape."""
+    if passage_tokens < 1:
+        raise ValueError("passage_tokens must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(col_index_tokens(text_col)).alias("pos", "term"),
+    )
+    return (
+        toks.withColumn("p_idx", F.expr(f"pos div {int(passage_tokens)}"))
+        .groupBy("doc_id", "p_idx", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_maxp_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    passage_tokens: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by MAX passage BM25 — passage-level evidence
+    (Callan SIGIR'94; the MaxP aggregation of Dai & Callan SIGIR'19):
+    long documents are scored by their best ``passage_tokens``-token
+    window instead of their whole bag of words, so one relevant passage
+    buried in a 100-page PDF outranks a long document's diluted tf. The
+    BM25 universe is the PASSAGE corpus: df counts passages containing
+    the term, dl/avgdl are passage lengths, N = passage count.
+
+    Returns (doc_id, score_r, best_p, rank): score_r = the max passage
+    score (rounded per-term like bm25_scores, summed, re-rounded),
+    best_p = the LOWEST passage index among score ties (struct-max
+    with negated p_idx — engine-portable argmax, same trick as the
+    (score,label) argmax in langid). Global top-k is
+    orderBy().limit(k) — TakeOrderedAndProject, never a global window;
+    rank is a window over the ≤k survivors.
+
+    Physical shape: the passage census + three partial-agg censuses
+    (passage dl, per-term passage df filtered to the query's IN-list,
+    corpus constants on the 1-row constant-key broadcast) + one
+    partial-agg max per doc. Everything is bounded by passage counts —
+    no window ever sees more than one doc's passages, and only
+    query-term postings shuffle past the census."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        raise ValueError("bm25 needs at least one indexable query term")
+    post = passage_postings(docs, passage_tokens, id_col, text_col)
+    dl = post.groupBy("doc_id", "p_idx").agg(F.sum("tf").alias("dl"))
+    consts = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("tot_tokens"),
+    )
+    qpost = post.filter(F.col("term").isin(terms))
+    df_t = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = join_scalar_frame(
+        qpost.join(df_t, "term").join(dl, ["doc_id", "p_idx"]), consts
+    )
+    avgdl = F.col("tot_tokens") / F.col("n_pass")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_pass") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = scored.select(
+        "doc_id",
+        "p_idx",
+        F.round(
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+            6,
+        ).alias("bm25_r"),
+    )
+    p_scores = per_term.groupBy("doc_id", "p_idx").agg(
+        F.round(F.sum("bm25_r"), 6).alias("p_score_r")
+    )
+    best = p_scores.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("p_score_r"), (-F.col("p_idx")).alias("np")))
+        .alias("_m")
+    )
+    docs_scored = best.select(
+        "doc_id",
+        F.col("_m.p_score_r").alias("score_r"),
+        (-F.col("_m.np")).cast("long").alias("best_p"),
+    )
+    topk = docs_scored.orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_r", "best_p", "rank"
+    )
+
+
 def bm25_term_upper_bounds(
     scores: DataFrame,
 ) -> DataFrame:
