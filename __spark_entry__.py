@@ -2651,6 +2651,21 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_leakage_safe_splits(spark, sf_dir):
+    """Cluster-hashed train/val/test assignment (curation.
+    leakage_safe_splits over curation.exact_dup_cluster_ids): every
+    byte-identical duplicate lands in the SAME split — the Dodge et al.
+    EMNLP'21 C4 train/test-contamination fix assign_splits alone cannot
+    give. Spark groups by the md5 fingerprint so text never rides the
+    shuffle; the oracle groups by the text itself — same clusters."""
+    from spider_spark.operators import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    return cu.leakage_safe_splits(
+        cu.exact_dup_cluster_ids(docs), "cluster_id", val_pct=5, test_pct=5
+    ).select("doc_id", "cluster_id", "bucket", "split")
+
+
 def q_bm25_maxp_search(spark, sf_dir):
     """Passage-level BM25 MaxP top-10 (index.bm25_maxp_search, Callan
     SIGIR'94 / Dai & Callan SIGIR'19): docs scored by their best
@@ -3897,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elias_fano_stats": q_elias_fano_stats,
         "weighted_sample_per_source": q_weighted_sample_per_source,
         "bm25_maxp_search": q_bm25_maxp_search,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7784,6 +7800,26 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'still_denied'
                    END AS verdict
             FROM documents
+        """,
+        "leakage_safe_splits": """
+            WITH reps AS (
+              SELECT COALESCE(text, '') AS t, MIN(doc_id) AS cluster_id
+              FROM documents GROUP BY 1
+            ), j AS (
+              SELECT d.doc_id, r.cluster_id
+              FROM documents d JOIN reps r ON COALESCE(d.text, '') = r.t
+            ), b AS (
+              SELECT doc_id, cluster_id,
+                     CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                          1, 8))::UBIGINT % 100 AS INT)
+                       AS bucket
+              FROM j
+            )
+            SELECT doc_id, cluster_id, bucket,
+                   CASE WHEN bucket < 5 THEN 'test'
+                        WHEN bucket < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         "bm25_maxp_search": """
             WITH tdocs AS (

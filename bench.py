@@ -253,6 +253,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "elias_fano_stats",
         "weighted_sample_per_source",
         "bm25_maxp_search",
+        "leakage_safe_splits",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -39,6 +39,8 @@ __all__ = [
     "decontaminate",
     "col_hash_bucket",
     "assign_splits",
+    "leakage_safe_splits",
+    "exact_dup_cluster_ids",
     "stratified_hash_sample",
     "per_source_quota",
     "col_hash_uniform",
@@ -157,6 +159,53 @@ def assign_splits(
         .otherwise(F.lit("train"))
     )
     return docs.withColumn("bucket", b).withColumn("split", split)
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    cluster_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """`assign_splits`, but hashed on a CLUSTER id instead of the doc id,
+    so every member of a duplicate cluster lands in the SAME split. The
+    leak `assign_splits` cannot prevent: near/exact duplicates that
+    survive dedup (or are deliberately kept) get independent per-doc
+    buckets, so a doc and its twin can straddle train and test — the
+    C4-style train/test contamination Dodge et al. (EMNLP 2021)
+    documented. Hashing the cluster id makes the split decision a pure
+    function of WHICH cluster, never which copy.
+
+    ``cluster_col`` is any stable cluster id — `graph.connected_components`
+    output, an exact content fingerprint group, or a MinHash-LSH cluster
+    representative. Pure projection (the md5 bucket of cluster_col), no
+    shuffle beyond whatever produced the clusters."""
+    b = col_hash_bucket(cluster_col, 100)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("bucket", b).withColumn("split", split)
+
+
+def exact_dup_cluster_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Input columns + ``cluster_id`` = the MIN doc id among documents
+    with byte-identical text (md5-keyed, engine-portable — never
+    xxhash64, a split must survive engine changes). Singletons are their
+    own cluster. The cheap feeder for `leakage_safe_splits` when no
+    near-dup clustering has run: two partial-agg shapes — a (fingerprint
+    → min id) census joined back on the fingerprint, shuffle bounded by
+    distinct fingerprints + one row per doc, text never rides either
+    exchange (only its md5 does)."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    keyed = docs.withColumn("_fp", fp)
+    reps = keyed.groupBy("_fp").agg(
+        F.min(F.col(id_col)).alias("cluster_id")
+    )
+    return keyed.join(reps, "_fp").drop("_fp")
 
 
 def stratified_hash_sample(
