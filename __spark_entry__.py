@@ -2651,6 +2651,29 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_lang_mixture(spark, sf_dir):
+    """CCNet-style per-segment language screening (langid.lang_mixture
+    over langid.token_window_segments, Wenzek et al. LREC 2020): train
+    the char-trigram NB on the 80% split, classify each 12-token window
+    of the held-out docs, roll up per-doc (n_segments, n_langs,
+    majority_lang, majority_frac) — the uniformity verdict a language
+    filter needs so a 10%-English doc can't pass on its header. The
+    oracle replays train + window split + score + rollup end-to-end."""
+    from spider_spark.operators import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 < 8)
+    probe = docs.where(F.col("doc_id") % 10 >= 8)
+    grams, labels = langid.train_nb_langid(train)
+    segs = langid.token_window_segments(probe, window_tokens=12).select(
+        F.concat_ws(":", "doc_id", "p_idx").alias("seg"), "text"
+    )
+    preds = langid.nb_classify(segs, grams, labels, id_col="seg").withColumn(
+        "doc_id", F.split("seg", ":")[0].cast("long")
+    )
+    return langid.lang_mixture(preds)
+
+
 def q_leakage_safe_splits(spark, sf_dir):
     """Cluster-hashed train/val/test assignment (curation.
     leakage_safe_splits over curation.exact_dup_cluster_ids): every
@@ -3913,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_per_source": q_weighted_sample_per_source,
         "bm25_maxp_search": q_bm25_maxp_search,
         "leakage_safe_splits": q_leakage_safe_splits,
+        "lang_mixture": q_lang_mixture,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7800,6 +7824,98 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'still_denied'
                    END AS verdict
             FROM documents
+        """,
+        # the nb_langid_train_score train/score SQL, re-aimed at 12-token
+        # windows of the held-out docs, plus the per-doc mixture rollup
+        # (struct-max ties to the greatest label, same as Spark)
+        "lang_mixture": """
+            WITH train AS (
+              SELECT lang AS label, substr(text, 1, 1000) AS head
+              FROM documents WHERE doc_id % 10 < 8
+            ), exploded AS (
+              SELECT label, substr(head, CAST(i AS INT), 3) AS gram
+              FROM (SELECT label, head,
+                           unnest(generate_series(1, length(head) - 2)) AS i
+                    FROM train WHERE length(head) >= 3)
+            ), counts AS (
+              SELECT label, gram, COUNT(*) AS c FROM exploded GROUP BY 1, 2
+            ), vocab AS (
+              SELECT COUNT(DISTINCT gram) AS v_all FROM counts
+            ), denom_side AS (
+              SELECT label, total + 0.5 * (v_all + 1) AS denom
+              FROM (SELECT label, SUM(c) AS total FROM counts GROUP BY 1),
+                   vocab
+            ), grams AS (
+              SELECT c.label, c.gram, ln((c.c + 0.5) / d.denom) AS log_prob
+              FROM counts c JOIN denom_side d USING (label)
+            ), labels AS (
+              SELECT ld.label,
+                     ln(ld.docs / nd.n_docs) AS log_prior,
+                     ln(0.5 / d.denom) AS unk_log_prob
+              FROM (SELECT lang AS label, COUNT(*) AS docs
+                    FROM documents WHERE doc_id % 10 < 8 GROUP BY 1) ld
+              CROSS JOIN (SELECT COUNT(*) AS n_docs
+                          FROM documents WHERE doc_id % 10 < 8) nd
+              JOIN denom_side d USING (label)
+            ), ptoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       trim(COALESCE(text, '')), '\\s+'), x -> x <> '')
+                       AS toks
+              FROM documents WHERE doc_id % 10 >= 8
+            ), segl AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+                       i -> array_to_string(
+                         toks[(i * 12 + 1):(i * 12 + 12)], ' ')) AS segs
+              FROM ptoks WHERE len(toks) > 0
+            ), seg AS (
+              SELECT doc_id,
+                     CAST(unnest(range(len(segs))) AS BIGINT) AS p_idx,
+                     substr(unnest(segs), 1, 1000) AS head
+              FROM segl
+            ), seg_grams AS (
+              SELECT doc_id, p_idx,
+                     substr(head, CAST(i AS INT), 3) AS gram
+              FROM (SELECT doc_id, p_idx, head,
+                           unnest(generate_series(1, length(head) - 2)) AS i
+                    FROM seg WHERE length(head) >= 3)
+            ), per_label AS (
+              SELECT sg.doc_id, sg.p_idx, l.label,
+                     SUM(COALESCE(g.log_prob, l.unk_log_prob)) AS gram_ll
+              FROM seg_grams sg
+              CROSS JOIN labels l
+              LEFT JOIN grams g ON g.gram = sg.gram AND g.label = l.label
+              GROUP BY 1, 2, 3
+            ), scored AS (
+              SELECT s.doc_id, s.p_idx, l.label,
+                     l.log_prior + COALESCE(pl.gram_ll, 0.0) AS score
+              FROM seg s
+              CROSS JOIN labels l
+              LEFT JOIN per_label pl
+                ON pl.doc_id = s.doc_id AND pl.p_idx = s.p_idx
+                   AND pl.label = l.label
+            ), seg_pred AS (
+              SELECT doc_id, label AS pred_label
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id, p_idx
+                      ORDER BY score DESC, label DESC) AS rn
+                    FROM scored)
+              WHERE rn = 1
+            ), mix_counts AS (
+              SELECT doc_id, pred_label AS label, COUNT(*) AS cnt
+              FROM seg_pred GROUP BY 1, 2
+            ), roll AS (
+              SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_segments,
+                     CAST(COUNT(*) AS INT) AS n_langs,
+                     MAX(struct_pack(cnt := cnt, label := label)) AS m
+              FROM mix_counts GROUP BY 1
+            )
+            SELECT doc_id, n_segments, n_langs, m.label AS majority_lang,
+                   ROUND(CAST(m.cnt AS DOUBLE) / n_segments, 6)
+                     AS majority_frac_r
+            FROM roll
         """,
         "leakage_safe_splits": """
             WITH reps AS (

@@ -254,6 +254,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "weighted_sample_per_source",
         "bm25_maxp_search",
         "leakage_safe_splits",
+        "lang_mixture",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

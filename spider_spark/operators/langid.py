@@ -195,3 +195,76 @@ def langid_accuracy(
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def token_window_segments(
+    docs: DataFrame,
+    window_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, p_idx, text) — fixed whitespace-token windows, the
+    segment source for `lang_mixture` when a corpus has no paragraph
+    structure to split on (CCNet splits on lines; a single-line doc
+    still needs segments to detect mid-document language switches).
+    Pure array expressions — slice/transform/posexplode, no shuffle, no
+    UDF; segments per doc bounded by doc length. Whitespace (not the
+    index tokenizer) so non-alphanumeric scripts survive for the
+    char-n-gram scorer."""
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    w = int(window_tokens)
+    # sequence(0, -1) would DESCEND on an empty doc — gate on size>0;
+    # empty docs contribute no segments (same absence semantics as
+    # postings over empty text)
+    paras = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(toks) / w).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(paras).alias("p_idx", "text")
+    )
+
+
+def lang_mixture(
+    segment_preds: DataFrame,
+    doc_col: str = "doc_id",
+    label_col: str = "pred_label",
+) -> DataFrame:
+    """Per-document language-mixture rollup over per-segment
+    predictions (CCNet's paragraph-level screening, Wenzek et al.
+    LREC 2020: classify each paragraph, then judge the document by how
+    uniform the verdicts are — a 10%-English doc should not pass an
+    English filter on its header alone). Input is any (doc, label) table
+    — `nb_classify` output over `token_window_segments` or real
+    newline paragraphs.
+
+    Returns (doc_id, n_segments, n_langs, majority_lang,
+    majority_frac_r): majority = the label on the most segments, ties
+    to the LEXICOGRAPHICALLY GREATEST label via max(struct(cnt, label))
+    — the nb_classify argmax discipline, engine-portable. Two
+    partial-agg censuses ((doc, label) counts, then per-doc max+sum) —
+    no windows, no label lists, bounded by docs × languages."""
+    counts = segment_preds.groupBy(
+        F.col(doc_col).alias("doc_id"), F.col(label_col).alias("label")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_segments"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        F.max(F.struct(F.col("cnt"), F.col("label"))).alias("_m"),
+    ).select(
+        "doc_id",
+        "n_segments",
+        "n_langs",
+        F.col("_m.label").alias("majority_lang"),
+        F.round(F.col("_m.cnt") / F.col("n_segments"), 6).alias(
+            "majority_frac_r"
+        ),
+    )
