@@ -3093,6 +3093,21 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA (graph.salsa, Lempel & Moran TOIT'01): the degree-normalized
+    bipartite walk that cures HITS's tightly-knit-community capture — 2
+    L1-normalized sweeps over the shared deterministic link graph.
+    Oracle: sweeps unrolled with outdeg/indeg censuses."""
+    from spider_spark.operators import graph
+
+    return graph.salsa(
+        _link_edges(_t(spark, sf_dir, "documents")), iters=2
+    ).select(
+        "node", F.round("hub", 6).alias("hub_r"),
+        F.round("auth", 6).alias("auth_r"),
+    )
+
+
 def q_trustrank(spark, sf_dir):
     """TrustRank (graph.trustrank, Gyöngyi VLDB'04): 2 damped sweeps with
     the teleport confined to the doc_id%50==0 trusted seeds; trust decays
@@ -3937,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_maxp_search": q_bm25_maxp_search,
         "leakage_safe_splits": q_leakage_safe_splits,
         "lang_mixture": q_lang_mixture,
+        "salsa_2sweep": q_salsa,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7828,6 +7844,45 @@ def oracle_sql() -> dict[str, str]:
         # the nb_langid_train_score train/score SQL, re-aimed at 12-token
         # windows of the held-out docs, plus the per-doc mixture rollup
         # (struct-max ties to the greatest label, same as Spark)
+        "salsa_2sweep": """
+            WITH e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ),
+            od AS (SELECT s, COUNT(*) AS od FROM e GROUP BY 1),
+            ind AS (SELECT d, COUNT(*) AS indeg FROM e GROUP BY 1),
+            a1r AS (SELECT e.d AS node, SUM(1.0 / od.od) AS raw
+                    FROM e JOIN od USING (s) GROUP BY e.d),
+            a1t AS (SELECT SUM(raw) AS tot FROM a1r),
+            a1 AS (SELECT n.node, COALESCE(a1r.raw, 0) / a1t.tot AS auth
+                   FROM nodes n LEFT JOIN a1r USING (node), a1t),
+            h1r AS (SELECT e.s AS node, SUM(a1.auth / ind.indeg) AS raw
+                    FROM e JOIN a1 ON a1.node = e.d JOIN ind USING (d)
+                    GROUP BY e.s),
+            h1t AS (SELECT SUM(raw) AS tot FROM h1r),
+            h1 AS (SELECT n.node, COALESCE(h1r.raw, 0) / h1t.tot AS hub
+                   FROM nodes n LEFT JOIN h1r USING (node), h1t),
+            a2r AS (SELECT e.d AS node, SUM(h1.hub / od.od) AS raw
+                    FROM e JOIN h1 ON h1.node = e.s JOIN od USING (s)
+                    GROUP BY e.d),
+            a2t AS (SELECT SUM(raw) AS tot FROM a2r),
+            a2 AS (SELECT n.node, COALESCE(a2r.raw, 0) / a2t.tot AS auth
+                   FROM nodes n LEFT JOIN a2r USING (node), a2t),
+            h2r AS (SELECT e.s AS node, SUM(a2.auth / ind.indeg) AS raw
+                    FROM e JOIN a2 ON a2.node = e.d JOIN ind USING (d)
+                    GROUP BY e.s),
+            h2t AS (SELECT SUM(raw) AS tot FROM h2r),
+            h2 AS (SELECT n.node, COALESCE(h2r.raw, 0) / h2t.tot AS hub
+                   FROM nodes n LEFT JOIN h2r USING (node), h2t)
+            SELECT h2.node, ROUND(h2.hub, 6) AS hub_r,
+                   ROUND(a2.auth, 6) AS auth_r
+            FROM h2 JOIN a2 USING (node)
+        """,
         "lang_mixture": """
             WITH train AS (
               SELECT lang AS label, substr(text, 1, 1000) AS head

@@ -255,6 +255,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_maxp_search",
         "leakage_safe_splits",
         "lang_mixture",
+        "salsa_2sweep",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

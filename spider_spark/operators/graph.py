@@ -455,6 +455,79 @@ def hits(
     return state
 
 
+def salsa(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SALSA (Lempel & Moran WWW'00 / TOIT'01) — HITS with the mutual
+    reinforcement replaced by a RANDOM WALK on the bipartite hub/auth
+    graph: auth(v) = Σ_{u→v} hub(u)/outdeg(u), hub(u) = Σ_{u→v}
+    auth(v)/indeg(v). The degree division is the point: it cures the
+    tightly-knit-community (TKC) effect where a small dense clique of
+    mutually-linking pages monopolizes HITS's top authorities — exactly
+    the link-farm shape spam_mass and kcore_survivors hunt, so SALSA is
+    the ranking-side complement to those detectors. Init hub = 1; each
+    half-sweep L1-normalized (engine-portable, no sqrt ulps), fixed
+    ``iters`` so the oracle can unroll it.
+
+    Physical shape per sweep: identical to `hits` — two O(|E|)
+    edges⋈state joins + two partial-agg groupBys + two 1-row L1 totals
+    on the constant-key BroadcastHashJoin — plus a one-time degree
+    census joined onto the edge table (outdeg/indeg are edge-table
+    partial aggs, bounded by distinct endpoints). Returns
+    (node, hub, auth)."""
+    from . import join_scalar_frame
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy("d").agg(F.count(F.lit(1)).alias("indeg"))
+    # edge table with both degree weights attached once; reused by every
+    # half-sweep in both directions
+    ew = e.join(outd, "s").join(ind, "d").persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    state = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+    for _ in range(iters):
+        auth_raw = (
+            ew.join(state.select(F.col("node").alias("s"), "hub"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("hub") / F.col("od")).alias("a_raw"))
+        )
+        auth_tot = auth_raw.groupBy().agg(F.sum("a_raw").alias("a_tot"))
+        auths = join_scalar_frame(
+            nodes.join(auth_raw, "node", "left"), auth_tot
+        ).select(
+            "node",
+            (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("a_tot")).alias(
+                "auth"
+            ),
+        ).localCheckpoint(eager=True)
+        hub_raw = (
+            ew.join(auths.select(F.col("node").alias("d"), "auth"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum(F.col("auth") / F.col("indeg")).alias("h_raw"))
+        )
+        hub_tot = hub_raw.groupBy().agg(F.sum("h_raw").alias("h_tot"))
+        state = join_scalar_frame(
+            nodes.join(hub_raw, "node", "left").join(auths, "node"), hub_tot
+        ).select(
+            "node",
+            (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("h_tot")).alias(
+                "hub"
+            ),
+            "auth",
+        ).localCheckpoint(eager=True)
+    ew.unpersist()
+    nodes.unpersist()
+    return state
+
+
 def trustrank(
     edges: DataFrame,
     seeds: DataFrame,
