@@ -2651,6 +2651,19 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (textqc.heaps_fit, Manning IIR
+    §5.1.1): one (ln N, ln V) point per source, OLS slope = β. The
+    tail-growth drift alarm complementary to zipf_fit's head slope, and
+    the dictionary-sizing projector (dict grows k·N^β). Oracle restates
+    census → points → OLS sums."""
+    from spider_spark.operators import textqc
+
+    return textqc.heaps_fit(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )
+
+
 def q_lang_mixture(spark, sf_dir):
     """CCNet-style per-segment language screening (langid.lang_mixture
     over langid.token_window_segments, Wenzek et al. LREC 2020): train
@@ -3953,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": q_leakage_safe_splits,
         "lang_mixture": q_lang_mixture,
         "salsa_2sweep": q_salsa,
+        "heaps_fit": q_heaps_fit,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7844,6 +7858,42 @@ def oracle_sql() -> dict[str, str]:
         # the nb_langid_train_score train/score SQL, re-aimed at 12-token
         # windows of the held-out docs, plus the per-doc mixture rollup
         # (struct-max ties to the greatest label, same as Spark)
+        "heaps_fit": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS w
+              FROM documents
+            ), census AS (
+              SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ), points AS (
+              SELECT source, SUM(c) AS n_tok, COUNT(*) AS v
+              FROM census GROUP BY 1
+            ), xy AS (
+              SELECT ln(CAST(n_tok AS DOUBLE)) AS x,
+                     ln(CAST(v AS DOUBLE)) AS y
+              FROM points
+            ), a AS (
+              SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                     SUM(x * y) AS sxy
+              FROM xy
+            )
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                              THEN (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) END, 6) AS beta_r,
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                              THEN (sy - (n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx) * sx) / n
+                         END, 6) AS lnk_r,
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                                   AND n * syy - sy * sy > 0
+                              THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)) END, 6) AS r2_r
+            FROM a
+        """,
         "salsa_2sweep": """
             WITH e AS (
               SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents

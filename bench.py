@@ -256,6 +256,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "leakage_safe_splits",
         "lang_mixture",
         "salsa_2sweep",
+        "heaps_fit",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -945,3 +945,71 @@ def zipf_fit(
             6,
         ).alias("r2_r"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978; Manning IIR §5.1.1:
+    V = k·N^β, β ≈ 0.4–0.6 for natural English) across corpus slices:
+    each ``group_col`` value contributes one (N = total index tokens,
+    V = distinct terms) point; the fit is OLS of ln V on ln N over the
+    slice points. The drift alarm COMPLEMENTARY to `zipf_fit`: Zipf
+    watches the head of the frequency distribution, Heaps watches the
+    tail's growth rate — β drifting UP means vocabulary explosion
+    (garbled encodings, spam keyword stuffing, tokenizer mismatch);
+    β collapsing toward 0 means a templated/boilerplate corpus. Also
+    the index-sizing input: the dictionary half of `postings` grows as
+    k·N^β, so (k, β) projects dictionary size at 100 TB from today's
+    slices.
+
+    Returns one row (n_points, beta_r, lnk_r, r2_r), rounded to 6;
+    degenerate fits (fewer than 2 slices, or zero ln-N variance) yield
+    nulls. Physical shape: one (group, term) partial-agg census —
+    shuffle bounded by distinct pairs — then a per-group census and ONE
+    global 1-row aggregate; slices with zero tokens are excluded (no
+    point, ln undefined)."""
+    from .index import col_index_tokens
+
+    census = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(col_index_tokens(text_col)).alias("w"),
+        )
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    points = census.groupBy("g").agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("v")
+    )
+    xy = points.select(
+        F.log(F.col("n_tok").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = F.when((n >= 2) & (dx > 0), cov / dx)
+    return agg.select(
+        n.cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta_r"),
+        F.round(
+            F.when(beta.isNotNull(), (F.col("sy") - beta * F.col("sx")) / n),
+            6,
+        ).alias("lnk_r"),
+        F.round(
+            F.when(beta.isNotNull() & (dy > 0), (cov * cov) / (dx * dy)),
+            6,
+        ).alias("r2_r"),
+    )

@@ -89,3 +89,53 @@ def test_uniform_frequencies_fit_zero_slope(spark):
 def test_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         textqc.zipf_fit(_docs(spark, ["x"]), k=1)
+
+
+def test_heaps_fit_brute_force(spark):
+    import math
+    import re as _re
+
+    rows = []
+    texts = {
+        "s0": ["alpha beta gamma alpha", "delta beta"],
+        "s1": ["a b c d e f g h i j k l m n o p q r"],
+        "s2": ["one two three one two one " * 5],
+    }
+    i = 0
+    for srcname, ts in texts.items():
+        for t in ts:
+            rows.append((i, srcname, t))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = textqc.heaps_fit(df, group_col="source").collect()[0]
+
+    pts = []
+    for srcname, ts in texts.items():
+        toks = [w for t in ts for w in _re.findall(r"[a-z0-9]+", t.lower())]
+        pts.append((math.log(len(toks)), math.log(len(set(toks)))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    dx = n * sxx - sx * sx; dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    beta = cov / dx
+    assert got["n_points"] == 3
+    assert got["beta_r"] == round(beta, 6)
+    assert got["lnk_r"] == round((sy - beta * sx) / n, 6)
+    assert got["r2_r"] == round(cov * cov / (dx * dy), 6)
+
+
+def test_heaps_fit_degenerate(spark):
+    df = spark.createDataFrame(
+        [(0, "only", "words here"), (1, "only", "more words")],
+        "doc_id long, source string, text string",
+    )
+    row = textqc.heaps_fit(df, group_col="source").collect()[0]
+    assert row["n_points"] == 1
+    assert row["beta_r"] is None and row["lnk_r"] is None and row["r2_r"] is None
+    # empty slices excluded entirely
+    df2 = spark.createDataFrame(
+        [(0, "a", None), (1, "b", "")], "doc_id long, source string, text string"
+    )
+    assert textqc.heaps_fit(df2, group_col="source").collect()[0]["n_points"] == 0
