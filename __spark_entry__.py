@@ -2651,6 +2651,20 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_allocation_fairness(spark, sf_dir):
+    """Allocation fairness telemetry (adaptive.allocation_fairness):
+    Gini + HHI + top-share over events-per-user — the scheduler-skew
+    alarm shape (fetches per host at crawl scale). Computed on the
+    DISTINCT-VALUE census (ties collapse the ranked sum, so no global
+    per-key window); the oracle restates the per-key row_number
+    definition and must agree exactly."""
+    from spider_spark.operators import adaptive
+
+    return adaptive.allocation_fairness(
+        _t(spark, sf_dir, "events"), "user_id"
+    )
+
+
 def q_heaps_fit(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (textqc.heaps_fit, Manning IIR
     §5.1.1): one (ln N, ln V) point per source, OLS slope = β. The
@@ -3967,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mixture": q_lang_mixture,
         "salsa_2sweep": q_salsa,
         "heaps_fit": q_heaps_fit,
+        "allocation_fairness": q_allocation_fairness,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7858,6 +7873,23 @@ def oracle_sql() -> dict[str, str]:
         # the nb_langid_train_score train/score SQL, re-aimed at 12-token
         # windows of the held-out docs, plus the per-doc mixture rollup
         # (struct-max ties to the greatest label, same as Spark)
+        "allocation_fairness": """
+            WITH alloc AS (
+              SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+            ), r AS (
+              SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rk FROM alloc
+            ), a AS (
+              SELECT COUNT(*) AS n, SUM(c) AS t, SUM(rk * c) AS ranked,
+                     SUM(c * c) AS sumsq, MAX(c) AS cmax
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_keys, CAST(t AS BIGINT) AS total,
+                   ROUND(2.0 * ranked / (n * t) - (n + 1.0) / n, 6)
+                     AS gini_r,
+                   ROUND(CAST(sumsq AS DOUBLE) / (t * t), 6) AS hhi_r,
+                   ROUND(CAST(cmax AS DOUBLE) / t, 6) AS top_share_r
+            FROM a
+        """,
         "heaps_fit": """
             WITH tok AS (
               SELECT source,

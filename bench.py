@@ -257,6 +257,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "lang_mixture",
         "salsa_2sweep",
         "heaps_fit",
+        "allocation_fairness",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -370,3 +370,64 @@ def ip_politeness_topk(
             *out_cols, F.lit(False).alias("is_ip_selected")
         )
     )
+
+
+def allocation_fairness(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fairness/concentration telemetry over an allocation — fetches per
+    host, docs per source, rows per shard: one row (n_keys, total,
+    gini_r, hhi_r, top_share_r). Gini = the scheduler-skew alarm (0 =
+    every host got the same budget, →1 = one host ate the crawl); HHI
+    (Herfindahl–Hirschman, Σ share²) = the concentration sibling
+    regulators use; top_share = the single largest key's fraction.
+    ``weight_col`` None counts rows per key.
+
+    Physical shape — the classic Gini formula needs every key RANKED by
+    its allocation, and a global row_number window over a 10^7-host
+    census is one task eating the whole sort. Ties make that
+    unnecessary: within a block of equal allocations x, Σ rank·x = x·Σ
+    ranks regardless of intra-block order, so Gini collapses to the
+    DISTINCT-VALUE census: for each distinct allocation c with m keys
+    and s = keys with smaller c, the block contributes
+    c·(m·s + m·(m+1)/2) to the ranked sum. The only window runs over
+    distinct allocation VALUES (bounded by the value range, ≪ keys on
+    any real crawl); everything else is partial-agg censuses. Gini =
+    2·Σrank·x/(n·T) − (n+1)/n, the standard ranked form — the oracle
+    restates the PER-KEY row_number definition and must agree exactly.
+    """
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    alloc = df.groupBy(F.col(key_col).alias("k")).agg(F.sum(w).alias("c"))
+    vals = alloc.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    win = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blocks = vals.withColumn("s", F.sum("m").over(win) - F.col("m"))
+    agg = blocks.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum(F.col("c") * F.col("m")), F.lit(0)).alias("t"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("s")
+                + F.col("m") * (F.col("m") + 1) / 2
+            )
+        ).alias("ranked"),
+        F.sum(F.col("c") * F.col("c") * F.col("m")).alias("sumsq"),
+        F.max("c").alias("cmax"),
+    )
+    n, t = F.col("n"), F.col("t")
+    gini = F.when(
+        (n > 0) & (t > 0), 2 * F.col("ranked") / (n * t) - (n + 1) / n
+    )
+    return agg.select(
+        n.cast("long").alias("n_keys"),
+        t.cast("long").alias("total"),
+        F.round(gini, 6).alias("gini_r"),
+        F.round(
+            F.when(t > 0, F.col("sumsq") / (t * t)), 6
+        ).alias("hhi_r"),
+        F.round(F.when(t > 0, F.col("cmax") / t), 6).alias("top_share_r"),
+    )
