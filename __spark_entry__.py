@@ -2651,6 +2651,21 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_ranking_agreement(spark, sf_dir):
+    """Ranker agreement (index.ranking_agreement): Spearman ρ
+    (tie-averaged ranks) + Kendall τ-b between the BM25 and
+    Dirichlet-QL top-50 for the same query — the experiment report that
+    says whether two rankers genuinely reorder or merely rescale.
+    Agreement over the id-intersection; oracle replays both rankers and
+    both coefficients (rank windows + sign-pair census)."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    a = idx.bm25_search(docs, "dup batch", k=50)
+    b = idx.ql_dirichlet_search(docs, "dup batch", k=50, mu=2000.0)
+    return idx.ranking_agreement(a, b)
+
+
 def q_allocation_fairness(spark, sf_dir):
     """Allocation fairness telemetry (adaptive.allocation_fairness):
     Gini + HHI + top-share over events-per-user — the scheduler-skew
@@ -3982,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_2sweep": q_salsa,
         "heaps_fit": q_heaps_fit,
         "allocation_fairness": q_allocation_fairness,
+        "ranking_agreement": q_ranking_agreement,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7873,6 +7889,110 @@ def oracle_sql() -> dict[str, str]:
         # the nb_langid_train_score train/score SQL, re-aimed at 12-token
         # windows of the held-out docs, plus the per-doc mixture rollup
         # (struct-max ties to the greatest label, same as Spark)
+        "ranking_agreement": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), bscored AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term IN ('batch', 'dup')
+            ), atop AS (
+              SELECT doc_id, score_r FROM (
+                SELECT doc_id, ROUND(SUM(bm25_r), 6) AS score_r,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
+                                          doc_id ASC) AS rank
+                FROM bscored GROUP BY doc_id) WHERE rank <= 50
+            ), ctot AS (
+              SELECT CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS ctot FROM post
+            ), known AS (
+              SELECT term, SUM(tf) / t.ctot AS ptc
+              FROM post, ctot t WHERE term IN ('batch', 'dup')
+              GROUP BY term, t.ctot
+            ), cand AS (
+              SELECT DISTINCT p.doc_id, l.dl
+              FROM post p JOIN dl l USING (doc_id)
+              WHERE p.term IN ('batch', 'dup')
+            ), grid AS (
+              SELECT c.doc_id, c.dl, k.term, k.ptc FROM cand c, known k
+            ), qscored AS (
+              SELECT g.doc_id,
+                     ln((COALESCE(p.tf, 0) + 2000.0 * g.ptc)
+                        / (g.dl + 2000.0)) AS s
+              FROM grid g LEFT JOIN post p
+                ON p.doc_id = g.doc_id AND p.term = g.term
+            ), btop AS (
+              SELECT doc_id, score_r FROM (
+                SELECT doc_id, ROUND(SUM(s), 6) AS score_r,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(s), 6) DESC,
+                                          doc_id ASC) AS rank
+                FROM qscored GROUP BY doc_id) WHERE rank <= 50
+            ), j AS (
+              SELECT a.doc_id AS id, a.score_r AS sa, b.score_r AS sb
+              FROM atop a JOIN btop b USING (doc_id)
+            ), rna AS (
+              SELECT id, sa, ROW_NUMBER() OVER (ORDER BY sa DESC) AS rn
+              FROM j
+            ), ara AS (SELECT sa, AVG(rn) AS ra FROM rna GROUP BY sa),
+            ja AS (SELECT id, ra FROM rna JOIN ara USING (sa)),
+            rnb AS (
+              SELECT id, sb, ROW_NUMBER() OVER (ORDER BY sb DESC) AS rn
+              FROM j
+            ), arb AS (SELECT sb, AVG(rn) AS rb FROM rnb GROUP BY sb),
+            jb AS (SELECT id, rb FROM rnb JOIN arb USING (sb)),
+            xy AS (SELECT ja.ra, jb.rb FROM ja JOIN jb USING (id)),
+            mom AS (
+              SELECT COUNT(*) AS n, SUM(ra) AS sx, SUM(rb) AS sy,
+                     SUM(ra * ra) AS sxx, SUM(rb * rb) AS syy,
+                     SUM(ra * rb) AS sxy
+              FROM xy
+            ), pr AS (
+              SELECT sign(l.sa - r.sa) AS da, sign(l.sb - r.sb) AS db
+              FROM j l JOIN j r ON l.id < r.id
+            ), kt AS (
+              SELECT
+                COALESCE(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END), 0) AS c,
+                COALESCE(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END), 0) AS d,
+                COALESCE(SUM(CASE WHEN da = 0 AND db <> 0
+                                  THEN 1 ELSE 0 END), 0) AS tx,
+                COALESCE(SUM(CASE WHEN db = 0 AND da <> 0
+                                  THEN 1 ELSE 0 END), 0) AS ty
+              FROM pr
+            )
+            SELECT CAST(m.n AS BIGINT) AS n,
+                   ROUND(CASE WHEN m.n >= 2
+                                   AND m.n * m.sxx - m.sx * m.sx > 0
+                                   AND m.n * m.syy - m.sy * m.sy > 0
+                              THEN (m.n * m.sxy - m.sx * m.sy)
+                                   / sqrt((m.n * m.sxx - m.sx * m.sx)
+                                          * (m.n * m.syy - m.sy * m.sy))
+                         END, 6) AS spearman_r,
+                   ROUND(CASE WHEN k.c + k.d + k.tx > 0
+                                   AND k.c + k.d + k.ty > 0
+                              THEN (k.c - k.d)
+                                   / sqrt(CAST((k.c + k.d + k.tx)
+                                               * (k.c + k.d + k.ty)
+                                          AS DOUBLE))
+                         END, 6) AS kendall_r
+            FROM mom m, kt k
+        """,
         "allocation_fairness": """
             WITH alloc AS (
               SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1

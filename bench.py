@@ -258,6 +258,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "salsa_2sweep",
         "heaps_fit",
         "allocation_fairness",
+        "ranking_agreement",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -1821,3 +1821,105 @@ def retrieval_eval_summary(per_query: DataFrame, query_col: str = "query_id") ->
         F.avg(F.when(judged, F.col("rr_at_k"))).alias("mrr"),
         F.avg(F.when(judged, F.col("ndcg_at_k"))).alias("mean_ndcg"),
     )
+
+
+def ranking_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score_r",
+) -> DataFrame:
+    """Agreement between two rankers over the same candidates — Spearman
+    ρ (tie-averaged ranks) and Kendall τ-b (tie-corrected) in one row
+    (n, spearman_r, kendall_r): the ranker-comparison report an IR
+    experiment logs next to `retrieval_eval` (does MaxP actually
+    reorder? did the impact-pruned index change the ranking or just the
+    latency?). Agreement is measured over the id-intersection of the
+    two score tables; higher score = better rank in both.
+
+    Intended for RANKED LISTS (top-k output, k ≤ 10^3-10^4), not whole
+    corpora: τ-b is pairwise by definition — the self-join materializes
+    n(n−1)/2 pairs, exact and fine at list size, quadratic by nature
+    (the same boundedness contract as mmr_select's candidate set). ρ
+    uses per-side rank windows over the same bounded list. Ranks are
+    tie-AVERAGED (the Spearman convention): per distinct score, rank =
+    avg of the row_numbers — computed with one window + one
+    distinct-value census per side. Both coefficients null when
+    degenerate (n < 2, or zero variance — all scores tied on either
+    side)."""
+    from . import join_scalar_frame
+
+    def avg_ranks(df: DataFrame, out: str) -> DataFrame:
+        # row_number's intra-tie order is arbitrary, but the per-score
+        # AVERAGE of row numbers is order-invariant — the tie convention
+        rowed = df.select(
+            "_id", F.col(score_col).alias("_s")
+        ).withColumn(
+            "_rn", F.row_number().over(Window.orderBy(F.col("_s").desc()))
+        )
+        avg = rowed.groupBy("_s").agg(F.avg("_rn").alias(out))
+        return rowed.join(avg, "_s").select("_id", out)
+    joined = (
+        a.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_sa"))
+        .join(
+            b.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_sb")),
+            "_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ra = avg_ranks(joined.select("_id", F.col("_sa").alias(score_col)), "ra")
+    rb = avg_ranks(joined.select("_id", F.col("_sb").alias(score_col)), "rb")
+    xy = ra.join(rb, "_id")
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sx"),
+        F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+    )
+    # Kendall tau-b over unordered id pairs (i < j)
+    l = joined.select(
+        F.col("_id").alias("i"), F.col("_sa").alias("xa"),
+        F.col("_sb").alias("xb"),
+    )
+    r = joined.select(
+        F.col("_id").alias("j"), F.col("_sa").alias("ya"),
+        F.col("_sb").alias("yb"),
+    )
+    # constant-key equi component keeps this a hash join (single bucket
+    # — the quadratic work is inherent to tau, the NestedLoop plan isn't)
+    lk = l.withColumn("_pk", F.pmod(F.hash("i"), F.lit(1)))
+    rk = r.withColumn("_pk", F.pmod(F.hash("j"), F.lit(1)))
+    pairs = lk.join(
+        rk, (lk["_pk"] == rk["_pk"]) & (F.col("i") < F.col("j"))
+    )
+    da = F.when(F.col("xa") > F.col("ya"), 1).when(
+        F.col("xa") < F.col("ya"), -1
+    ).otherwise(0)
+    db = F.when(F.col("xb") > F.col("yb"), 1).when(
+        F.col("xb") < F.col("yb"), -1
+    ).otherwise(0)
+    kt = pairs.agg(
+        F.coalesce(F.sum(F.when(da * db > 0, 1).otherwise(0)), F.lit(0)).alias("c"),
+        F.coalesce(F.sum(F.when(da * db < 0, 1).otherwise(0)), F.lit(0)).alias("d"),
+        F.coalesce(F.sum(F.when((da == 0) & (db != 0), 1).otherwise(0)), F.lit(0)).alias("tx"),
+        F.coalesce(F.sum(F.when((db == 0) & (da != 0), 1).otherwise(0)), F.lit(0)).alias("ty"),
+    )
+    both = join_scalar_frame(mom, kt)
+    n = F.col("n")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    spear = F.when((n >= 2) & (dx > 0) & (dy > 0), cov / F.sqrt(dx * dy))
+    cd = F.col("c") + F.col("d")
+    tau = F.when(
+        (cd + F.col("tx") > 0) & (cd + F.col("ty") > 0),
+        (F.col("c") - F.col("d"))
+        / F.sqrt((cd + F.col("tx")) * (cd + F.col("ty"))),
+    )
+    return both.select(
+        n.cast("long").alias("n"),
+        F.round(spear, 6).alias("spearman_r"),
+        F.round(tau, 6).alias("kendall_r"),
+    )
