@@ -909,6 +909,28 @@ class Crawler:
             ),
         )
 
+    def fairness_report(self) -> DataFrame:
+        """Scheduler-skew telemetry over everything the crawl has fetched
+        so far: Gini + HHI + top-share of the per-host capture allocation
+        (operators/adaptive.allocation_fairness). gini ≈ 0 means the
+        politeness budget spread fetches evenly; gini → 1 means one host
+        ate the crawl — the empirical check on the per-host-budget story,
+        next to `frontier_eta`'s forward-looking view. Reads the bounded
+        latest_capture snapshot (one row per captured URL, the
+        revalidation discipline), never the full results ledger."""
+        from .operators.adaptive import allocation_fairness
+        from .operators.traps import col_url_host
+
+        spark = self.spark
+        self.catalog.ensure_latest(spark)
+        latest = self.catalog.load_latest_capture(
+            spark, self.catalog.committed_tick()
+        )
+        return allocation_fairness(
+            latest.select(col_url_host(F.col("url_canon")).alias("host")),
+            "host",
+        )
+
     # --- inspection helpers -------------------------------------------------
 
     def results(self) -> DataFrame:

@@ -330,3 +330,27 @@ def test_blocked_rows_never_displace_crawlable(spark):
     assert selected == ["https://h.test/ok/c", "https://h.test/ok/d"]
     blocked = sorted(r.url_canon for r in tagged.filter("is_blocked").collect())
     assert blocked == ["https://h.test/private/a", "https://h.test/private/b"]
+
+
+def test_fairness_report_matches_capture_census(spark, world, tmp_path):
+    c = _run(spark, world, str(tmp_path / "fair"), max_ticks=2)
+    row = c.fairness_report().collect()[0]
+    # brute force from the capture snapshot itself
+    from spider_spark.operators.traps import col_url_host
+
+    latest = c.catalog.load_latest_capture(spark, c.catalog.committed_tick())
+    counts = sorted(
+        n
+        for (_, n) in latest.select(
+            col_url_host(F.col("url_canon")).alias("h")
+        )
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    n, t = len(counts), sum(counts)
+    ranked = sum((i + 1) * x for i, x in enumerate(counts))
+    assert row["n_keys"] == n and row["total"] == t
+    assert row["gini_r"] == round(2 * ranked / (n * t) - (n + 1) / n, 6)
+    # politeness spread fetches across all hosts: no single-host capture
+    assert row["top_share_r"] < 0.5
