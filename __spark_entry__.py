@@ -2651,6 +2651,38 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_comb_fusion(spark, sf_dir):
+    """CombSUM/CombMNZ score fusion (index.comb_fusion, Fox & Shaw
+    TREC-2): min-max-normalized BM25 + Dirichlet-QL top-50 scores
+    summed, MNZ multiplied by corroboration count. The oracle replays
+    both rankers, both normalizations, and both combinations."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    a = idx.bm25_search(docs, "dup batch", k=50)
+    b = idx.ql_dirichlet_search(docs, "dup batch", k=50, mu=2000.0)
+    return idx.comb_fusion([a, b])
+
+
+def q_team_draft_interleave(spark, sf_dir):
+    """Team-draft interleaving (index.team_draft_interleave, Radlinski
+    CIKM'08): the BM25 and Dirichlet-QL top-10 merged into the single
+    list an online A/B would show, md5-deterministic captain coin.
+    Sequential draft per query — not SQL-expressible without recursion,
+    so rows-only; the pure-Python reference differential lives in
+    tests/test_fusion_interleave.py."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    a = idx.bm25_search(docs, "dup batch", k=10).withColumn(
+        "query_id", F.lit("dup batch")
+    )
+    b = idx.ql_dirichlet_search(docs, "dup batch", k=10, mu=2000.0).withColumn(
+        "query_id", F.lit("dup batch")
+    )
+    return idx.team_draft_interleave(a, b)
+
+
 def q_ranking_agreement(spark, sf_dir):
     """Ranker agreement (index.ranking_agreement): Spearman ρ
     (tie-averaged ranks) + Kendall τ-b between the BM25 and
@@ -3998,6 +4030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "allocation_fairness": q_allocation_fairness,
         "ranking_agreement": q_ranking_agreement,
+        "comb_fusion": q_comb_fusion,
+        "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
         "trending_event_types": q_trending_event_types,
@@ -7889,6 +7923,83 @@ def oracle_sql() -> dict[str, str]:
         # the nb_langid_train_score train/score SQL, re-aimed at 12-token
         # windows of the held-out docs, plus the per-doc mixture rollup
         # (struct-max ties to the greatest label, same as Spark)
+        "comb_fusion": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1
+            ), consts AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COALESCE(SUM(tf), 0) FROM post) AS tot
+            ), bscored AS (
+              SELECT p.doc_id,
+                     ROUND(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                            / (CAST(c.tot AS DOUBLE) / c.n))),
+                           6) AS bm25_r
+              FROM post p JOIN dft d USING (term) JOIN dl l USING (doc_id),
+                   consts c
+              WHERE p.term IN ('batch', 'dup')
+            ), atop AS (
+              SELECT doc_id, score_r FROM (
+                SELECT doc_id, ROUND(SUM(bm25_r), 6) AS score_r,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(bm25_r), 6) DESC,
+                                          doc_id ASC) AS rank
+                FROM bscored GROUP BY doc_id) WHERE rank <= 50
+            ), ctot AS (
+              SELECT CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS ctot FROM post
+            ), known AS (
+              SELECT term, SUM(tf) / t.ctot AS ptc
+              FROM post, ctot t WHERE term IN ('batch', 'dup')
+              GROUP BY term, t.ctot
+            ), cand AS (
+              SELECT DISTINCT p.doc_id, l.dl
+              FROM post p JOIN dl l USING (doc_id)
+              WHERE p.term IN ('batch', 'dup')
+            ), grid AS (
+              SELECT c.doc_id, c.dl, k.term, k.ptc FROM cand c, known k
+            ), qscored AS (
+              SELECT g.doc_id,
+                     ln((COALESCE(p.tf, 0) + 2000.0 * g.ptc)
+                        / (g.dl + 2000.0)) AS s
+              FROM grid g LEFT JOIN post p
+                ON p.doc_id = g.doc_id AND p.term = g.term
+            ), btop AS (
+              SELECT doc_id, score_r FROM (
+                SELECT doc_id, ROUND(SUM(s), 6) AS score_r,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(s), 6) DESC,
+                                          doc_id ASC) AS rank
+                FROM qscored GROUP BY doc_id) WHERE rank <= 50
+            ), na AS (
+              SELECT doc_id,
+                     CASE WHEN m.mx > m.mn
+                          THEN (score_r - m.mn) / (m.mx - m.mn)
+                          ELSE 1.0 END AS nv
+              FROM atop, (SELECT MIN(score_r) AS mn, MAX(score_r) AS mx
+                          FROM atop) m
+            ), nb AS (
+              SELECT doc_id,
+                     CASE WHEN m.mx > m.mn
+                          THEN (score_r - m.mn) / (m.mx - m.mn)
+                          ELSE 1.0 END AS nv
+              FROM btop, (SELECT MIN(score_r) AS mn, MAX(score_r) AS mx
+                          FROM btop) m
+            ), u AS (
+              SELECT * FROM na UNION ALL SELECT * FROM nb
+            )
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
+                   ROUND(SUM(nv), 6) AS combsum_r,
+                   ROUND(SUM(nv) * COUNT(*), 6) AS combmnz_r
+            FROM u GROUP BY doc_id
+        """,
         "ranking_agreement": """
             WITH tok AS (
               SELECT doc_id,

@@ -259,6 +259,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "heaps_fit",
         "allocation_fairness",
         "ranking_agreement",
+        "comb_fusion",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

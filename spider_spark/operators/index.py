@@ -753,6 +753,54 @@ def reciprocal_rank_fusion(
     )
 
 
+def comb_fusion(
+    runs: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score_r",
+) -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994) — the
+    SCORE-based companion to `reciprocal_rank_fusion`'s rank-based
+    combination: each run's scores are min-max normalized to [0,1]
+    (scores from BM25, QL, and a neural ranker live on incomparable
+    scales; normalization is what makes the sum meaningful), then
+    CombSUM(d) = Σ norm scores, CombMNZ(d) = CombSUM(d) × (number of
+    runs returning d) — MNZ's multiplier rewards corroboration and is
+    the variant that won TREC's fusion track. Returns (id, n_lists,
+    combsum_r, combmnz_r) rounded 6.
+
+    Physical shape: per run ONE 1-row (min, max) aggregate attached via
+    the constant-key BroadcastHashJoin (join_scalar_frame — never a
+    nested loop), then one union + one partial-agg groupBy; shuffle ∝
+    Σ list lengths (tiny for top-k runs). A constant-score run (max =
+    min) normalizes to 1.0 for every doc it returns — presence is its
+    only signal, matching the CombMNZ intuition."""
+    from . import join_scalar_frame
+
+    if not runs:
+        raise ValueError("comb_fusion needs at least one run")
+    u = None
+    for r in runs:
+        leg = r.select(F.col(id_col), F.col(score_col).alias("_s"))
+        mm = leg.agg(
+            F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+        )
+        norm = join_scalar_frame(leg, mm).select(
+            F.col(id_col),
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col("_s") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("_n"),
+        )
+        u = norm if u is None else u.unionByName(norm)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.round(F.sum("_n"), 6).alias("combsum_r"),
+        F.round(F.sum("_n") * F.count(F.lit(1)), 6).alias("combmnz_r"),
+    )
+
+
 _VBYTE_TIERS = [128 ** i for i in range(1, 9)]  # 128^1 .. 128^8 = 2^56
 
 
@@ -1922,4 +1970,94 @@ def ranking_agreement(
         n.cast("long").alias("n"),
         F.round(spear, 6).alias("spearman_r"),
         F.round(tau, 6).alias("kendall_r"),
+    )
+
+
+_INTERLEAVE_SCHEMA = (
+    "query_id string, pos int, doc_id long, team string"
+)
+
+
+def team_draft_interleave(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008)
+    — the online ranker A/B instrument: merge two rankings for the same
+    query into ONE list the user sees, alternating picks like schoolyard
+    team captains; the ranker whose picks get clicked wins the query.
+    Input: two (query, doc, rank) run tables (rank 1-based); output one
+    (query_id, pos, doc_id, team) row per interleaved slot.
+
+    Each round one captain picks first (the other follows), and each
+    captain takes its highest-ranked doc not already on the list. The
+    coin is md5(query || round) — deterministic and engine-portable
+    (`curation.col_hash_bucket` discipline), so reruns and retries build
+    the identical list; a doc in both runs is credited to whichever team
+    picked it first.
+
+    Physical shape: the draft is sequential PER QUERY but queries are
+    independent — grouped applyInPandas over query_id (the pack_bins_ffd
+    discipline), each group bounded by the two top-k lists. No
+    SQL-expressible form without recursion, so the correctness story is
+    the pure-Python differential in tests, not a DuckDB oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    la = a.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(rank_col).cast("int").alias("rank"),
+        F.lit("a").alias("_run"),
+    )
+    lb = b.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(rank_col).cast("int").alias("rank"),
+        F.lit("b").alias("_run"),
+    )
+
+    def draft(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = str(pdf["query_id"].iloc[0])
+        runs = {}
+        for run in ("a", "b"):
+            sub = pdf[pdf["_run"] == run].sort_values(["rank", "doc_id"])
+            runs[run] = sub["doc_id"].tolist()
+        chosen: set[int] = set()
+        out = []
+        ptr = {"a": 0, "b": 0}
+        rnd = 0
+        while ptr["a"] < len(runs["a"]) or ptr["b"] < len(runs["b"]):
+            coin = int(
+                hashlib.md5(f"{q}:{rnd}".encode()).hexdigest()[:8], 16
+            ) % 2
+            order = ("a", "b") if coin == 0 else ("b", "a")
+            progressed = False
+            for team in order:
+                lst = runs[team]
+                p = ptr[team]
+                while p < len(lst) and lst[p] in chosen:
+                    p += 1
+                ptr[team] = p
+                if p < len(lst):
+                    doc = lst[p]
+                    chosen.add(doc)
+                    ptr[team] = p + 1
+                    out.append((q, len(out) + 1, doc, team))
+                    progressed = True
+            if not progressed:
+                break
+            rnd += 1
+        return pd.DataFrame(
+            out, columns=["query_id", "pos", "doc_id", "team"]
+        )
+
+    return (
+        la.unionByName(lb)
+        .groupBy("query_id")
+        .applyInPandas(draft, schema=_INTERLEAVE_SCHEMA)
     )
