@@ -2651,6 +2651,42 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_ai_optout_screen(spark, sf_dir):
+    """ML-training opt-out screening (metarobots.screen_ai_optout):
+    noai/noimageai robots tokens + the W3C TDMRep in-page reservation,
+    with `trainable` as the export gate (noimageai alone still permits
+    TEXT training). HTML synthesized arithmetically from doc_id — six
+    directive variants incl. quote/case/junk-value traps — so the
+    oracle derives ground truth from the construction while Spark must
+    PARSE the real tag strings (the robots_policy_diff discipline)."""
+    from spider_spark import metarobots as mr
+
+    docs = _t(spark, sf_dir, "documents")
+    variant = F.pmod(F.col("doc_id"), F.lit(6))
+    meta = (
+        F.when(variant == 0, F.lit('<meta name="robots" content="noai">'))
+        .when(
+            variant == 1,
+            F.lit("<META NAME=robots CONTENT='noimageai , index'>"),
+        )
+        .when(variant == 2, F.lit('<meta name="tdm-reservation" content=1>'))
+        .when(
+            variant == 3, F.lit("<meta name='tdm-reservation' content='0'>")
+        )
+        .when(variant == 4, F.lit('<meta name="description" content="noai">'))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), meta, F.lit("</head><body>x</body></html>")
+        ).alias("html"),
+    )
+    return mr.screen_ai_optout(pages).select(
+        "doc_id", "noai", "noimageai", "tdm_reserved", "trainable"
+    )
+
+
 def q_comb_fusion(spark, sf_dir):
     """CombSUM/CombMNZ score fusion (index.comb_fusion, Fox & Shaw
     TREC-2): min-max-normalized BM25 + Dirichlet-QL top-50 scores
@@ -4031,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allocation_fairness": q_allocation_fairness,
         "ranking_agreement": q_ranking_agreement,
         "comb_fusion": q_comb_fusion,
+        "ai_optout_screen": q_ai_optout_screen,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -7923,6 +7960,17 @@ def oracle_sql() -> dict[str, str]:
         # the nb_langid_train_score train/score SQL, re-aimed at 12-token
         # windows of the held-out docs, plus the per-doc mixture rollup
         # (struct-max ties to the greatest label, same as Spark)
+        # ground truth derived from the arithmetic html construction; the
+        # Spark side must PARSE the synthesized tags (quote/case/junk
+        # variants) to reproduce it
+        "ai_optout_screen": """
+            SELECT doc_id,
+                   doc_id % 6 = 0 AS noai,
+                   doc_id % 6 IN (0, 1) AS noimageai,
+                   doc_id % 6 = 2 AS tdm_reserved,
+                   NOT (doc_id % 6 = 0 OR doc_id % 6 = 2) AS trainable
+            FROM documents
+        """,
         "comb_fusion": """
             WITH tok AS (
               SELECT doc_id,

@@ -260,6 +260,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "allocation_fairness",
         "ranking_agreement",
         "comb_fusion",
+        "ai_optout_screen",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -218,3 +218,78 @@ def hreflang_reciprocity(
             ),
         )
     )
+
+
+# TDM Reservation Protocol (W3C TDMRep CG final report) meta names, plus
+# the de-facto "noai"/"noimageai" robots tokens publishers adopted for
+# ML-training opt-out. Same Java↔RE2-identical regex subset as above.
+_NAME_TDM_RES_RE = "(?i)\\bname\\s*=\\s*[\"']?tdm-reservation\\b"
+_NAME_TDM_POL_RE = "(?i)\\bname\\s*=\\s*[\"']?tdm-policy\\b"
+
+
+def _named_meta_contents(html: Column, name_re: str) -> Column:
+    """content values (lowercased, trimmed) of every <meta> whose name
+    matches ``name_re`` — the robots-token extractor generalized to any
+    meta name."""
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), F.lit(0))
+    named = F.filter(metas, lambda m: m.rlike(name_re))
+    content = lambda m: F.lower(  # noqa: E731 - local expression builder
+        F.coalesce(
+            F.nullif(F.regexp_extract(m, _CONTENT_DQ_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(m, _CONTENT_SQ_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(m, _CONTENT_UQ_RE, 1), F.lit("")),
+            F.lit(""),
+        )
+    )
+    return F.transform(named, lambda m: F.trim(content(m)))
+
+
+def col_ai_optout(html: Column | str) -> Column:
+    """html → struct(noai, noimageai, tdm_reserved booleans) — the
+    machine-learning-training opt-out surfaces a responsible corpus
+    pipeline must honor BEFORE export (the compliance sibling of
+    `col_meta_robots`'s noindex):
+
+    - ``noai`` / ``noimageai`` robots-meta tokens (the de-facto
+      convention DeviantArt et al. shipped in 2022; ``noai`` implies
+      ``noimageai``),
+    - ``<meta name="tdm-reservation" content="1">`` — the W3C TDM
+      Reservation Protocol (TDMRep) in-page opt-out; any value other
+      than literal '1' (incl. '0', absent, junk) is NOT a reservation.
+
+    Null html ⇒ all false (absent content carries no directives). Pure
+    Catalyst projection, RE2-safe regexes — oracle-replayable."""
+    h = F.col(html) if isinstance(html, str) else html
+    safe = F.coalesce(h, F.lit(""))
+    rob = _meta_content_tokens(safe)
+    noai = F.exists(rob, lambda t: t == "noai")
+    noimg = noai | F.exists(rob, lambda t: t == "noimageai")
+    tdm = F.exists(
+        _named_meta_contents(safe, _NAME_TDM_RES_RE), lambda v: v == "1"
+    )
+    return F.struct(
+        noai.alias("noai"),
+        noimg.alias("noimageai"),
+        tdm.alias("tdm_reserved"),
+    )
+
+
+def screen_ai_optout(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Input columns + (noai, noimageai, tdm_reserved, trainable) —
+    ``trainable`` = no text-training opt-out surface present (noai or a
+    TDM reservation; noimageai alone still permits TEXT training, it
+    scopes to images). The export-gate column a curation pipeline
+    filters on, map-only over the page store."""
+    flags = col_ai_optout(F.col(html_col))
+    return (
+        pages.withColumn("_ai", flags)
+        .withColumn("noai", F.col("_ai.noai"))
+        .withColumn("noimageai", F.col("_ai.noimageai"))
+        .withColumn("tdm_reserved", F.col("_ai.tdm_reserved"))
+        .withColumn(
+            "trainable", ~(F.col("noai") | F.col("tdm_reserved"))
+        )
+        .drop("_ai")
+    )

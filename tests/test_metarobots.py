@@ -4,6 +4,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
+from spider_spark import metarobots as mr
 from spider_spark.metarobots import (
     col_meta_robots,
     col_rel_nofollow,
@@ -188,3 +189,33 @@ def test_meta_refresh_variants(spark):
     assert got[1] == (5, "https://r.test/x")
     assert got[2] == (30, None)
     assert got[3] == (None, None)
+
+
+def test_ai_optout_flags(spark):
+    rows = [
+        (0, '<meta name="robots" content="noai">'),
+        (1, '<meta name="robots" content="noimageai , index">'),
+        (2, '<meta name="tdm-reservation" content="1">'),
+        (3, "<meta name='tdm-reservation' content='0'>"),
+        (4, '<META NAME=robots CONTENT="NOAI">'),
+        (5, '<meta name="robots" content="noindex">'),
+        (6, None),
+        (7, '<meta name="tdm-reservation" content="yes">'),
+        (8, '<meta name="description" content="noai">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: (
+            r["noai"], r["noimageai"], r["tdm_reserved"], r["trainable"]
+        )
+        for r in mr.screen_ai_optout(df).collect()
+    }
+    assert got[0] == (True, True, False, False)     # noai implies noimageai
+    assert got[1] == (False, True, False, True)     # image-only optout: text ok
+    assert got[2] == (False, False, True, False)    # TDM reservation
+    assert got[3] == (False, False, False, True)    # tdm 0 = not reserved
+    assert got[4] == (True, True, False, False)     # case/quoting variants
+    assert got[5] == (False, False, False, True)    # noindex is not an AI optout
+    assert got[6] == (False, False, False, True)    # null html
+    assert got[7] == (False, False, False, True)    # junk tdm value
+    assert got[8] == (False, False, False, True)    # wrong meta name
