@@ -2651,6 +2651,34 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_section_chunks(spark, sf_dir):
+    """Section-aware chunking (content.section_chunks): pages split at
+    their h1–h6 elements, each section paired with its introducing
+    heading — the structure-respecting alternative to fixed token
+    windows. HTML synthesized arithmetically (title trap in <head>,
+    entity in a heading, doc text as section bodies) so the oracle
+    derives expected sections from the construction while Spark must
+    parse the real tags (the ai_optout_screen discipline)."""
+    from spider_spark.operators import content as ct
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Not A Heading</title></head><body>"),
+            F.substring(F.coalesce("text", F.lit("")), 1, 40),
+            F.lit("<h1>Part "),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit("</h1>"),
+            F.substring(F.coalesce("text", F.lit("")), 41, 60),
+            F.lit("<h2>Deep &amp; Wide</h2>"),
+            F.substring(F.coalesce("text", F.lit("")), 101, 100000),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return ct.section_chunks(pages, id_col="doc_id")
+
+
 def q_ai_optout_screen(spark, sf_dir):
     """ML-training opt-out screening (metarobots.screen_ai_optout):
     noai/noimageai robots tokens + the W3C TDMRep in-page reservation,
@@ -4068,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_agreement": q_ranking_agreement,
         "comb_fusion": q_comb_fusion,
         "ai_optout_screen": q_ai_optout_screen,
+        "section_chunks": q_section_chunks,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -7963,6 +7992,38 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # expected sections derived from the arithmetic construction (body
+        # text has no tags/entities); Spark must parse the synthesized
+        # heading tags — incl. the <head><title> trap and the &amp; entity
+        "section_chunks": """
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS t FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                     trim(regexp_replace(substr(t, 1, 40),
+                                         '\\s+', ' ', 'g')) AS s0,
+                     trim(regexp_replace(substr(t, 41, 60),
+                                         '\\s+', ' ', 'g')) AS s1,
+                     trim(regexp_replace(substr(t, 101, 100000),
+                                         '\\s+', ' ', 'g')) AS s2
+              FROM base
+            ), u AS (
+              SELECT doc_id AS id, 0 AS sec_idx, CAST(NULL AS INT) AS level,
+                     CAST(NULL AS VARCHAR) AS heading, s0 AS sec_text
+              FROM parts WHERE s0 <> ''
+              UNION ALL
+              SELECT doc_id, 1, 1,
+                     'Part ' || CAST(doc_id % 5 AS VARCHAR), s1
+              FROM parts
+              UNION ALL
+              SELECT doc_id, 2, 2, 'Deep & Wide', s2 FROM parts
+            )
+            SELECT id, sec_idx, level, heading, sec_text,
+                   CASE WHEN sec_text = '' THEN 0
+                        ELSE len(string_split_regex(sec_text, '\\s+'))
+                   END AS n_words
+            FROM u
+        """,
         "ai_optout_screen": """
             SELECT doc_id,
                    doc_id % 6 = 0 AS noai,

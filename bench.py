@@ -261,6 +261,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "ranking_agreement",
         "comb_fusion",
         "ai_optout_screen",
+        "section_chunks",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

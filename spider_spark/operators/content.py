@@ -174,3 +174,93 @@ def extract_main_content(
             ).alias("main_text"),
         )
     )
+
+
+_HEADING_FULL_RE = r"(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+# group 1 = level digit, group 2 = inner html; closing tag matches any
+# level (RE2 — the oracle engine — has no backreferences; well-formed
+# pages close the level they opened)
+_HEADING_CAP_RE = r"(?is)<h([1-6])[^>]*>(.*?)</h[1-6]>"
+
+
+def heading_outline(
+    pages: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pages → one row per heading element in document order:
+    (id, idx, level, heading) — the document's structural skeleton
+    (h1–h6), the table-of-contents signal section-aware chunking and
+    layout QC build on. Invisible regions (<head>, script/style bodies,
+    comments) are dropped first so a <title> or templated script string
+    never masquerades as a heading. Pure Catalyst: two parallel
+    regexp_extract_all (level digits, inner html) zipped by position —
+    no UDF, no shuffle."""
+    html = _strip_invisible(F.col(html_col).cast("string"))
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_HEADING_CAP_RE), F.lit(1)).alias(
+            "lvl"
+        ),
+        F.regexp_extract_all(html, F.lit(_HEADING_CAP_RE), F.lit(2)).alias(
+            "inner"
+        ),
+    )
+    return pages.select(
+        F.col(id_col).alias("id"), F.posexplode(pairs).alias("idx", "h")
+    ).select(
+        "id",
+        "idx",
+        F.col("h.lvl").cast("int").alias("level"),
+        _visible_text(F.col("h.inner")).alias("heading"),
+    )
+
+
+def section_chunks(
+    pages: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Section-aware chunking: split each page at its heading elements
+    and pair every section with the heading that introduces it —
+    (id, sec_idx, level, heading, sec_text, n_words). sec_idx 0 is the
+    pre-heading preamble (heading null, level null), emitted only when
+    non-empty; heading-introduced sections are emitted even when empty
+    (an empty section under 'Changelog' is itself signal). The chunking
+    a training pipeline wants when documents have structure: fixed
+    token windows (`chunking.chunk_table`, `langid.token_window_segments`)
+    cut mid-thought, section boundaries don't (the retrieval-chunking
+    folklore MaxP formalizes at the passage level).
+
+    Pure Catalyst: one split on the FULL heading element (open + inner +
+    close — the heading's own text never bleeds into its section), the
+    outline re-extracted in the same projection and zipped by position:
+    section i pairs with heading i−1. No UDF; one posexplode."""
+    html = _strip_invisible(F.col(html_col).cast("string"))
+    secs = F.split(html, _HEADING_FULL_RE)
+    lvls = F.regexp_extract_all(html, F.lit(_HEADING_CAP_RE), F.lit(1))
+    heads = F.regexp_extract_all(html, F.lit(_HEADING_CAP_RE), F.lit(2))
+    rows = pages.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(secs).alias("sec_idx", "frag"),
+        lvls.alias("_lvls"),
+        heads.alias("_heads"),
+    ).select(
+        "id",
+        "sec_idx",
+        F.when(
+            F.col("sec_idx") > 0,
+            F.element_at(F.col("_lvls"), F.col("sec_idx")).cast("int"),
+        ).alias("level"),
+        F.when(
+            F.col("sec_idx") > 0,
+            _visible_text(F.element_at(F.col("_heads"), F.col("sec_idx"))),
+        ).alias("heading"),
+        _visible_text(F.col("frag")).alias("sec_text"),
+    )
+    rows = rows.filter((F.col("sec_idx") > 0) | (F.col("sec_text") != ""))
+    return rows.withColumn(
+        "n_words",
+        F.when(F.col("sec_text") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.col("sec_text"), r"\s+"))
+        ),
+    )
