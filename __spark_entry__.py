@@ -2651,6 +2651,22 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_unigram_tokenize(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer (operators/unigram.py,
+    Kudo ACL'18): seed substring vocab → EM forward-backward over the
+    word census → rounded-prob prune → Viterbi encode with fixed
+    tie-break. Rows-only by driver necessity (EM is iterative); exact
+    ground truth is the pure-Python reference differential in
+    tests/test_unigram.py (identical piece sets + encodings)."""
+    from spider_spark.operators import unigram as ug
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = ug.train_unigram(
+        docs, vocab_size=80, seed_size=500, em_iters=2
+    )
+    return ug.encode_unigram(docs, pieces).orderBy("id")
+
+
 def q_section_chunks(spark, sf_dir):
     """Section-aware chunking (content.section_chunks): pages split at
     their h1–h6 elements, each section paired with its introducing
@@ -4097,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comb_fusion": q_comb_fusion,
         "ai_optout_screen": q_ai_optout_screen,
         "section_chunks": q_section_chunks,
+        "unigram_tokenize": q_unigram_tokenize,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,

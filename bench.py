@@ -262,6 +262,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "comb_fusion",
         "ai_optout_screen",
         "section_chunks",
+        "unigram_tokenize",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",
