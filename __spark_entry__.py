@@ -2651,6 +2651,20 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_reshard_move_stats(spark, sf_dir):
+    """Reshard movement measured (layout.reshard_move_stats): 3 shards →
+    +1 under mod-N vs rendezvous routing. The consistent-hashing claim
+    as numbers: HRW moves ≈ the new shard's fair share and ONLY onto the
+    new shard; mod-N reshuffles most of the key space. Oracle replays
+    both routings (md5 scores, ≥-cascade ties, mod buckets)."""
+    from spider_spark.operators import layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return layout.reshard_move_stats(
+        docs, ["s-a", "s-b", "s-c"], ["s-a", "s-b", "s-c", "s-d"]
+    )
+
+
 def q_unigram_tokenize(spark, sf_dir):
     """SentencePiece-style unigram-LM tokenizer (operators/unigram.py,
     Kudo ACL'18): seed substring vocab → EM forward-backward over the
@@ -4114,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ai_optout_screen": q_ai_optout_screen,
         "section_chunks": q_section_chunks,
         "unigram_tokenize": q_unigram_tokenize,
+        "reshard_move_stats": q_reshard_move_stats,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -8009,6 +8024,48 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "reshard_move_stats": """
+            WITH scores AS (
+              SELECT doc_id, g.grp, sh.s,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':' || sh.s), 1, 8))::UBIGINT
+                          AS BIGINT) AS h
+              FROM documents
+              CROSS JOIN (VALUES ('before'), ('after')) g(grp)
+              CROSS JOIN (VALUES ('s-a'), ('s-b'), ('s-c'), ('s-d')) sh(s)
+              WHERE NOT (g.grp = 'before' AND sh.s = 's-d')
+            ), pick AS (
+              SELECT doc_id, grp, s FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id, grp
+                  ORDER BY h DESC, s DESC) AS rn
+                FROM scores) WHERE rn = 1
+            ), hrw AS (
+              SELECT doc_id,
+                     MAX(CASE WHEN grp = 'before' THEN s END) AS hb,
+                     MAX(CASE WHEN grp = 'after' THEN s END) AS ha
+              FROM pick GROUP BY doc_id
+            ), withmod AS (
+              SELECT doc_id, hb, ha,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8))::UBIGINT % 1000003
+                          AS BIGINT) AS bk
+              FROM hrw
+            ), flags AS (
+              SELECT CASE WHEN bk % 3 <> bk % 4 THEN 1 ELSE 0 END AS modm,
+                     CASE WHEN hb <> ha THEN 1 ELSE 0 END AS hrwm,
+                     CASE WHEN hb <> ha AND ha = 's-d' THEN 1 ELSE 0 END
+                       AS tonew
+              FROM withmod
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   ROUND(AVG(CAST(modm AS DOUBLE)), 6) AS mod_moved_r,
+                   ROUND(AVG(CAST(hrwm AS DOUBLE)), 6) AS hrw_moved_r,
+                   ROUND(CASE WHEN SUM(hrwm) > 0
+                              THEN CAST(SUM(tonew) AS DOUBLE) / SUM(hrwm)
+                         END, 6) AS hrw_moved_to_new_r
+            FROM flags
+        """,
         # expected sections derived from the arithmetic construction (body
         # text has no tags/entities); Spark must parse the synthesized
         # heading tags — incl. the <head><title> trap and the &amp; entity

@@ -263,6 +263,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "ai_optout_screen",
         "section_chunks",
         "unigram_tokenize",
+        "reshard_move_stats",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

@@ -226,3 +226,58 @@ def layout_compare(
     return scan_locality_stats(by_surt, "surt", host_col).unionByName(
         scan_locality_stats(by_seq, "insertion", host_col)
     )
+
+
+def reshard_move_stats(
+    df: DataFrame,
+    shards_before: list[str],
+    shards_after: list[str],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quantify the reshard: what fraction of keys MOVE when the shard
+    set grows from ``shards_before`` to ``shards_after``, under (a)
+    mod-N routing (bucket % n — the naive scheme) and (b) rendezvous/HRW
+    routing (`rendezvous_assign`). One row:
+
+      (n_keys, mod_moved_r, hrw_moved_r, hrw_moved_to_new_r)
+
+    The consistent-hashing claim, MEASURED instead of asserted: mod-N
+    moves ≈ 1 − 1/lcm-ish ≈ nearly everything (n→n+1 relocates ~n/(n+1)
+    of all keys — a full frontier/index reshuffle), HRW moves ≈ the new
+    shards' fair share, and every HRW-moved key lands ON a new shard
+    (hrw_moved_to_new_r = 1.0 whenever shards only grew — pinned in
+    tests). Pure map-only projection (two mod buckets from the
+    engine-portable md5 hash + two HRW argmaxes) + ONE 1-row aggregate;
+    oracle-replayable bit-for-bit."""
+    if not shards_before or not shards_after:
+        raise ValueError("shard lists must be non-empty")
+    from .curation import col_hash_bucket
+
+    keyed = df.select(F.col(key_col).alias("k"))
+    keyed = rendezvous_assign(keyed, shards_before, key_col="k", out_col="_hrw_b")
+    keyed = rendezvous_assign(keyed, shards_after, key_col="k", out_col="_hrw_a")
+    # mod routing from the same portable hash family: bucket % n
+    h = col_hash_bucket(F.col("k"), 1_000_003)
+    keyed = keyed.withColumn(
+        "_mod_b", F.pmod(h, F.lit(len(shards_before)))
+    ).withColumn("_mod_a", F.pmod(h, F.lit(len(shards_after))))
+    new_shards = [s for s in shards_after if s not in set(shards_before)]
+    hrw_moved = F.col("_hrw_b") != F.col("_hrw_a")
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(
+            F.avg((F.col("_mod_b") != F.col("_mod_a")).cast("double")), 6
+        ).alias("mod_moved_r"),
+        F.round(F.avg(hrw_moved.cast("double")), 6).alias("hrw_moved_r"),
+        F.round(
+            F.when(
+                F.sum(hrw_moved.cast("long")) > 0,
+                F.sum(
+                    (hrw_moved & F.col("_hrw_a").isin(new_shards or [""]))
+                    .cast("long")
+                )
+                / F.sum(hrw_moved.cast("long")),
+            ),
+            6,
+        ).alias("hrw_moved_to_new_r"),
+    )
