@@ -2651,6 +2651,24 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-sampled mixture plan (curation.
+    temperature_mixture_rates, the XLM-R/mT5 α-smoothing rule): per-
+    source rates from w ∝ available^α derived in-plan — α=0.3 lifts
+    tail sources without drowning the head. Oracle restates the census,
+    POWER weights, scalar share, cap, and planned tokens."""
+    from spider_spark.operators import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    return cu.temperature_mixture_rates(
+        docs,
+        alpha=0.3,
+        budget_tokens=50_000,
+        tokens_col="n_chars",
+        max_epochs=2.0,
+    )
+
+
 def q_reshard_move_stats(spark, sf_dir):
     """Reshard movement measured (layout.reshard_move_stats): 3 shards →
     +1 under mod-N vs rendezvous routing. The consistent-hashing claim
@@ -4129,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": q_section_chunks,
         "unigram_tokenize": q_unigram_tokenize,
         "reshard_move_stats": q_reshard_move_stats,
+        "temperature_mixture": q_temperature_mixture,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -8024,6 +8043,36 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "temperature_mixture": """
+            WITH avail AS (
+              SELECT source, SUM(n_chars) AS tokens_available
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT source, tokens_available,
+                     CASE WHEN tokens_available > 0
+                          THEN POWER(CAST(tokens_available AS DOUBLE), 0.3)
+                          ELSE 0.0 END AS wv
+              FROM avail
+            ), t AS (SELECT SUM(wv) AS tw FROM w), r AS (
+              SELECT source, CAST(tokens_available AS BIGINT)
+                       AS tokens_available, wv, tw,
+                     CASE WHEN tokens_available > 0 AND tw > 0
+                          THEN wv / tw * 50000 / tokens_available
+                          ELSE 0.0 END AS raw
+              FROM w, t
+            )
+            SELECT source, tokens_available,
+                   ROUND(CASE WHEN tw > 0 THEN wv / tw ELSE 0.0 END, 6)
+                     AS share_r,
+                   ROUND(CASE WHEN tw > 0 THEN wv / tw * 50000
+                              ELSE 0.0 END, 2) AS target_tokens,
+                   raw > 2.0 AS capped,
+                   ROUND(LEAST(raw, 2.0), 6) AS sample_rate,
+                   CAST(ROUND(tokens_available
+                              * ROUND(LEAST(raw, 2.0), 6), 0) AS BIGINT)
+                     AS planned_tokens
+            FROM r
+        """,
         "reshard_move_stats": """
             WITH scores AS (
               SELECT doc_id, g.grp, sh.s,

@@ -264,6 +264,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "section_chunks",
         "unigram_tokenize",
         "reshard_move_stats",
+        "temperature_mixture",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

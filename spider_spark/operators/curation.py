@@ -43,6 +43,7 @@ __all__ = [
     "exact_dup_cluster_ids",
     "stratified_hash_sample",
     "per_source_quota",
+    "temperature_mixture_rates",
     "col_hash_uniform",
     "weighted_sample",
     "PII_PATTERNS",
@@ -582,6 +583,74 @@ def token_budget_mixture(
             "planned_tokens",
             F.round(F.col("tokens_available") * F.col("sample_rate"), 0).cast("long"),
         )
+    )
+
+
+def temperature_mixture_rates(
+    docs: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """`token_budget_mixture` with the weights computed FROM the data by
+    temperature sampling: w(s) ∝ available(s)^α — the multilingual-
+    corpus balancing rule (exponential smoothing in XLM-R / mT5: α = 1
+    reproduces natural proportions, α = 0 uniform across sources, the
+    usual α ≈ 0.3 lifts tail sources without drowning the head). No
+    driver-held weights dict: shares are derived in-plan, so the recipe
+    tracks the corpus as it grows.
+
+    Output (source, tokens_available, share_r, target_tokens,
+    sample_rate, planned_tokens, capped) — same plan surface as
+    token_budget_mixture, feeds `materialize_mixture` unchanged.
+    Physical shape: ONE partial-agg groupBy(source) + the 1-row Σw^α on
+    the constant-key BroadcastHashJoin; rows = distinct sources."""
+    from . import join_scalar_frame
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    avail = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(tokens_col)).alias("tokens_available")
+    )
+    w = F.when(
+        F.col("tokens_available") > 0,
+        F.pow(F.col("tokens_available").cast("double"), F.lit(float(alpha))),
+    ).otherwise(F.lit(0.0))
+    weighted = avail.withColumn("_w", w)
+    tot = weighted.groupBy().agg(F.sum("_w").alias("_tw"))
+    out = join_scalar_frame(weighted, tot).withColumn(
+        "share_r",
+        F.round(
+            F.when(F.col("_tw") > 0, F.col("_w") / F.col("_tw")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+    )
+    target = F.when(
+        F.col("_tw") > 0, F.col("_w") / F.col("_tw") * float(budget_tokens)
+    ).otherwise(F.lit(0.0))
+    raw_rate = F.when(
+        F.col("tokens_available") > 0, target / F.col("tokens_available")
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("target_tokens", F.round(target, 2))
+        .withColumn("capped", raw_rate > max_epochs)
+        .withColumn(
+            "sample_rate",
+            F.round(F.least(raw_rate, F.lit(float(max_epochs))), 6),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.round(
+                F.col("tokens_available") * F.col("sample_rate"), 0
+            ).cast("long"),
+        )
+        .drop("_w", "_tw")
     )
 
 

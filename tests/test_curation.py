@@ -207,3 +207,50 @@ def test_url_filters_custom_lists_and_chain_order(spark):
         urls, blocked_suffixes=[], badwords=[], non_content_exts=[]
     ).collect()[0]
     assert r4.url_drop_reason is None and r4.url_ok
+
+
+def test_temperature_mixture_rates(spark):
+    import math
+
+    from spider_spark.operators import curation as cu
+
+    rows = (
+        [(i, "web", 100) for i in range(40)]       # 4000 tokens
+        + [(100 + i, "code", 100) for i in range(9)]  # 900 tokens
+        + [(200, "tail", 100)]                      # 100 tokens
+        + [(300, "empty", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["source"]: r
+        for r in cu.temperature_mixture_rates(
+            df, alpha=0.5, budget_tokens=3000, max_epochs=2.0
+        ).collect()
+    }
+    avail = {"web": 4000, "code": 900, "tail": 100, "empty": 0}
+    tw = sum(v**0.5 for v in avail.values() if v > 0)
+    for s, a in avail.items():
+        w = a**0.5 if a > 0 else 0.0
+        share = w / tw
+        target = share * 3000
+        raw = target / a if a > 0 else 0.0
+        assert got[s]["tokens_available"] == a
+        assert got[s]["share_r"] == round(share, 6)
+        assert got[s]["target_tokens"] == round(target, 2)
+        assert got[s]["capped"] == (raw > 2.0)
+        assert got[s]["sample_rate"] == round(min(raw, 2.0), 6)
+    # alpha=0.5 lifts the tail: its rate far exceeds its natural share
+    assert got["tail"]["sample_rate"] > got["web"]["sample_rate"]
+    # the scarce tail source is upsample-capped at max_epochs
+    assert got["tail"]["capped"] and got["tail"]["sample_rate"] == 2.0
+    # alpha=1 reproduces natural proportions: equal rates everywhere
+    nat = {
+        r["source"]: r["sample_rate"]
+        for r in cu.temperature_mixture_rates(
+            df, alpha=1.0, budget_tokens=2000
+        ).collect()
+    }
+    assert len({nat[s] for s in ("web", "code", "tail")}) == 1
+
+    with pytest.raises(ValueError):
+        cu.temperature_mixture_rates(df, alpha=-1, budget_tokens=10)
