@@ -2651,6 +2651,37 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_parked_screen(spark, sf_dir):
+    """Parked-domain screening (textqc.parked_domain_flags): parking
+    phrases planted on every 6th doc as a TINY lander (certain), every
+    6th+1 doc as a LONG article quoting the phrase (survives — both
+    signals required). The oracle inlines the same PARKED_RE (ASCII
+    alternation, (?i) + \\b — Java regex ≡ RE2, the SOFT404_RE
+    discipline)."""
+    from spider_spark.operators import textqc
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("This domain is for sale. Sponsored listings below."),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.lit("A long read about domain parking economics. "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textqc.parked_domain_flags(salted).select(
+        "doc_id", "parked_phrase", "suspect_tiny", "parked"
+    )
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-sampled mixture plan (curation.
     temperature_mixture_rates, the XLM-R/mT5 α-smoothing rule): per-
@@ -4148,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "reshard_move_stats": q_reshard_move_stats,
         "temperature_mixture": q_temperature_mixture,
+        "parked_screen": q_parked_screen,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -8043,6 +8075,32 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # PARKED_RE inlined verbatim (ASCII alternation, (?i)+\\b: Java ≡ RE2)
+        "parked_screen": """
+            WITH salted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 0
+                          THEN 'This domain is for sale. Sponsored listings below.'
+                          WHEN doc_id % 6 = 1
+                          THEN 'A long read about domain parking economics. '
+                               || COALESCE(text, '')
+                          ELSE text END AS text
+              FROM documents
+            ), f AS (
+              SELECT doc_id, COALESCE(text, '') AS body FROM salted
+            )
+            SELECT doc_id,
+                   regexp_matches(body,
+                     '(?i)\\b(this domain (is|may be) for sale|buy this domain|domain (is )?parked|parked free|domain parking|related searches|sponsored listings|this (web ?page|domain) was parked|renew(ing)? this domain|interested in this domain)\\b')
+                     AS parked_phrase,
+                   len(list_filter(string_split_regex(trim(body), '\\s+'),
+                                   x -> x <> '')) <= 40 AS suspect_tiny,
+                   regexp_matches(body,
+                     '(?i)\\b(this domain (is|may be) for sale|buy this domain|domain (is )?parked|parked free|domain parking|related searches|sponsored listings|this (web ?page|domain) was parked|renew(ing)? this domain|interested in this domain)\\b')
+                   AND len(list_filter(string_split_regex(trim(body), '\\s+'),
+                                       x -> x <> '')) <= 40 AS parked
+            FROM f
+        """,
         "temperature_mixture": """
             WITH avail AS (
               SELECT source, SUM(n_chars) AS tokens_available

@@ -265,6 +265,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "unigram_tokenize",
         "reshard_move_stats",
         "temperature_mixture",
+        "parked_screen",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

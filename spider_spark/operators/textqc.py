@@ -1013,3 +1013,56 @@ def heaps_fit(
             6,
         ).alias("r2_r"),
     )
+
+
+#: Parked-domain phrase alternation — ASCII literals, (?i) + \b only, so
+#: the ORACLE INLINES THIS EXACT STRING (the SOFT404_RE discipline).
+#: Parking lander boilerplate per the registrar/aftermarket ecosystem
+#: (Sedo/GoDaddy/Bodis-style templates); Vissers et al., "Parking
+#: Sensors" (NDSS'15) document the family.
+PARKED_RE = (
+    r"(?i)\b(this domain (is|may be) for sale|buy this domain"
+    r"|domain (is )?parked|parked free|domain parking"
+    r"|related searches|sponsored listings"
+    r"|this (web ?page|domain) was parked|renew(ing)? this domain"
+    r"|interested in this domain)\b"
+)
+
+#: Parking landers are near-empty behind the template; at/below this
+#: many tokens a phrase hit is certain, and tiny alone is only an audit
+#: signal (mirrors SOFT404_TINY_TOKENS).
+PARKED_TINY_TOKENS = 40
+
+
+def parked_domain_flags(
+    pages: DataFrame,
+    text_col: str = "text",
+    tiny_tokens: int = PARKED_TINY_TOKENS,
+) -> DataFrame:
+    """Parked/for-sale lander detection — the OTHER 200-that-isn't-content
+    page class next to `soft404_flags`: registrar parking templates,
+    aftermarket for-sale landers, ad-grid 'related searches' pages. A
+    crawler drops them from the corpus AND distrusts their outlinks
+    (parking ad grids are link spam by construction), and a frontier
+    should down-prioritize the whole host (`host_reputation` composes).
+
+    Emits per-signal columns + the verdict: ``parked_phrase`` (phrase
+    anywhere — parking templates ARE the whole page, no head-window
+    needed, unlike soft-404 quoting), ``suspect_tiny`` (≤ tiny_tokens),
+    and ``parked`` = phrase AND tiny — both signals required, so a news
+    article ABOUT domain parking (long) or a legitimately terse landing
+    page (no phrase) survives. Pure codegen projection, no shuffle."""
+    body = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(body), r"\s+"), lambda t: t != "")
+    )
+    phrase = body.rlike(PARKED_RE)
+    return (
+        pages.withColumn("parked_phrase", phrase)
+        .withColumn("suspect_tiny", n_tokens <= F.lit(int(tiny_tokens)))
+        .withColumn(
+            "parked", F.col("parked_phrase") & F.col("suspect_tiny")
+        )
+    )

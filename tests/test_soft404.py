@@ -63,3 +63,29 @@ def test_tiny_audit_column_and_null_text(spark):
 def test_case_insensitive(spark):
     got = _flags(spark, [(1, 200, "PAGE NOT FOUND"), (2, 200, "No Longer Available")])
     assert got[1].soft404 is True and got[2].soft404 is True
+
+
+def test_parked_domain_flags(spark):
+    from spider_spark.operators.textqc import parked_domain_flags
+
+    rows = [
+        (0, "This domain is for sale. Contact the broker."),
+        (1, "Domain parked free courtesy of registrar related searches"),
+        (2, "An article about how domain parking works " + "word " * 100),
+        (3, "tiny legit landing page"),
+        (4, None),
+        (5, "Interested in this domain? Renew this domain today"),
+        (6, "THIS DOMAIN MAY BE FOR SALE"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["parked_phrase"], r["suspect_tiny"], r["parked"])
+        for r in parked_domain_flags(df).collect()
+    }
+    assert got[0] == (True, True, True)
+    assert got[1] == (True, True, True)
+    assert got[2] == (True, False, False)   # long article quoting the phrase
+    assert got[3] == (False, True, False)   # tiny but no phrase
+    assert got[4] == (False, True, False)   # null text
+    assert got[5] == (True, True, True)
+    assert got[6] == (True, True, True)     # case-insensitive
