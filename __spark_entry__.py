@@ -2651,6 +2651,23 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_symspell_suggestions(spark, sf_dir):
+    """Batch SymSpell spelling correction (index.symspell_suggestions,
+    Garbe's symmetric-delete algorithm): a whole query table corrected
+    in ONE job — candidate generation is an equi-join on precomputed
+    delete variants, levenshtein only verifies the survivors. The
+    oracle brute-forces the same answer with a full vocab × query cross
+    join — the index structure must be invisible in the results."""
+    from spider_spark.operators import index as idx
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("spark",), ("sparkk",), ("windo",), ("tble",), ("zzz",)],
+        "query_term string",
+    )
+    return idx.symspell_suggestions(docs, queries, n=3)
+
+
 def q_parked_screen(spark, sf_dir):
     """Parked-domain screening (textqc.parked_domain_flags): parking
     phrases planted on every 6th doc as a TINY lander (certain), every
@@ -4180,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshard_move_stats": q_reshard_move_stats,
         "temperature_mixture": q_temperature_mixture,
         "parked_screen": q_parked_screen,
+        "symspell_suggestions": q_symspell_suggestions,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -8075,6 +8093,33 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # the oracle brute-forces with a full cross join + levenshtein —
+        # the SymSpell delete-join must produce the identical answer
+        "symspell_suggestions": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id FROM tok GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+            ), q(query_term) AS (
+              VALUES ('spark'), ('sparkk'), ('windo'), ('tble'), ('zzz')
+            ), cand AS (
+              SELECT q.query_term, d.term, d.df,
+                     CAST(levenshtein(q.query_term, d.term) AS INT) AS dist
+              FROM q CROSS JOIN dft d
+              WHERE levenshtein(q.query_term, d.term) <= 1
+            )
+            SELECT query_term, term, df, dist, rank FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_term
+                ORDER BY dist ASC, df DESC, term ASC) AS INT) AS rank
+              FROM cand)
+            WHERE rank <= 3
+        """,
         # PARKED_RE inlined verbatim (ASCII alternation, (?i)+\\b: Java ≡ RE2)
         "parked_screen": """
             WITH salted AS (

@@ -266,6 +266,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "reshard_move_stats",
         "temperature_mixture",
         "parked_screen",
+        "symspell_suggestions",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",

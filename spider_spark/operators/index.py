@@ -2061,3 +2061,84 @@ def team_draft_interleave(
         .groupBy("query_id")
         .applyInPandas(draft, schema=_INTERLEAVE_SCHEMA)
     )
+
+
+def _delete_variants(term: Column, include_self: bool = True) -> Column:
+    """All single-character deletions of a term (plus the term itself
+    when ``include_self``) — the SymSpell neighborhood generator, pure
+    Catalyst: transform over char positions, concat of the two halves."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            term.substr(F.lit(1), i - 1),
+            term.substr(i + 1, F.length(term)),
+        ),
+    )
+    dels = F.when(F.length(term) > 0, dels).otherwise(
+        F.array().cast("array<string>")
+    )
+    if include_self:
+        dels = F.array_union(F.array(term), dels)
+    return F.array_distinct(dels)
+
+
+def symspell_suggestions(
+    docs: DataFrame,
+    queries: DataFrame,
+    n: int = 3,
+    query_col: str = "query_term",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-query-log spelling correction via the SymSpell delete
+    neighborhood (Garbe 2012, the symmetric-delete algorithm LUCENE's
+    FuzzySuggester family approximates): two terms are within edit
+    distance 1 ONLY IF they share a member of each other's
+    {self ∪ single-char-deletes} set — so candidate generation is one
+    EQUI-join on precomputed delete variants, no edit-distance scan
+    over the vocabulary. Where `term_suggestions` corrects ONE term per
+    invocation (k-gram IN-list, per-query driver round trip), this
+    corrects an entire query table in one job — the batch_bm25_topk
+    serving shape applied to spelling.
+
+    Returns (query_term, term, df, dist, rank): vocabulary terms within
+    edit distance 1, ranked per query by (dist ASC, df DESC, term ASC),
+    top-``n``. `levenshtein` runs ONLY on the equi-join survivors (the
+    delete-share condition is necessary, not sufficient — transposition
+    neighbors share a delete but sit at distance 2, so the verify step
+    is what makes the result exact).
+
+    Physical shape: vocab deletes = one transform+explode over the
+    VOCABULARY census (≤ (len+1)·|vocab| rows); query deletes the same
+    over the query table; one equi-join on the variant key; distinct
+    (query, term) pairs before the quadratic verify; per-query rank
+    window over ≤ a handful of verified candidates."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    vocab = document_frequency(postings(docs, id_col, text_col))
+    vdel = vocab.select(
+        "term", "df", F.explode(_delete_variants(F.col("term"))).alias("v")
+    )
+    q = queries.select(
+        F.lower(F.trim(F.col(query_col))).alias("query_term")
+    ).distinct()
+    qdel = q.select(
+        "query_term",
+        F.explode(_delete_variants(F.col("query_term"))).alias("v"),
+    )
+    cand = (
+        qdel.join(vdel, "v")
+        .select("query_term", "term", "df")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("query_term"), F.col("term"))
+        )
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+    )

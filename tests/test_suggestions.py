@@ -105,3 +105,73 @@ def test_rejects_bad_inputs(spark):
         ix.term_suggestions(df, "")
     with pytest.raises(ValueError):
         ix.term_suggestions(df, "ok", n=0)
+
+
+def test_symspell_matches_brute_force(spark):
+    import itertools
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark sparse parse park"),
+            (1, "spark stream streams merge"),
+            (2, "park parks sparks"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("spark",), ("sprk",), ("parky",), ("zzz",), ("STREAM ",)],
+        "query_term string",
+    )
+    got = {}
+    for r in ix.symspell_suggestions(docs, queries, n=3).collect():
+        got.setdefault(r["query_term"], []).append(
+            (r["rank"], r["term"], r["df"], r["dist"])
+        )
+    for v in got.values():
+        v.sort()
+
+    # brute force: full vocab scan with real edit distance
+    import re as _re
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    texts = [
+        "spark spark spark sparse parse park",
+        "spark stream streams merge",
+        "park parks sparks",
+    ]
+    vocab = {}
+    for t in texts:
+        for w in set(_re.findall(r"[a-z0-9]+", t)):
+            vocab[w] = vocab.get(w, 0) + 1
+    want = {}
+    for q in ["spark", "sprk", "parky", "zzz", "stream"]:
+        cands = [
+            (w, df, lev(q, w)) for w, df in vocab.items() if lev(q, w) <= 1
+        ]
+        ranked = sorted(cands, key=lambda c: (c[2], -c[1], c[0]))[:3]
+        if ranked:
+            want[q] = sorted(
+                (i + 1, w, df, d) for i, (w, df, d) in enumerate(ranked)
+            )
+    assert got == want
+    assert "zzz" not in got
+    # exact vocab hit ranks first for 'spark'
+    assert got["spark"][0][1] == "spark" and got["spark"][0][3] == 0
+
+
+def test_symspell_transposition_excluded(spark):
+    # 'abc' vs 'acb' share the delete 'ab'?? no — deletes of abc:
+    # {bc, ac, ab}; of acb: {cb, ab, ac} — share 'ac'/'ab', but true
+    # distance is 2: the verify step must drop it.
+    docs = spark.createDataFrame([(0, "acb")], "doc_id long, text string")
+    queries = spark.createDataFrame([("abc",)], "query_term string")
+    assert ix.symspell_suggestions(docs, queries).count() == 0
