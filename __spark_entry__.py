@@ -2651,6 +2651,66 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_jsonld_entities(spark, sf_dir):
+    """JSON-LD entity extraction (structured.jsonld_entities): script
+    islands parsed with a corrupt-record column so broken JSON-LD
+    (endemic on the real web — planted on every 4th doc) surfaces as
+    valid=false rows, never job failures. Islands synthesized
+    arithmetically; the oracle derives expected rows from the
+    construction while Spark must extract + parse the real payloads."""
+    from spider_spark.operators import structured as st
+
+    docs = _t(spark, sf_dir, "documents")
+    t20 = F.substring(F.coalesce("text", F.lit("")), 1, 20)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            F.lit('{"@type": "Article", "headline": "'),
+            t20,
+            F.lit('"}</script>'),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(
+                    "<script type='application/ld+json'>{oops</script>"
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+    return st.jsonld_entities(pages, id_col="doc_id")
+
+
+def q_og_properties(spark, sf_dir):
+    """OpenGraph card extraction (structured.og_properties): og:* meta
+    tags in document order across the three quoting styles (planted:
+    double-quoted title always, single-quoted type + unquoted image on
+    every 3rd doc). Construction-derived oracle, Spark parses the real
+    tags."""
+    from spider_spark.operators import structured as st
+
+    docs = _t(spark, sf_dir, "documents")
+    t15 = F.substring(F.coalesce("text", F.lit("")), 1, 15)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><meta property="og:title" content="'),
+            t15,
+            F.lit('">'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "<meta property='og:type' content='article'>"
+                    "<META PROPERTY=og:image CONTENT=https://x.example/i.png>"
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<meta name="description" content="not og">'),
+            F.lit("</head></html>"),
+        ).alias("html"),
+    )
+    return st.og_properties(pages, id_col="doc_id")
+
+
 def q_symspell_suggestions(spark, sf_dir):
     """Batch SymSpell spelling correction (index.symspell_suggestions,
     Garbe's symmetric-delete algorithm): a whole query table corrected
@@ -4198,6 +4258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "parked_screen": q_parked_screen,
         "symspell_suggestions": q_symspell_suggestions,
+        "jsonld_entities": q_jsonld_entities,
+        "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -8093,6 +8155,29 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # expected rows derived from the arithmetic island construction
+        "jsonld_entities": """
+            SELECT doc_id AS id, 0 AS ld_idx,
+                   'Article' AS ld_type, CAST(NULL AS VARCHAR) AS name,
+                   substr(COALESCE(text, ''), 1, 20) AS headline,
+                   CAST(NULL AS VARCHAR) AS date_published,
+                   TRUE AS valid
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, NULL, NULL, NULL, NULL, FALSE
+            FROM documents WHERE doc_id % 4 = 0
+        """,
+        "og_properties": """
+            SELECT doc_id AS id, 0 AS og_idx, 'og:title' AS prop,
+                   substr(COALESCE(text, ''), 1, 15) AS content
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'og:type', 'article'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 2, 'og:image', 'https://x.example/i.png'
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         # the oracle brute-forces with a full cross join + levenshtein —
         # the SymSpell delete-join must produce the identical answer
         "symspell_suggestions": """

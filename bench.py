@@ -267,6 +267,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "temperature_mixture",
         "parked_screen",
         "symspell_suggestions",
+        "jsonld_entities",
+        "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",
         "trending_event_types",
