@@ -2651,6 +2651,40 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_pagination_chains(spark, sf_dir):
+    """Pagination-chain assembly (metarobots.pagination_chains):
+    rel=next pointers → connected-component chain ids + head/tail
+    degree flags, so page 2..N of an article never enters the corpus as
+    an independent document. Chains synthesized arithmetically (triples
+    by doc_id div 3, zero-padded urls so string-min == numeric-min; the
+    final partial chain exercises the dangling-pointer branch); the
+    oracle derives chain structure from the construction while Spark
+    must parse the tags and propagate labels."""
+    from spider_spark import metarobots as mr
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("u"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    )
+    nxt = F.concat(
+        F.lit("u"), F.lpad((F.col("doc_id") + 1).cast("string"), 6, "0")
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 3 < 2,
+            F.concat(
+                F.lit('<html><head><link rel="next" href="'),
+                nxt,
+                F.lit('"></head></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><head></head></html>"))
+        .alias("html"),
+    )
+    return mr.pagination_chains(pages)
+
+
 def q_jsonld_entities(spark, sf_dir):
     """JSON-LD entity extraction (structured.jsonld_entities): script
     islands parsed with a corrupt-record column so broken JSON-LD
@@ -4259,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parked_screen": q_parked_screen,
         "symspell_suggestions": q_symspell_suggestions,
         "jsonld_entities": q_jsonld_entities,
+        "pagination_chains": q_pagination_chains,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8155,6 +8190,26 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # chain structure derived from the triple construction: heads at
+        # doc_id%3==0, tails at %3==2 or the dangling max-id page
+        "pagination_chains": """
+            WITH d AS (
+              SELECT doc_id,
+                     'u' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+                     doc_id - (doc_id % 3) AS head
+              FROM documents
+            ), sizes AS (
+              SELECT head, COUNT(*) AS n FROM d GROUP BY 1
+            )
+            SELECT url,
+                   'u' || lpad(CAST(head AS VARCHAR), 6, '0') AS chain_id,
+                   CAST(n AS BIGINT) AS n_pages,
+                   doc_id % 3 = 0 AS is_head,
+                   (doc_id % 3 = 2)
+                     OR doc_id = (SELECT MAX(doc_id) FROM documents)
+                     AS is_tail
+            FROM d JOIN sizes USING (head)
+        """,
         # expected rows derived from the arithmetic island construction
         "jsonld_entities": """
             SELECT doc_id AS id, 0 AS ld_idx,

@@ -268,6 +268,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "parked_screen",
         "symspell_suggestions",
         "jsonld_entities",
+        "pagination_chains",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

@@ -293,3 +293,95 @@ def screen_ai_optout(
         )
         .drop("_ai")
     )
+
+
+_REL_NEXT_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnext\\b"
+_REL_PREV_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bprev(ious)?\\b"
+
+
+def col_rel_next_href(html: Column | str) -> Column:
+    """html → the FIRST ``<link rel=next>`` href in document order (the
+    pagination forward pointer Google's crawler consumed for years), or
+    null. Raw href — resolve with urlops.resolve_href as needed; same
+    tag machinery as `col_canonical_href`."""
+    h = F.col(html) if isinstance(html, str) else html
+    tags = F.regexp_extract_all(
+        F.coalesce(h, F.lit("")), F.lit(_LINK_TAG_RE), F.lit(0)
+    )
+    nxt = F.filter(tags, lambda t: t.rlike(_REL_NEXT_RE))
+    hrefs = F.transform(
+        nxt, lambda t: _first_attr(t, _HREF_DQ_RE, _HREF_SQ_RE, _HREF_UQ_RE)
+    )
+    return F.get(F.filter(hrefs, lambda x: x.isNotNull()), 0)
+
+
+def pagination_chains(
+    pages: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Assemble multi-page pagination chains from ``rel=next`` pointers:
+    (url, chain_id, n_pages, is_head, is_tail). A paginated article's
+    pages 2..N must not enter the corpus as N independent documents —
+    the chain id is the merge key (concatenate, or keep the head and
+    drop the tail pages), and the crawler's dedup/priority layers get
+    one identity per logical document.
+
+    chain_id = the smallest member url (the `graph.connected_components`
+    min-label convention — CC handles malformed chains: forks, merges,
+    next-pointers into another chain). is_head = no inbound next-edge,
+    is_tail = no outbound — both straight degree censuses. Pages with no
+    rel=next and no inbound pointer form singleton chains (n_pages 1,
+    head and tail at once). Edges whose target was never crawled (the
+    next pointer dangles off the page store) still bind: CC runs on the
+    edge set restricted to crawled pages via the inner join back to
+    ``pages``.
+
+    Physical shape: one codegen projection (the rel=next extraction),
+    one self-equi-join to keep edges between crawled pages, CC's
+    O(log diameter) pointer-doubling sweeps, two degree censuses joined
+    back — all shuffles keyed on the url."""
+    from .operators.graph import connected_components
+
+    p = pages.select(
+        F.col(id_col).alias("url"),
+        col_rel_next_href(F.col(html_col)).alias("next_url"),
+    ).persist()
+    nodes = p.select("url")
+    edges = (
+        p.filter(F.col("next_url").isNotNull())
+        .select(F.col("url").alias("src"), F.col("next_url").alias("dst"))
+        .join(nodes.select(F.col("url").alias("dst")), "dst")
+    )
+    cc = connected_components(edges, max_iters=max_iters)
+    labeled = (
+        nodes.join(
+            cc.select(F.col("node").alias("url"), "component"), "url", "left"
+        )
+        .withColumn("chain_id", F.coalesce("component", F.col("url")))
+        .drop("component")
+    )
+    outd = edges.groupBy(F.col("src").alias("url")).agg(
+        F.count(F.lit(1)).alias("_out")
+    )
+    ind = edges.groupBy(F.col("dst").alias("url")).agg(
+        F.count(F.lit(1)).alias("_in")
+    )
+    sizes = labeled.groupBy("chain_id").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    out = (
+        labeled.join(outd, "url", "left")
+        .join(ind, "url", "left")
+        .join(sizes, "chain_id")
+        .select(
+            "url",
+            "chain_id",
+            "n_pages",
+            F.col("_in").isNull().alias("is_head"),
+            F.col("_out").isNull().alias("is_tail"),
+        )
+    )
+    p.unpersist()
+    return out

@@ -219,3 +219,53 @@ def test_ai_optout_flags(spark):
     assert got[6] == (False, False, False, True)    # null html
     assert got[7] == (False, False, False, True)    # junk tdm value
     assert got[8] == (False, False, False, True)    # wrong meta name
+
+
+def test_rel_next_href_variants(spark):
+    cases = [
+        ('<link rel="next" href="/p2">', "/p2"),
+        ("<link href='/x' rel='next'>", "/x"),
+        ("<LINK REL=NEXT HREF=/y>", "/y"),
+        ('<link rel="prev" href="/p0">', None),
+        ('<a rel="next" href="/not-a-link-tag">text</a>', None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["nx"]
+        for r in df.select(
+            "i", mr.col_rel_next_href("html").alias("nx")
+        ).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
+def test_pagination_chains(spark):
+    def page(url, nxt):
+        h = f'<link rel="next" href="{nxt}">' if nxt else "<p>end</p>"
+        return (url, f"<html><head>{h}</head></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page("a1", "a2"), page("a2", "a3"), page("a3", None),
+            page("b1", "b2"), page("b2", None),
+            page("solo", None),
+            page("dangle", "missing-page"),  # next points off the store
+        ],
+        "url string, html string",
+    )
+    got = {
+        r["url"]: (r["chain_id"], r["n_pages"], r["is_head"], r["is_tail"])
+        for r in mr.pagination_chains(pages).collect()
+    }
+    assert got["a1"] == ("a1", 3, True, False)
+    assert got["a2"] == ("a1", 3, False, False)
+    assert got["a3"] == ("a1", 3, False, True)
+    assert got["b1"] == ("b1", 2, True, False)
+    assert got["b2"] == ("b1", 2, False, True)
+    assert got["solo"] == ("solo", 1, True, True)
+    # dangling next-edge binds nothing: singleton, still head+tail
+    assert got["dangle"] == ("dangle", 1, True, True)
+    assert len(got) == 7
