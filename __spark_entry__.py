@@ -2651,6 +2651,43 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_rbp_err_eval(spark, sf_dir):
+    """User-model retrieval metrics (index.rbp_err_eval): RBP@10 (Moffat
+    & Zobel — persistence-p browsing, with the p^k residual error bar)
+    and ERR@10 (Chapelle's cascade model) over the same synthesized
+    runs/qrels as retrieval_eval_ndcg. Oracle restates the cascade
+    survival product as EXP(SUM(LN)) over the preceding-rows frame."""
+    from spider_spark.operators.index import rbp_err_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id")
+    )
+    results = qs.select(
+        "query_id", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rank")
+    ).select(
+        "query_id",
+        F.pmod(F.col("query_id") * 17 + F.col("rank") * 13, F.lit(200)).alias(
+            "doc_id"
+        ),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    qrels = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("d"),
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("query_id"),
+        )
+        .filter(F.pmod(F.col("d") * 7 + F.col("query_id") * 3, F.lit(9)) == 0)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("d").alias("doc_id"),
+            (F.lit(1) + F.pmod(F.col("d"), F.lit(3))).cast("int").alias("rel"),
+        )
+    )
+    return rbp_err_eval(results, qrels, k=10, p=0.8, max_rel=3)
+
+
 def q_pagination_chains(spark, sf_dir):
     """Pagination-chain assembly (metarobots.pagination_chains):
     rel=next pointers → connected-component chain ids + head/tail
@@ -4294,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_suggestions": q_symspell_suggestions,
         "jsonld_entities": q_jsonld_entities,
         "pagination_chains": q_pagination_chains,
+        "rbp_err_eval": q_rbp_err_eval,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8190,6 +8228,35 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "rbp_err_eval": """
+            WITH qs AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),
+            res AS (
+              SELECT q, (q*17 + r*13) % 200 AS d, r
+              FROM qs, UNNEST(generate_series(1, 10)) AS t(r)),
+            rels AS (
+              SELECT q, dd.doc_id AS d, 1 + (dd.doc_id % 3) AS rel
+              FROM qs, (SELECT doc_id FROM documents WHERE doc_id < 200) dd
+              WHERE (dd.doc_id*7 + q*3) % 9 = 0),
+            hits AS (
+              SELECT res.q, res.r, COALESCE(rels.rel, 0) AS rel
+              FROM res LEFT JOIN rels
+                ON res.q = rels.q AND res.d = rels.d),
+            pr AS (
+              SELECT q, r, rel, (POW(2, rel) - 1) / 8.0 AS rp FROM hits),
+            sv AS (
+              SELECT q, r, rel, rp,
+                     EXP(COALESCE(SUM(LN(1 - rp + 1e-300)) OVER (
+                       PARTITION BY q ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)) AS surv
+              FROM pr)
+            SELECT q AS query_id,
+                   ROUND(SUM(CASE WHEN rel > 0 THEN POW(0.8, r - 1)
+                                  ELSE 0 END) * (1 - 0.8), 6) AS rbp_r,
+                   ROUND(SUM(rp * surv / r), 6) AS err_r,
+                   ROUND(POW(0.8, 10), 6) AS rbp_residual_r
+            FROM sv GROUP BY q
+        """,
         # chain structure derived from the triple construction: heads at
         # doc_id%3==0, tails at %3==2 or the dangling max-id page
         "pagination_chains": """

@@ -269,6 +269,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "symspell_suggestions",
         "jsonld_entities",
         "pagination_chains",
+        "rbp_err_eval",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

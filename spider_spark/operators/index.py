@@ -2142,3 +2142,93 @@ def symspell_suggestions(
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= n)
     )
+
+
+def rbp_err_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    p: float = 0.8,
+    max_rel: int = 3,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """The user-model evaluation pair `retrieval_eval`'s TREC metrics
+    leave out, per query:
+
+    - **RBP@k** (rank-biased precision, Moffat & Zobel TOIS 2008):
+      (1−p)·Σ_i rel?_i·p^(i−1) — models a user who inspects rank i+1
+      with persistence p; unlike precision@k it degrades gracefully
+      with depth and is stable under pool truncation. Binary relevance
+      (rel > 0). Also emits ``rbp_residual_r`` = p^k, the mass an
+      unjudged tail could still claim — RBP's built-in error bar.
+    - **ERR@k** (expected reciprocal rank, Chapelle CIKM 2009):
+      Σ_i (1/i)·R_i·Π_{j<i}(1−R_j) with R = (2^rel − 1)/2^max_rel —
+      the cascade model: a highly relevant doc at rank 1 makes later
+      ranks nearly worthless, which nDCG's additive gains miss.
+
+    Both are rank-sequential products/sums over ≤ k judged rows per
+    query — computed via one window keyed on the query (bounded by k,
+    never corpus-sized) after the (query, doc) equi-join with the
+    judgments. Rounded to 6. Unjudged queries in ``results`` emit 0
+    scores; judged queries absent from results emit 0 too (the
+    retrieval_eval silent-drop discipline, via full outer on the query
+    set)."""
+    if not 0 < p < 1:
+        raise ValueError("p must be in (0, 1)")
+    if k < 1 or max_rel < 1:
+        raise ValueError("k and max_rel must be >= 1")
+    res = results.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    ).filter(F.col("_rank") <= k)
+    rels = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).alias("_rel"),
+    )
+    hits = res.join(rels, ["_q", "_d"], "left").select(
+        "_q",
+        "_rank",
+        F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"),
+    )
+    r_prob = (F.pow(F.lit(2.0), F.col("_rel")) - 1) / F.lit(
+        float(2**max_rel)
+    )
+    w = (
+        Window.partitionBy("_q")
+        .orderBy("_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # survival probability of reaching this rank in the cascade model:
+    # product of (1 - R_j) over earlier ranks, as exp(sum(log))
+    surv = F.exp(
+        F.coalesce(
+            F.sum(F.log(F.lit(1.0) - r_prob + F.lit(1e-300))).over(w),
+            F.lit(0.0),
+        )
+    )
+    per_rank = hits.select(
+        "_q",
+        ((F.col("_rel") > 0).cast("double")
+         * F.pow(F.lit(float(p)), F.col("_rank") - 1)).alias("_rbp_i"),
+        (r_prob * surv / F.col("_rank")).alias("_err_i"),
+    )
+    scored = per_rank.groupBy(F.col("_q").alias(query_col)).agg(
+        F.round(F.sum("_rbp_i") * (1 - p), 6).alias("rbp_r"),
+        F.round(F.sum("_err_i"), 6).alias("err_r"),
+    )
+    all_q = (
+        res.select(F.col("_q").alias(query_col))
+        .unionByName(rels.select(F.col("_q").alias(query_col)))
+        .distinct()
+    )
+    return all_q.join(scored, query_col, "left").select(
+        query_col,
+        F.coalesce("rbp_r", F.lit(0.0)).alias("rbp_r"),
+        F.coalesce("err_r", F.lit(0.0)).alias("err_r"),
+        F.round(F.lit(float(p) ** k), 6).alias("rbp_residual_r"),
+    )

@@ -149,3 +149,49 @@ def test_integration_with_bm25(spark):
     assert row.recall_at_k == pytest.approx(1.0)
     # doc 1 may rank below unjudged docs, so nDCG < 1 is legitimate
     assert 0.9 < row.ndcg_at_k <= 1.0
+
+
+def test_rbp_err_brute_force(spark):
+    results = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate([10, 11, 12, 13], 1)]
+        + [("q2", d, r) for r, d in enumerate([20, 21], 1)]
+        + [("q3", 30, 1)],  # entirely unjudged
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10, 3), ("q1", 12, 1), ("q2", 21, 2), ("q4", 40, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    p, k, mr = 0.8, 10, 3
+    got = {
+        r["query_id"]: (r["rbp_r"], r["err_r"], r["rbp_residual_r"])
+        for r in idx.rbp_err_eval(results, qrels, k=k, p=p, max_rel=mr).collect()
+    }
+
+    runs = {"q1": [(1, 3), (2, 0), (3, 1), (4, 0)], "q2": [(1, 0), (2, 2)],
+            "q3": [(1, 0)]}
+    for q, ranked in runs.items():
+        rbp = (1 - p) * sum(
+            (p ** (r - 1)) for r, rel in ranked if rel > 0
+        )
+        err, surv = 0.0, 1.0
+        for r, rel in ranked:
+            R = (2**rel - 1) / 2**mr
+            err += surv * R / r
+            surv *= 1 - R
+        assert got[q][0] == round(rbp, 6), q
+        assert abs(got[q][1] - err) < 2e-6, q
+    assert got["q3"] == (0.0, 0.0, round(p**k, 6))
+    # judged query missing from results emits zeros, never silence
+    assert got["q4"][0] == 0.0 and got["q4"][1] == 0.0
+    # cascade property: q1's highly-relevant rank-1 dominates its ERR
+    assert got["q1"][1] > 0.8 * (7 / 8)
+
+
+def test_rbp_err_validation(spark):
+    df = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id long, rank int")
+    qr = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id long, rel int")
+    with pytest.raises(ValueError):
+        idx.rbp_err_eval(df, qr, p=1.0)
+    with pytest.raises(ValueError):
+        idx.rbp_err_eval(df, qr, k=0)
