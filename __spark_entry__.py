@@ -2651,6 +2651,49 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_ai_crawler_policy(spark, sf_dir):
+    """Robots-side training-crawler census (robots.ai_crawler_policy):
+    per (host, agent) root-allowed verdicts for GPTBot/ClaudeBot/
+    Google-Extended/CCBot/Applebot-Extended under real RFC 9309 group
+    selection — the robots.txt half of the ML opt-out story next to
+    ai_optout_screen's in-page half. Bodies synthesized arithmetically
+    (4 policy shapes incl. a specific-UA carveout beating a * disallow
+    and a missing-robots host); the oracle derives verdicts from the
+    construction while Spark must PARSE the real files."""
+    from spider_spark import robots as rb
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    body = (
+        F.when(
+            v == 0,
+            F.lit(
+                "User-agent: GPTBot\nDisallow: /\n\n"
+                "User-agent: ClaudeBot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /private/\n"
+            ),
+        )
+        .when(
+            v == 1,
+            F.lit(
+                "User-agent: Google-Extended\nDisallow: /\n\n"
+                "User-agent: *\nAllow: /\n"
+            ),
+        )
+        .when(v == 2, F.lit(None).cast("string"))
+        .otherwise(
+            F.lit(
+                "User-agent: CCBot\nAllow: /\n\nUser-agent: *\nDisallow: /\n"
+            )
+        )
+    )
+    bodies = docs.filter(F.col("doc_id") < 48).select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return rb.ai_crawler_policy(bodies)
+
+
 def q_rbp_err_eval(spark, sf_dir):
     """User-model retrieval metrics (index.rbp_err_eval): RBP@10 (Moffat
     & Zobel — persistence-p browsing, with the p^k residual error bar)
@@ -4332,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_entities": q_jsonld_entities,
         "pagination_chains": q_pagination_chains,
         "rbp_err_eval": q_rbp_err_eval,
+        "ai_crawler_policy": q_ai_crawler_policy,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8228,6 +8272,39 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # verdicts derived from the 4-shape body construction; Spark must
+        # run the real RFC 9309 parse + group selection to reproduce them
+        "ai_crawler_policy": """
+            WITH hosts AS (
+              SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
+                     doc_id % 4 AS v
+              FROM documents WHERE doc_id < 48
+            ), agents(agent) AS (
+              VALUES ('GPTBot'), ('ClaudeBot'), ('Google-Extended'),
+                     ('CCBot'), ('Applebot-Extended')
+            )
+            SELECT h.host, a.agent,
+                   CASE h.v
+                     WHEN 0 THEN a.agent NOT IN ('GPTBot', 'ClaudeBot')
+                     WHEN 1 THEN a.agent <> 'Google-Extended'
+                     WHEN 2 THEN TRUE
+                     ELSE a.agent = 'CCBot' END AS root_allowed,
+                   CAST(CASE h.v
+                     WHEN 0 THEN 1
+                     WHEN 1 THEN CASE WHEN a.agent = 'Google-Extended'
+                                      THEN 1 ELSE 0 END
+                     WHEN 2 THEN 0
+                     ELSE CASE WHEN a.agent = 'CCBot' THEN 0 ELSE 1 END
+                   END AS INT) AS n_disallow,
+                   CAST(CASE h.v
+                     WHEN 0 THEN 0
+                     WHEN 1 THEN CASE WHEN a.agent = 'Google-Extended'
+                                      THEN 0 ELSE 1 END
+                     WHEN 2 THEN 0
+                     ELSE CASE WHEN a.agent = 'CCBot' THEN 1 ELSE 0 END
+                   END AS INT) AS n_allow
+            FROM hosts h CROSS JOIN agents a
+        """,
         "rbp_err_eval": """
             WITH qs AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),
             res AS (

@@ -270,6 +270,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "jsonld_entities",
         "pagination_chains",
         "rbp_err_eval",
+        "ai_crawler_policy",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

@@ -366,3 +366,57 @@ def sitemap_urls_from_bodies(
         F.col(host_col).alias("host"),
         F.posexplode(col_sitemap_urls(F.col(body_col))).alias("pos", "sitemap_url"),
     )
+
+
+#: The training-data crawler user-agents publishers gate in robots.txt —
+#: each vendor's documented token (OpenAI GPTBot, Anthropic ClaudeBot,
+#: Google-Extended = Google's AI-training control distinct from
+#: Googlebot, Common Crawl's CCBot, Apple's Applebot-Extended).
+AI_CRAWLER_UAS = (
+    "GPTBot",
+    "ClaudeBot",
+    "Google-Extended",
+    "CCBot",
+    "Applebot-Extended",
+)
+
+
+def ai_crawler_policy(
+    bodies: DataFrame,
+    user_agents: tuple[str, ...] = AI_CRAWLER_UAS,
+    body_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host training-crawler policy census — the robots.txt side of
+    the ML opt-out story (`metarobots.screen_ai_optout` reads the
+    in-page side): one row per (host, agent) with ``root_allowed`` =
+    may that agent fetch "/" under RFC 9309 group selection (specific
+    UA group beats ``*``, longest-match precedence, unavailable ⇒
+    allow), plus the group's rule counts for auditing. A corpus export
+    gate ANDs this with the page-level screen: a host that disallows
+    GPTBot/ClaudeBot/Google-Extended at the root has opted its whole
+    site out of training crawls, whatever the individual pages say.
+
+    One vectorized parse per agent (the `rules_from_bodies` pass — the
+    scalar RFC 9309 parser already handles group selection per UA),
+    unioned; rows = hosts × |agents|, politeness-table-sized."""
+    out = None
+    for ua in user_agents:
+        rules = rules_from_bodies(
+            bodies, user_agent=ua, body_col=body_col, host_col=host_col
+        )
+        leg = rules.select(
+            "host",
+            F.lit(ua).alias("agent"),
+            col_robots_allowed(
+                F.lit("/"),
+                F.col("allow_prefixes"),
+                F.col("disallow_prefixes"),
+            ).alias("root_allowed"),
+            F.size(F.coalesce("disallow_prefixes", F.array())).alias(
+                "n_disallow"
+            ),
+            F.size(F.coalesce("allow_prefixes", F.array())).alias("n_allow"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -203,3 +203,44 @@ def test_crawl_with_parsed_robots_equals_pre_parsed(spark, tmp_path):
     s1 = sorted(r.url_canon for r in c1.results().select("url_canon").collect())
     s2 = sorted(r.url_canon for r in c2.results().select("url_canon").collect())
     assert s1 == s2 and len(s1) > 0
+
+
+def test_ai_crawler_policy(spark):
+    from spider_spark.robots import ai_crawler_policy
+
+    bodies = spark.createDataFrame(
+        [
+            # blanket AI-bot blocks, humans-era style
+            ("blocked.example",
+             "User-agent: GPTBot\nDisallow: /\n\n"
+             "User-agent: ClaudeBot\nDisallow: /\n\n"
+             "User-agent: *\nDisallow: /private/\n"),
+            # Google-Extended opt-out only; everyone else default group
+            ("gext.example",
+             "User-agent: Google-Extended\nDisallow: /\n\n"
+             "User-agent: *\nAllow: /\n"),
+            # no robots at all -> unavailable = allow
+            ("open.example", None),
+            # specific group ALLOWS root while * disallows: specific wins
+            ("carveout.example",
+             "User-agent: CCBot\nAllow: /\n\n"
+             "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        (r["host"], r["agent"]): r["root_allowed"]
+        for r in ai_crawler_policy(bodies).collect()
+    }
+    assert got[("blocked.example", "GPTBot")] is False
+    assert got[("blocked.example", "ClaudeBot")] is False
+    # agents without their own group fall to *, which allows /
+    assert got[("blocked.example", "CCBot")] is True
+    assert got[("gext.example", "Google-Extended")] is False
+    assert got[("gext.example", "GPTBot")] is True
+    assert all(got[("open.example", ua)] for ua in
+               ("GPTBot", "ClaudeBot", "Google-Extended", "CCBot",
+                "Applebot-Extended"))
+    assert got[("carveout.example", "CCBot")] is True
+    assert got[("carveout.example", "GPTBot")] is False
+    assert len(got) == 4 * 5
