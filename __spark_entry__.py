@@ -2651,6 +2651,21 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio QC signal (textqc.compression_ratio — the
+    RefinedWeb/Dolma repetition-vs-gibberish band filter): repetitive
+    spam compresses ≪ prose, byte soup ≈ 1. Rows-only — zlib is not
+    SQL-expressible in DuckDB; exact ground truth is the byte-for-byte
+    python-zlib differential in tests/test_corpus_qc.py (zlib at a
+    fixed level is deterministic, so the check is exact, not
+    statistical)."""
+    from spider_spark.operators import textqc
+
+    return textqc.compression_ratio(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("id")
+
+
 def q_ai_crawler_policy(spark, sf_dir):
     """Robots-side training-crawler census (robots.ai_crawler_policy):
     per (host, agent) root-allowed verdicts for GPTBot/ClaudeBot/
@@ -4376,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": q_pagination_chains,
         "rbp_err_eval": q_rbp_err_eval,
         "ai_crawler_policy": q_ai_crawler_policy,
+        "compression_ratio": q_compression_ratio,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,

@@ -271,6 +271,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "pagination_chains",
         "rbp_err_eval",
         "ai_crawler_policy",
+        "compression_ratio",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

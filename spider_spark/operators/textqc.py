@@ -1066,3 +1066,60 @@ def parked_domain_flags(
             "parked", F.col("parked_phrase") & F.col("suspect_tiny")
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the gibberish/repetition
+    signal production curation stacks compute next to the Gopher rules
+    (RefinedWeb and Dolma both ship a compression-ratio filter): highly
+    REPETITIVE text compresses far below normal prose (templated spam,
+    keyword stuffing — ratios ≪ prose), while random-looking byte soup
+    barely compresses at all (binary-in-text, encoding damage — ratios
+    ≈ 1). Natural language sits in a stable band between the extremes,
+    so both tails are drop candidates.
+
+    Returns (id, n_bytes, n_compressed, ratio_r) with ratio =
+    compressed/raw over UTF-8 bytes, rounded 6; empty/null docs get
+    ratio null (no bytes, no signal). zlib at fixed ``level`` is fully
+    deterministic for a given input, so results are rerun- and
+    partitioning-stable.
+
+    Physical shape: one Arrow-batched pandas UDF over the text column —
+    compression is inherently bytewise CPU work no Catalyst expression
+    covers; the UDF emits two ints per doc (never the compressed
+    payload), so the shuffle cost is the projection's, not the
+    corpus'."""
+    import pandas as pd
+    import zlib
+
+    lvl = int(level)
+
+    @F.pandas_udf("struct<n_bytes: long, n_compressed: long>")
+    def comp(texts: pd.Series) -> pd.DataFrame:
+        raw, packed = [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            raw.append(len(b))
+            packed.append(len(zlib.compress(b, lvl)) if b else 0)
+        return pd.DataFrame({"n_bytes": raw, "n_compressed": packed})
+
+    out = docs.select(
+        F.col(id_col).alias("id"), comp(F.col(text_col)).alias("c")
+    )
+    return out.select(
+        "id",
+        F.col("c.n_bytes").alias("n_bytes"),
+        F.col("c.n_compressed").alias("n_compressed"),
+        F.round(
+            F.when(
+                F.col("c.n_bytes") > 0,
+                F.col("c.n_compressed") / F.col("c.n_bytes"),
+            ),
+            6,
+        ).alias("ratio_r"),
+    )

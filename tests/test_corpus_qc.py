@@ -312,3 +312,33 @@ def test_c4_badwords_and_quote_terminal(spark):
     }
     assert out[1].keep and out[1].n_kept_lines == 3
     assert out[2].drop_reason == "badword"
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from spider_spark.operators.textqc import compression_ratio
+
+    import random as _random
+
+    rng = _random.Random(7)
+    noise = "".join(chr(33 + rng.randrange(90)) for _ in range(2000))
+    prose = (
+        "the crawler fetched another page and extracted its links before "
+        "scheduling the next host politely "
+    ) * 20
+    spammy = "buy cheap widgets " * 120
+    rows = [(0, prose), (1, spammy), (2, noise), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_bytes"], r["n_compressed"], r["ratio_r"])
+        for r in compression_ratio(df).collect()
+    }
+    for i, t in rows[:3]:
+        b = (t or "").encode()
+        want = len(zlib.compress(b, 6))
+        assert got[i] == (len(b), want, round(want / len(b), 6))
+    assert got[3] == (0, 0, None) and got[4] == (0, 0, None)
+    # the band property: repetition << prose << noise
+    assert got[1][2] < got[0][2] < got[2][2]
+    assert got[2][2] > 0.8
