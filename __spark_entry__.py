@@ -2651,6 +2651,23 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_watermark_lateness(spark, sf_dir):
+    """Watermark-tuning audit (streaming.watermark_lateness_audit):
+    replay the event log in arrival order and count what a 10-minute
+    watermark WOULD drop, per event-time hour — the report you read
+    before setting the streaming twins' delay. Running max computed
+    two-level (bucketed prefix scan, no single-task global window); the
+    oracle restates the sequential single-window definition, which the
+    levels must reproduce exactly."""
+    from spider_spark.streaming import watermark_lateness_audit
+
+    return watermark_lateness_audit(
+        _t(spark, sf_dir, "events"),
+        delay="10 minutes",
+        window="1 hour",
+    )
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib compression-ratio QC signal (textqc.compression_ratio — the
     RefinedWeb/Dolma repetition-vs-gibberish band filter): repetitive
@@ -4392,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbp_err_eval": q_rbp_err_eval,
         "ai_crawler_policy": q_ai_crawler_policy,
         "compression_ratio": q_compression_ratio,
+        "watermark_lateness": q_watermark_lateness,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8288,6 +8306,29 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # the sequential single-window definition; Spark's two-level
+        # bucketed prefix scan must reproduce it exactly
+        "watermark_lateness": """
+            WITH m AS (
+              SELECT ts,
+                     MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS high
+              FROM events
+            ), f AS (
+              SELECT ts,
+                     high IS NOT NULL
+                       AND ts < high - INTERVAL '10 minutes' AS late
+              FROM m
+            )
+            SELECT date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late,
+                   ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS late_frac_r
+            FROM f GROUP BY 1
+        """,
         # verdicts derived from the 4-shape body construction; Spark must
         # run the real RFC 9309 parse + group selection to reproduce them
         "ai_crawler_policy": """

@@ -272,6 +272,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "rbp_err_eval",
         "ai_crawler_policy",
         "compression_ratio",
+        "watermark_lateness",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

@@ -219,3 +219,75 @@ def stream_session_stats(
             "n_events",
         )
     )
+
+
+def watermark_lateness_audit(
+    events: DataFrame,
+    delay: str = "10 minutes",
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Batch audit of what a ``withWatermark(ts, delay)`` streaming job
+    WOULD drop: replay the log in arrival order (``arrival_col`` — the
+    ingestion sequence), track the running watermark max(ts seen so
+    far) − delay, and flag every event whose timestamp is already
+    behind it. Returns per tumbling ``window`` of EVENT time:
+    (window_start, n_events, n_late, late_frac_r) — the
+    watermark-tuning report you read BEFORE picking the streaming
+    twins' delay (too tight silently drops the slow tail; too loose
+    bloats state).
+
+    Physical shape — the running max over arrival order is a prefix
+    scan, and one global ORDER BY arrival window is one task eating the
+    log; max is associative, so it is computed TWO-LEVEL (the
+    postings_compression_stats gap discipline): (1) running max within
+    (arrival div bucket_size) buckets — every window task bounded by
+    the bucket width; (2) one window over the BUCKET-SUMMARY rows
+    (n/bucket_size of them) supplies the prefix max of all earlier
+    buckets; the exclusive watermark before each event combines the
+    two. The oracle restates the single sequential window — the levels
+    must reproduce it exactly."""
+    if bucket_size < 2:
+        raise ValueError("bucket_size must be >= 2")
+    from pyspark.sql import Window
+
+    d = F.expr(f"INTERVAL {delay}")
+    ev = events.select(
+        F.col(arrival_col).alias("arr"), F.col(ts_col).alias("ts")
+    ).withColumn("bkt", F.expr(f"arr div {int(bucket_size)}"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("arr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ev.withColumn("loc_max", F.max("ts").over(w_in))
+    bsum = ev.groupBy("bkt").agg(F.max("ts").alias("bmax"))
+    w_b = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bsum.withColumn("pre_max", F.max("bmax").over(w_b)).select(
+        "bkt", "pre_max"
+    )
+    flagged = (
+        local.join(prefix, "bkt")
+        .withColumn("high", F.greatest(F.col("loc_max"), F.col("pre_max")))
+        .withColumn(
+            "late",
+            F.col("high").isNotNull() & (F.col("ts") < F.col("high") - d),
+        )
+    )
+    return (
+        flagged.groupBy(F.window("ts", window).getField("start").alias(
+            "window_start"
+        ))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("late").cast("long")).alias("n_late"),
+            F.round(
+                F.sum(F.col("late").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("late_frac_r"),
+        )
+    )

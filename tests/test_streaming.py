@@ -86,3 +86,48 @@ def test_stream_first_seen_exactly_once_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT url_canon FROM firstseen").collect()
     urls = [r.url_canon for r in rows]
     assert len(urls) == len(set(urls)) == 75  # 50 + 50 with 25 overlap
+
+
+def test_watermark_lateness_audit_matches_sequential(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from spider_spark.streaming import watermark_lateness_audit
+
+    base = dt.datetime(2024, 1, 1)
+    # arrival order scrambles event time: every 5th event arrives 30
+    # minutes stale, every 11th arrives slightly early
+    rows = []
+    for i in range(300):
+        ts = base + dt.timedelta(minutes=i)
+        if i % 5 == 0:
+            ts -= dt.timedelta(minutes=30)
+        if i % 11 == 0:
+            ts += dt.timedelta(minutes=3)
+        rows.append((i, ts))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["window_start"]: (r["n_events"], r["n_late"], r["late_frac_r"])
+        for r in watermark_lateness_audit(
+            df, delay="10 minutes", window="1 hour", bucket_size=16
+        ).collect()
+    }
+
+    # sequential reference
+    hi = None
+    per_win = {}
+    for i, ts in rows:
+        late = hi is not None and ts < hi - dt.timedelta(minutes=10)
+        ws = ts.replace(minute=0, second=0, microsecond=0)
+        n, l = per_win.get(ws, (0, 0))
+        per_win[ws] = (n + 1, l + late)
+        hi = ts if hi is None else max(hi, ts)
+    want = {
+        ws: (n, l, round(l / n, 6)) for ws, (n, l) in per_win.items()
+    }
+    assert got == want
+    assert sum(l for _, l, _ in got.values()) > 0  # staleness actually fired
+
+    with _pytest.raises(ValueError):
+        watermark_lateness_audit(df, bucket_size=1)
