@@ -2651,6 +2651,39 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_title_consistency(spark, sf_dir):
+    """Title-surface agreement (structured.title_consistency): <title>
+    vs og:title vs first <h1> after normalize — template-rot QC and the
+    canonical-display pick. Synthesized: og matches title on doc_id%3
+    ==0 (case-folded), h1 diverges on %2==1, title entity-decoded.
+    Construction-derived oracle; Spark parses the real tags."""
+    from spider_spark.operators import structured as st
+
+    docs = _t(spark, sf_dir, "documents")
+    t12 = F.lower(F.substring(F.coalesce("text", F.lit("")), 1, 12))
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.upper(t12),
+            F.lit(" &amp; co</title>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit('<meta property="og:title" content="'),
+                    t12,
+                    F.lit(' &amp; co">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head><body><h1>"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("different"))
+            .otherwise(F.concat(t12, F.lit(" &amp; co"))),
+            F.lit("</h1></body></html>"),
+        ).alias("html"),
+    )
+    return st.title_consistency(pages)
+
+
 def q_watermark_lateness(spark, sf_dir):
     """Watermark-tuning audit (streaming.watermark_lateness_audit):
     replay the event log in arrival order and count what a 10-minute
@@ -4410,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ai_crawler_policy": q_ai_crawler_policy,
         "compression_ratio": q_compression_ratio,
         "watermark_lateness": q_watermark_lateness,
+        "title_consistency": q_title_consistency,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8306,6 +8340,25 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # expected surfaces derived from the construction (text is already
+        # lowercase; entity + whitespace collapse folded analytically)
+        "title_consistency": """
+            WITH b AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       substr(COALESCE(text, ''), 1, 12) || ' & co',
+                       '\\s+', ' ', 'g')) AS tt
+              FROM documents
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   tt AS title,
+                   CASE WHEN doc_id % 3 = 0 THEN tt END AS og_title,
+                   CASE WHEN doc_id % 2 = 1 THEN 'different'
+                        ELSE tt END AS h1,
+                   doc_id % 3 = 0 AS title_eq_og,
+                   doc_id % 2 = 0 AS title_eq_h1
+            FROM b
+        """,
         # the sequential single-window definition; Spark's two-level
         # bucketed prefix scan must reproduce it exactly
         "watermark_lateness": """

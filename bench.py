@@ -273,6 +273,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "ai_crawler_policy",
         "compression_ratio",
         "watermark_lateness",
+        "title_consistency",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

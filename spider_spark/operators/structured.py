@@ -114,3 +114,64 @@ def og_properties(
         "id", "og_idx", F.col("p.prop").alias("prop"),
         F.col("p.content").alias("content"),
     )
+
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_H1_RE = r"(?is)<h1[^>]*>(.*?)</h1>"
+_OG_TITLE_TAG_RE = (
+    "(?i)<meta\\b[^>]*property\\s*=\\s*[\"']?og:title[\"']?[^>]*>"
+)
+
+
+def title_consistency(
+    pages: DataFrame, id_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page title-surface agreement: (id, title, og_title, h1,
+    title_eq_og, title_eq_h1) — the three places a page declares its
+    name (<title>, og:title, first <h1>), compared after tag-strip,
+    entity-decode, whitespace-collapse and case-fold. Disagreement is a
+    QC signal the SEO world reads as template rot or keyword stuffing;
+    agreement picks the canonical display string for SERP/corpus
+    metadata (the reference keeps only <title> —
+    src/textops extractHtmlMetadata; this is the cross-check around
+    it). First occurrence wins for all three (the og_properties
+    keep-first convention). Null surfaces compare as NOT equal —
+    absence is disagreement. Map-only codegen projection."""
+    from ..metarobots import _first_attr  # same quote-variant machinery
+    from .content import _visible_text  # tag strip + entity chain + collapse
+
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+
+    def norm(c: Column) -> Column:
+        return F.lower(_visible_text(c))
+
+    title = F.nullif(
+        norm(F.regexp_extract(html, _TITLE_RE, 1)), F.lit("")
+    )
+    og_tag = F.get(
+        F.regexp_extract_all(html, F.lit(_OG_TITLE_TAG_RE), F.lit(0)), 0
+    )
+    og_title = F.nullif(
+        norm(
+            F.coalesce(
+                _first_attr(
+                    og_tag, _CONTENT_DQ_RE, _CONTENT_SQ_RE, _CONTENT_UQ_RE
+                ),
+                F.lit(""),
+            )
+        ),
+        F.lit(""),
+    )
+    h1 = F.nullif(norm(F.regexp_extract(html, _H1_RE, 1)), F.lit(""))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        title.alias("title"),
+        og_title.alias("og_title"),
+        h1.alias("h1"),
+        (title.isNotNull() & og_title.isNotNull() & (title == og_title)).alias(
+            "title_eq_og"
+        ),
+        (title.isNotNull() & h1.isNotNull() & (title == h1)).alias(
+            "title_eq_h1"
+        ),
+    )

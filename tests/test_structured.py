@@ -62,3 +62,28 @@ def test_null_html_and_no_islands(spark):
     ).collect()
     assert out == []
     assert st.og_properties(_pages(spark, [("a", None)])).collect() == []
+
+
+def test_title_consistency(spark):
+    cases = [
+        (0, "<title>Big  News</title>"
+            '<meta property="og:title" content="BIG NEWS">'
+            "<h1>Big News</h1>", ("big news", "big news", "big news", True, True)),
+        (1, "<title>A &amp; B</title><h1>something else</h1>",
+            ("a & b", None, "something else", False, False)),
+        (2, "<h1>Only H1</h1>", (None, None, "only h1", False, False)),
+        (3, None, (None, None, None, False, False)),
+        (4, "<title></title><h1>  </h1>", (None, None, None, False, False)),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), h) for i, h, _ in cases], "url string, html string"
+    )
+    got = {
+        int(r["id"]): (
+            r["title"], r["og_title"], r["h1"],
+            r["title_eq_og"], r["title_eq_h1"],
+        )
+        for r in st.title_consistency(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, i
