@@ -2651,6 +2651,42 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_amp_variant_pairs(spark, sf_dir):
+    """AMP↔canonical pairing by URL convention (mirrors.
+    amp_variant_pairs): every doc contributes a plain url; %3==0 docs
+    add a /amp path variant, %3==1 docs an amp. subdomain variant —
+    pairs derivable arithmetically while Spark must normalize the real
+    urls through the host/path regexes."""
+    from spider_spark.operators import mirrors
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("https://s"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example"),
+    )
+    plain = docs.select(
+        F.concat(host, F.lit("/p"), F.col("doc_id").cast("string")).alias(
+            "url"
+        )
+    )
+    amp_path = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            host, F.lit("/p"), F.col("doc_id").cast("string"), F.lit("/amp")
+        ).alias("url")
+    )
+    amp_sub = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.concat(
+            F.lit("https://amp.s"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    pages = plain.unionByName(amp_path).unionByName(amp_sub)
+    return mirrors.amp_variant_pairs(pages)
+
+
 def q_title_consistency(spark, sf_dir):
     """Title-surface agreement (structured.title_consistency): <title>
     vs og:title vs first <h1> after normalize — template-rot QC and the
@@ -4444,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "watermark_lateness": q_watermark_lateness,
         "title_consistency": q_title_consistency,
+        "amp_variant_pairs": q_amp_variant_pairs,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8340,6 +8377,24 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "amp_variant_pairs": """
+            WITH base AS (
+              SELECT doc_id,
+                     's' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+                       || CAST(doc_id AS VARCHAR) AS base_key,
+                     'https://s' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR)
+                       AS plain_url
+              FROM documents
+            )
+            SELECT base_key, plain_url, plain_url || '/amp' AS amp_url
+            FROM base WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT base_key, plain_url,
+                   'https://amp.s' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/p' || CAST(doc_id AS VARCHAR) AS amp_url
+            FROM base WHERE doc_id % 3 = 1
+        """,
         # expected surfaces derived from the construction (text is already
         # lowercase; entity + whitespace collapse folded analytically)
         "title_consistency": """

@@ -274,6 +274,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "compression_ratio",
         "watermark_lateness",
         "title_consistency",
+        "amp_variant_pairs",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

@@ -125,3 +125,50 @@ def mirror_guard_stats(
             )
         ).alias("dropped_profile_rows"),
     )
+
+
+def amp_variant_pairs(
+    pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Pair AMP page variants with their canonical siblings by URL
+    convention ALONE — no content comparison: the two dominant
+    publisher layouts are the ``amp.`` subdomain (amp.site.example/a)
+    and the ``/amp`` path suffix (site.example/a/amp). Every AMP page
+    is by definition a near-duplicate of its canonical, so the pair
+    table feeds dedup (keep canonical, drop AMP) and the URL-seen layer
+    (an AMP variant of a seen page is not new content) without paying a
+    MinHash pass — the cheap structural sibling of
+    `mirror_candidates`' content profiles.
+
+    Returns (base_key, plain_url, amp_url): one row per AMP url whose
+    de-AMPed base matches a non-AMP url in the same table (ties: the
+    lexicographically smallest plain url — deterministic). AMP pages
+    with no crawled canonical are absent (nothing to pair).
+
+    Pure projection (host/path regexes from `traps`) + one partial-agg
+    min per base + one equi-join on the base key — shuffle ∝ pages,
+    keyed on the de-AMPed identity."""
+    from .traps import col_url_host, col_url_path
+
+    u = F.col(url_col)
+    host = F.lower(col_url_host(u))
+    path = col_url_path(u)
+    amp_host = host.startswith("amp.")
+    amp_path = path.rlike("/amp/?$")
+    base_host = F.when(amp_host, F.substring(host, 5, 100000)).otherwise(host)
+    base_path = F.regexp_replace(path, "/amp/?$", "")
+    keyed = pages.select(
+        u.alias("url"),
+        F.concat(base_host, base_path).alias("base_key"),
+        (amp_host | amp_path).alias("is_amp"),
+    )
+    plain = (
+        keyed.filter(~F.col("is_amp"))
+        .groupBy("base_key")
+        .agg(F.min("url").alias("plain_url"))
+    )
+    return (
+        keyed.filter(F.col("is_amp"))
+        .join(plain, "base_key")
+        .select("base_key", "plain_url", F.col("url").alias("amp_url"))
+    )

@@ -78,3 +78,33 @@ def test_null_fp_ignored(spark):
     )
     got = mirrors.mirror_candidates(pages, min_overlap=0.9, min_shared=3).collect()
     assert len(got) == 1 and got[0].shared == 3 and got[0].size_a == 3
+
+
+def test_amp_variant_pairs(spark):
+    from spider_spark.operators.mirrors import amp_variant_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("https://site.example/story",),
+            ("https://site.example/story/amp",),
+            ("https://amp.site.example/story",),
+            ("https://other.example/a/amp/",),
+            ("https://other.example/a",),
+            ("https://lonely.example/amp-only/amp",),  # no canonical crawled
+            ("https://plain.example/x",),              # no amp variant
+            ("https://site.example/amplifier",),       # 'amp' not a suffix
+        ],
+        "url string",
+    )
+    got = sorted(
+        (r["base_key"], r["plain_url"], r["amp_url"])
+        for r in amp_variant_pairs(pages).collect()
+    )
+    assert got == sorted([
+        ("other.example/a", "https://other.example/a",
+         "https://other.example/a/amp/"),
+        ("site.example/story", "https://site.example/story",
+         "https://site.example/story/amp"),
+        ("site.example/story", "https://site.example/story",
+         "https://amp.site.example/story"),
+    ])
