@@ -2651,6 +2651,20 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_bowtie_classes(spark, sf_dir):
+    """Bow-tie decomposition (graph.bowtie_classes, Broder WWW'00): the
+    crawl census's macroscopic map — pivot's giant SCC, the IN set that
+    reaches it, the OUT set it drains into, and the rest — via two BFS
+    reachability runs over the shared deterministic link graph (depth
+    ≤ 11 here, fixpoint-stopped). The oracle restates reachability as
+    two WITH RECURSIVE closures plus the degree-argmax pivot."""
+    from spider_spark.operators import graph
+
+    return graph.bowtie_classes(
+        _link_edges(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_amp_variant_pairs(spark, sf_dir):
     """AMP↔canonical pairing by URL convention (mirrors.
     amp_variant_pairs): every doc contributes a plain url; %3==0 docs
@@ -4481,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_lateness": q_watermark_lateness,
         "title_consistency": q_title_consistency,
         "amp_variant_pairs": q_amp_variant_pairs,
+        "bowtie_classes": q_bowtie_classes,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8377,6 +8392,40 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "bowtie_classes": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents WHERE doc_id % 3 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ), deg AS (
+              SELECT node, COUNT(*) AS dg FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+              GROUP BY 1
+            ), pv AS (
+              SELECT node FROM deg ORDER BY dg DESC, node DESC LIMIT 1
+            ), fwd AS (
+              SELECT node FROM pv
+              UNION
+              SELECT e.d AS node FROM e JOIN fwd ON e.s = fwd.node
+            ), bwd AS (
+              SELECT node FROM pv
+              UNION
+              SELECT e.s AS node FROM e JOIN bwd ON e.d = bwd.node
+            )
+            SELECT n.node,
+                   CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                          THEN 'scc'
+                        WHEN b.node IS NOT NULL THEN 'in'
+                        WHEN f.node IS NOT NULL THEN 'out'
+                        ELSE 'other' END AS cls
+            FROM nodes n
+            LEFT JOIN (SELECT DISTINCT node FROM fwd) f ON n.node = f.node
+            LEFT JOIN (SELECT DISTINCT node FROM bwd) b ON n.node = b.node
+        """,
         "amp_variant_pairs": """
             WITH base AS (
               SELECT doc_id,

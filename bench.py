@@ -275,6 +275,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "watermark_lateness",
         "title_consistency",
         "amp_variant_pairs",
+        "bowtie_classes",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

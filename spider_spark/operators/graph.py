@@ -1336,3 +1336,104 @@ def lpa_communities(
         )
     sym.unpersist()
     return labels
+
+
+def reachable_from(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Forward reachable set: every node with a directed path from any
+    seed (seeds included). BFS frontier expansion — per sweep ONE
+    |E|-keyed join + distinct + anti-join against the visited set, each
+    shuffle keyed on the node id; stops when a sweep discovers nothing
+    or at ``max_iters`` (each sweep advances one hop; callers bound the
+    diameter, and the fixpoint check makes the bound a ceiling, not a
+    truncation, on graphs that converge earlier). Visited set
+    localCheckpointed per sweep — the CC lineage discipline. Returns
+    one ``node`` column."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_iters):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("s")), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def bowtie_classes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """The Broder et al. (WWW 2000) bow-tie decomposition around a
+    deterministic pivot — THE macroscopic map of a web crawl's link
+    graph: a giant strongly-connected CORE, the IN set that can reach
+    it (new sites not yet linked back), the OUT set it reaches (sinks,
+    link farms' landing tiers), and everything else (tendrils +
+    disconnected). Crawl use: seed selection (IN feeds the core),
+    frontier triage (OUT-heavy growth means the crawl is draining into
+    sinks), and the headline shape number every crawl census reports.
+
+    pivot = the node with the highest total degree (ties: larger id) —
+    deterministic, and on a bow-tie-shaped graph almost surely in the
+    core. SCC(pivot) = forward-reachable ∩ backward-reachable (two
+    `reachable_from` BFS runs, the backward one on reversed edges);
+    IN = backward − SCC, OUT = forward − SCC, OTHER = the rest.
+    Returns (node, cls ∈ {'scc','in','out','other'}).
+
+    Note this is the PIVOT's SCC (the giant one, per the bow-tie
+    assumption), not a full SCC enumeration — the global decomposition
+    the census needs, at two-BFS cost instead of an SCC algorithm's."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pivot = deg.orderBy(F.desc("deg"), F.desc("node")).limit(1).select("node")
+    fwd = reachable_from(e, pivot, "src", "dst", max_iters).select(
+        F.col("node"), F.lit(True).alias("_f")
+    )
+    bwd = reachable_from(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        pivot,
+        "src",
+        "dst",
+        max_iters,
+    ).select(F.col("node"), F.lit(True).alias("_b"))
+    out = (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_f") & F.col("_b"), F.lit("scc"))
+            .when(F.col("_b").isNotNull(), F.lit("in"))
+            .when(F.col("_f").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+    )
+    nodes.unpersist()
+    return out
