@@ -2651,6 +2651,21 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_pca_project(spark, sf_dir):
+    """PCA embedding compaction (similarity.pca_fit/pca_project): fit
+    the top-8 variance directions via ONE sufficient-statistics pass
+    (per-batch partial moments, driver-side 64×64 eigh, sign-
+    canonicalized basis), project every vector. Rows-only — a d×d
+    eigendecomposition is not SQL-expressible; exact ground truth is
+    the numpy differential in tests/test_pca.py (fit, projection, and
+    partitioning invariance all pinned)."""
+    from spider_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sim.pca_fit(emb, k=8)
+    return sim.pca_project(emb, model).orderBy("id")
+
+
 def q_bowtie_classes(spark, sf_dir):
     """Bow-tie decomposition (graph.bowtie_classes, Broder WWW'00): the
     crawl census's macroscopic map — pivot's giant SCC, the IN set that
@@ -4496,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_consistency": q_title_consistency,
         "amp_variant_pairs": q_amp_variant_pairs,
         "bowtie_classes": q_bowtie_classes,
+        "pca_project": q_pca_project,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,

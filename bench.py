@@ -276,6 +276,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "title_consistency",
         "amp_variant_pairs",
         "bowtie_classes",
+        "pca_project",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

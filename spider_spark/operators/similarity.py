@@ -794,3 +794,108 @@ def quantize_embeddings_int8(
         qvec.alias("qvec"),
         F.round(err, 6).alias("max_abs_err_r"),
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a PCA basis over an embedding column (the classical
+    dimensionality reducer BEFORE quantization/IVF: project 64-d
+    vectors to the top-k variance directions, then hand the compact
+    vectors to `quantize_embeddings_int8` / `kmeans_lloyd` — the
+    standard ANN-index compression stack).
+
+    Distributed shape — the sufficient-statistics pattern: the job
+    never materializes an n×d² explode. One ``mapInPandas`` pass emits
+    ONE partial-moment row per batch (count, Σx, Σxxᵀ flattened —
+    d + d² doubles, dimension-bounded); the driver combines the
+    partials (≈ #partitions rows — the train_bpe argmax-collect
+    discipline) and runs the d×d eigendecomposition locally (d ≤ a few
+    hundred by construction; numpy.linalg.eigh on a 64×64 is
+    microseconds). Eigenvector SIGNS are canonicalized (largest-|.|
+    component made positive) so the basis is deterministic across runs
+    and BLAS builds.
+
+    Returns {"mean": [d], "components": [k][d] (rows = descending
+    variance), "explained_var": [k], "explained_ratio": [k]}."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = embeddings.select(vec_col).mapInPandas(
+        moments, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_fit needs at least one vector")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    if k > d:
+        raise ValueError("k cannot exceed the embedding dimension")
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.array(p["s"])
+        ss += np.array(p["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    evs = []
+    total = float(vals.sum()) if vals.sum() > 0 else 1.0
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append(v.tolist())
+        evs.append(float(max(vals[idx], 0.0)))
+    return {
+        "mean": mean.tolist(),
+        "components": comps,
+        "explained_var": evs,
+        "explained_ratio": [e / total for e in evs],
+    }
+
+
+def pca_project(
+    embeddings: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project vectors onto a `pca_fit` basis → (id, pca array<double>),
+    components rounded to ``round_to``. One Arrow-batched matmul per
+    batch, the (k×d) basis rides the UDF closure (k·d doubles —
+    trivially broadcastable)."""
+    mean = np.array(model["mean"])
+    comps = np.array(model["components"])  # k x d
+
+    @pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype("float64") - mean
+        p = x @ comps.T
+        p = np.round(p, round_to)
+        return pd.Series(list(p))
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), proj(F.col(vec_col)).alias("pca")
+    )
