@@ -2651,6 +2651,30 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_credit_card_signals(spark, sf_dir):
+    """Credit-card exposure signals (curation.credit_card_signals):
+    unambiguous PAN candidate shapes + pure-Catalyst Luhn verification
+    (ISO 7812) — the Dolma-class scrub beside email/IP/phone. PANs
+    planted arithmetically (valid Visa test number, its Luhn-failing
+    sibling, the grouped form); ground truth derived from the
+    construction while Spark must match AND checksum the real strings."""
+    from spider_spark.operators import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(v == 0, F.lit(" pay 4532015112830366 now"))
+            .when(v == 1, F.lit(" pay 4532015112830367 now"))
+            .when(v == 2, F.lit(" card 4532-0151-1283-0366 on file"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cu.credit_card_signals(salted)
+
+
 def q_pca_project(spark, sf_dir):
     """PCA embedding compaction (similarity.pca_fit/pca_project): fit
     the top-8 variance directions via ONE sufficient-statistics pass
@@ -4512,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_variant_pairs": q_amp_variant_pairs,
         "bowtie_classes": q_bowtie_classes,
         "pca_project": q_pca_project,
+        "credit_card_signals": q_credit_card_signals,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8408,6 +8433,17 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        # ground truth from the planted-PAN construction: %5==0 valid,
+        # ==1 Luhn-failing sibling, ==2 grouped valid; base text is
+        # alphabetic so no stray digit runs
+        "credit_card_signals": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 1 ELSE 0 END
+                        AS INT) AS n_cc_candidates,
+                   CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END
+                        AS INT) AS n_cc_valid
+            FROM documents
+        """,
         "bowtie_classes": """
             WITH RECURSIVE e AS (
               SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents

@@ -277,6 +277,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "amp_variant_pairs",
         "bowtie_classes",
         "pca_project",
+        "credit_card_signals",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

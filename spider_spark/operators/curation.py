@@ -690,3 +690,68 @@ def materialize_mixture(
         frac_bucket < (F.col("_rate") - F.floor(F.col("_rate"))) * 10000
     )
     return exploded.filter(keep).drop("_rate")
+
+
+# Credit-card candidate shapes — UNAMBIGUOUS patterns only (no optional
+# groups inside repetition whose backtracking order Java and RE2 could
+# resolve differently — the PII_PATTERNS discipline): uniformly-grouped
+# 4x4 PANs and plain 13-19 digit runs.
+CC_GROUPED_RE = r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"
+CC_PLAIN_RE = r"\b\d{13,19}\b"
+CC_MASK = "|||CREDIT_CARD|||"
+
+
+def col_luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812 — the PAN check digit) over a
+    digits-only string, pure Catalyst: from the RIGHT, double every
+    second digit (subtracting 9 when it exceeds 9), sum mod 10 == 0.
+    The verifier that separates a real card number from a phone number
+    or timestamp that merely looks like one. Empty input is invalid."""
+    rev = F.reverse(digits)
+    at = lambda i: F.get(F.split(rev, ""), i - 1).cast("int")  # noqa: E731
+    terms = F.transform(
+        F.sequence(F.lit(1), F.length(rev)),
+        lambda i: F.when(i % 2 == 1, at(i)).otherwise(
+            F.when(at(i) * 2 > 9, at(i) * 2 - 9).otherwise(at(i) * 2)
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) > 0) & (F.pmod(total, F.lit(10)) == 0)
+
+
+def credit_card_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc credit-card exposure: (id, n_cc_candidates, n_cc_valid) —
+    candidates from the two unambiguous shapes, validity by Luhn. The
+    PAN scrub Dolma/ROOTS-class pipelines run beside email/IP/phone
+    masking; the Luhn count is the real-exposure metric (most 16-digit
+    lookalikes fail it)."""
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.concat(
+        F.regexp_extract_all(body, F.lit(CC_GROUPED_RE), F.lit(0)),
+        F.regexp_extract_all(body, F.lit(CC_PLAIN_RE), F.lit(0)),
+    )
+    valid = F.filter(
+        F.transform(cands, lambda c: F.regexp_replace(c, r"[ -]", "")),
+        lambda d: col_luhn_valid(d),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(cands).alias("n_cc_candidates"),
+        F.size(valid).alias("n_cc_valid"),
+    )
+
+
+def redact_credit_cards(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Mask every credit-card CANDIDATE (both shapes) with ``CC_MASK`` —
+    conservatively, Luhn or not (a mistyped PAN is still a PAN; the
+    Dolma stance). Input columns preserved, ``text`` replaced; pure
+    codegen projection chained after `redact_pii`."""
+    out = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), CC_GROUPED_RE, CC_MASK
+    )
+    out = F.regexp_replace(out, CC_PLAIN_RE, CC_MASK)
+    return df.withColumn(text_col, out)

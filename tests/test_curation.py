@@ -254,3 +254,62 @@ def test_temperature_mixture_rates(spark):
 
     with pytest.raises(ValueError):
         cu.temperature_mixture_rates(df, alpha=-1, budget_tokens=10)
+
+
+def test_luhn_and_credit_card_signals(spark):
+    from spider_spark.operators import curation as cu
+
+    # classic test PANs: 4532015112830366 (valid Visa test), off-by-one
+    # sibling invalid; grouped form; 13-digit valid (4222222222222)
+    rows = [
+        (0, "pay 4532015112830366 now"),
+        (1, "pay 4532015112830367 now"),          # fails Luhn
+        (2, "card 4532-0151-1283-0366 on file"),
+        (3, "call 555-123-4567 ok"),              # phone, not a candidate
+        (4, "num 4222222222222 short-form"),
+        (5, None),
+        (6, "ts 20240101123045998877 too long"),  # 20 digits: no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_cc_candidates"], r["n_cc_valid"])
+        for r in cu.credit_card_signals(df).collect()
+    }
+    assert got[0] == (1, 1)
+    assert got[1] == (1, 0)
+    assert got[2] == (1, 1)
+    assert got[3] == (0, 0)
+    assert got[4] == (1, 1)
+    assert got[5] == (0, 0)
+    assert got[6] == (0, 0)
+
+    red = {
+        r["doc_id"]: r["text"]
+        for r in cu.redact_credit_cards(df).collect()
+    }
+    assert red[0] == "pay |||CREDIT_CARD||| now"
+    assert red[2] == "card |||CREDIT_CARD||| on file"
+    assert red[1] == "pay |||CREDIT_CARD||| now"  # conservative: masked too
+    assert red[3] == "call 555-123-4567 ok"
+
+    # pure-Python Luhn differential over random digit strings
+    import random as _r
+
+    rng = _r.Random(3)
+
+    def luhn(ds):
+        tot = 0
+        for i, ch in enumerate(reversed(ds), 1):
+            d = int(ch)
+            tot += d if i % 2 == 1 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+        return tot % 10 == 0
+
+    samples = ["".join(str(rng.randrange(10)) for _ in range(16)) for _ in range(40)]
+    sdf = spark.createDataFrame([(s,) for s in samples], "d string")
+    from pyspark.sql import functions as _F
+
+    got_l = {
+        r["d"]: r["ok"]
+        for r in sdf.select("d", cu.col_luhn_valid(_F.col("d")).alias("ok")).collect()
+    }
+    assert got_l == {s: luhn(s) for s in samples}
