@@ -2651,6 +2651,33 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_cross_source_dups(spark, sf_dir):
+    """Syndication census (dedup.cross_source_dup_matrix): per unordered
+    source pair, byte-identical documents shared — the wire-copy map
+    mixture planning reads next to the dedup rate. Spark joins on the
+    md5 fingerprint census (text never shuffles); the oracle groups by
+    the text itself — identical pairs required."""
+    from spider_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    # plant syndication: every 4th doc carries one of 5 wire stories,
+    # so identical content recurs across the source strata
+    salted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("syndicated wire copy "),
+                F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cross_source_dup_matrix(salted)
+
+
 def q_credit_card_signals(spark, sf_dir):
     """Credit-card exposure signals (curation.credit_card_signals):
     unambiguous PAN candidate shapes + pure-Catalyst Luhn verification
@@ -4537,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_classes": q_bowtie_classes,
         "pca_project": q_pca_project,
         "credit_card_signals": q_credit_card_signals,
+        "cross_source_dups": q_cross_source_dups,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8433,6 +8461,29 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "cross_source_dups": """
+            WITH salted AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'syndicated wire copy '
+                               || CAST(doc_id % 5 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ), census AS (
+              SELECT COALESCE(text, '') AS t, source AS s, COUNT(*) AS n
+              FROM salted GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+              FROM census a JOIN census b ON a.t = b.t
+              WHERE a.s <= b.s AND (a.s <> b.s OR a.n >= 2)
+            )
+            SELECT sa AS src_source, sb AS dst_source,
+                   CAST(SUM(CASE WHEN sa = sb THEN na
+                                 ELSE na + nb END) AS BIGINT)
+                     AS n_shared_docs,
+                   COUNT(*) AS n_groups
+            FROM pairs GROUP BY 1, 2
+        """,
         # ground truth from the planted-PAN construction: %5==0 valid,
         # ==1 Luhn-failing sibling, ==2 grouped valid; base text is
         # alphabetic so no stray digit runs

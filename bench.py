@@ -278,6 +278,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bowtie_classes",
         "pca_project",
         "credit_card_signals",
+        "cross_source_dups",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

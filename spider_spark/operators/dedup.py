@@ -727,3 +727,53 @@ def content_seen_report(
         F.lit(None).cast("string").alias("first_url"),
     )
     return judged.unionByName(nulls)
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Syndication census: for every UNORDERED source pair, how many
+    byte-identical documents they share — the wire-service/content-farm
+    map (AP copy on 40 news hosts, scraped-blog rings republishing each
+    other). Mixture planning reads this next to the dedup rate: a
+    source whose corpus is largely another's reprints adds tokens, not
+    information. Same-source pairs (src = dst) count internal exact
+    duplication.
+
+    Returns (src_source, dst_source, n_shared_docs, n_groups) with
+    src ≤ dst lexicographically: n_shared_docs = Σ over shared content
+    groups of docs the two sources hold there (both sides; the join
+    convention pinned in tests), n_groups = distinct shared contents.
+
+    Physical shape: md5(text) fingerprint census (text never shuffles —
+    the exact_dup_cluster_ids discipline) → per (fp, source) partial-agg
+    counts → one self-equi-join ON THE FINGERPRINT of the (fp, source)
+    census against itself (shuffle bounded by distinct (fp, source)
+    pairs, not docs) → partial-agg per source pair."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    census = (
+        docs.select(fp.alias("_fp"), F.col(source_col).alias("_s"))
+        .groupBy("_fp", "_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    a = census.select("_fp", F.col("_s").alias("sa"), F.col("_n").alias("na"))
+    b = census.select("_fp", F.col("_s").alias("sb"), F.col("_n").alias("nb"))
+    pairs = a.join(b, "_fp").filter(F.col("sa") <= F.col("sb"))
+    # same-source rows pair a group with itself once; require >= 2 docs
+    # there or it's not duplication
+    pairs = pairs.filter(
+        (F.col("sa") != F.col("sb")) | (F.col("na") >= 2)
+    )
+    return pairs.groupBy(
+        F.col("sa").alias("src_source"), F.col("sb").alias("dst_source")
+    ).agg(
+        F.sum(
+            F.when(F.col("sa") == F.col("sb"), F.col("na")).otherwise(
+                F.col("na") + F.col("nb")
+            )
+        ).alias("n_shared_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )

@@ -364,3 +364,31 @@ def test_dedupe_keep_first_ties_and_nulls(spark):
     # pure tie group
     ties = spark.createDataFrame(pd.DataFrame({"doc_id": [5, 5, 5], "text": ["t"] * 3}))
     assert dedup.dedupe_exact_keep_first(ties).count() == 1
+
+
+def test_cross_source_dup_matrix(spark):
+    from spider_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        # wire copy on three hosts (one holds it twice)
+        (0, "wire story", "ap"), (1, "wire story", "blogA"),
+        (2, "wire story", "blogB"), (3, "wire story", "blogA"),
+        # internal duplication only
+        (4, "boilerplate", "blogB"), (5, "boilerplate", "blogB"),
+        # unique content everywhere
+        (6, "unique one", "ap"), (7, "unique two", "blogA"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_source"], r["dst_source"]): (r["n_shared_docs"], r["n_groups"])
+        for r in cross_source_dup_matrix(df).collect()
+    }
+    # cross pairs: docs from both sides; blogA holds the wire copy twice
+    assert got[("ap", "blogA")] == (3, 1)     # 1 (ap) + 2 (blogA)
+    assert got[("ap", "blogB")] == (2, 1)
+    assert got[("blogA", "blogB")] == (3, 1)
+    # same-source: internal dup counts, >=2 docs required
+    assert got[("blogB", "blogB")] == (2, 1)
+    assert got[("blogA", "blogA")] == (2, 1)  # wire copy held twice
+    assert ("ap", "ap") not in got            # no internal dup at ap
+    assert len(got) == 5
