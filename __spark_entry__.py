@@ -2651,6 +2651,17 @@ def q_elias_fano_stats(spark, sf_dir):
     return index_ops.elias_fano_stats(docs)
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution entropy (textqc.char_entropy): the
+    order-free gibberish signal beside compression_ratio — prose
+    ~3.5-4.5 bits/char, base64 toward the ceiling, template filler
+    toward 0. Pure Catalyst (distinct-char census within the row), so
+    the oracle replays it with DuckDB list lambdas."""
+    from spider_spark.operators import textqc
+
+    return textqc.char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_cross_source_dups(spark, sf_dir):
     """Syndication census (dedup.cross_source_dup_matrix): per unordered
     source pair, byte-identical documents shared — the wire-copy map
@@ -4565,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "credit_card_signals": q_credit_card_signals,
         "cross_source_dups": q_cross_source_dups,
+        "char_entropy": q_char_entropy,
         "og_properties": q_og_properties,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
@@ -8461,6 +8473,27 @@ def oracle_sql() -> dict[str, str]:
         # ground truth derived from the arithmetic html construction; the
         # Spark side must PARSE the synthesized tags (quote/case/junk
         # variants) to reproduce it
+        "char_entropy": """
+            WITH h AS (
+              SELECT doc_id,
+                     substr(COALESCE(text, ''), 1, 1000) AS head
+              FROM documents
+            ), c AS (
+              SELECT doc_id, length(head) AS n,
+                     list_distinct(string_split(head, '')) AS uniq,
+                     string_split(head, '') AS chars
+              FROM h
+            )
+            SELECT doc_id AS id, CAST(n AS INT) AS n_chars,
+                   ROUND(CASE WHEN n > 0 THEN
+                     -list_sum(list_transform(uniq,
+                        u -> (CAST(len(list_filter(chars, x -> x = u))
+                                   AS DOUBLE) / n)
+                             * log2(CAST(len(list_filter(chars, x -> x = u))
+                                         AS DOUBLE) / n)))
+                   END, 6) AS entropy_r
+            FROM c
+        """,
         "cross_source_dups": """
             WITH salted AS (
               SELECT doc_id, source,

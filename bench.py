@@ -279,6 +279,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "pca_project",
         "credit_card_signals",
         "cross_source_dups",
+        "char_entropy",
         "og_properties",
         "robots_policy_diff",
         "sitemap_coverage",

@@ -342,3 +342,37 @@ def test_compression_ratio_signal(spark):
     # the band property: repetition << prose << noise
     assert got[1][2] < got[0][2] < got[2][2]
     assert got[2][2] > 0.8
+
+
+def test_char_entropy(spark):
+    import collections
+    import math
+
+    from spider_spark.operators.textqc import char_entropy
+
+    rows = [
+        (0, "aaaaaaaa"),                       # zero entropy
+        (1, "abababab"),                       # exactly 1 bit
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+        (4, None),
+        (5, "x" * 3000),                       # cap applies
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_chars"], r["entropy_r"])
+        for r in char_entropy(df, max_chars=1000).collect()
+    }
+
+    def ent(t):
+        c = collections.Counter(t)
+        n = len(t)
+        return -sum((k / n) * math.log2(k / n) for k in c.values())
+
+    assert got[0] == (8, 0.0)
+    assert got[1] == (8, 1.0)
+    assert got[2] == (43, round(ent(rows[2][1]), 6))
+    assert got[3] == (0, None) and got[4] == (0, None)
+    assert got[5] == (1000, 0.0)
+    # band property: prose well above repetition
+    assert got[2][1] > 3.0
