@@ -3017,6 +3017,50 @@ def q_og_properties(spark, sf_dir):
     return st.og_properties(pages, id_col="doc_id")
 
 
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (structured.html_tables): tables synthesized
+    arithmetically — every doc gets a 2-column table with a <th> header
+    row and (doc_id % 3 + 1) body rows whose cells exercise nested-tag
+    stripping (<b>v</b> → 'v ' + collapse) and the 5-entity chain
+    (&amp; → &); every 4th doc adds a second single-cell table. The
+    oracle derives the expected (id, table_idx, row_idx, cells, header)
+    rows from the construction while Spark must genuinely parse."""
+    from spider_spark.operators import structured as st
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def body_row(i):
+        return F.when(
+            d % 3 + 1 >= i,
+            F.concat(
+                F.lit("<tr><td><b>v</b>"),
+                d.cast("string"),
+                F.lit(f"_{i}</td><td>"),
+                (d * 10 + i).cast("string"),
+                F.lit(" &amp; up</td></tr>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><h1>x</h1>"),
+            F.lit('<table id="t0"><tr><th>Name</th><th>Qty</th></tr>'),
+            body_row(1),
+            body_row(2),
+            body_row(3),
+            F.lit("</table>"),
+            F.when(
+                d % 4 == 0,
+                F.lit("<table><tr><td>only</td></tr></table>"),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return st.html_tables(pages, id_col="doc_id")
+
+
 def q_symspell_suggestions(spark, sf_dir):
     """Batch SymSpell spelling correction (index.symspell_suggestions,
     Garbe's symmetric-delete algorithm): a whole query table corrected
@@ -4578,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "char_entropy": q_char_entropy,
         "og_properties": q_og_properties,
+        "html_tables": q_html_tables,
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
@@ -8714,6 +8759,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             UNION ALL
             SELECT doc_id, 1, NULL, NULL, NULL, NULL, FALSE
+            FROM documents WHERE doc_id % 4 = 0
+        """,
+        # expected table rows derived from the arithmetic construction:
+        # header row + (doc_id % 3 + 1) body rows + a second single-cell
+        # table on every 4th doc
+        "html_tables": """
+            SELECT doc_id AS id, 0 AS table_idx, 0 AS row_idx,
+                   'Name|Qty' AS cells_joined, 2 AS n_cells, TRUE AS header
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 0, i,
+                   'v ' || doc_id || '_' || i || '|'
+                        || (doc_id * 10 + i) || ' & up',
+                   2, FALSE
+            FROM documents, (VALUES (1), (2), (3)) AS r(i)
+            WHERE doc_id % 3 + 1 >= i
+            UNION ALL
+            SELECT doc_id, 1, 0, 'only', 1, FALSE
             FROM documents WHERE doc_id % 4 = 0
         """,
         "og_properties": """

@@ -175,3 +175,70 @@ def title_consistency(
             "title_eq_h1"
         ),
     )
+
+
+# one <table>…</table> region (innermost-first is NOT attempted: the lazy
+# match runs from the first <table> to the first </table>, so a nested
+# table truncates its parent — documented limitation, rare on the real
+# web, and the oracle derives expected rows from the synthetic
+# construction rather than re-running the regex)
+_TABLE_RE = r"(?is)<table\b[^>]*>(.*?)</table>"
+_TR_RE = r"(?is)<tr\b[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]>"
+_TH_RE = r"(?is)<th[\s>]"
+
+
+def html_tables(
+    pages: DataFrame, id_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Pages → one row per table row: (id, table_idx, row_idx,
+    cells_joined, n_cells, header).
+
+    HTML tables carry the densest structured data on the open web
+    (statistics, specs, timetables); a training-data pipeline that flattens
+    them to prose loses the row/column alignment this extractor preserves.
+    The reference strips tables into the text stream
+    (`stripHtmlToText`, strip-html.ts); this is the corpus-enrichment
+    counterpart, same discipline as `jsonld_entities`/`og_properties`.
+
+    Per cell: tags stripped, the 5-entity chain decoded, whitespace
+    collapsed (`content._visible_text` — the same normalization the
+    main-content extractor applies). ``header`` is true when the row
+    contains at least one ``<th>``. ``cells_joined`` is the '|'-join of
+    the cell texts (array flattened for engine-portable comparison; a
+    cell containing a literal '|' is ambiguous in the joined form —
+    callers needing exact cells use the n_cells count or re-split on a
+    stricter contract).
+
+    Scale: two chained posexplodes over map-only regexp_extract_all —
+    no shuffle, no UDF, no joins; output size ∝ table rows in the
+    corpus, never quadratic.
+    """
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    tables = F.regexp_extract_all(html, F.lit(_TABLE_RE), F.lit(1))
+    per_table = pages.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tables).alias("table_idx", "tbl"),
+    )
+    rows = F.regexp_extract_all(
+        F.col("tbl"), F.lit(_TR_RE), F.lit(1)
+    )
+    per_row = per_table.select(
+        "id",
+        "table_idx",
+        F.posexplode(rows).alias("row_idx", "row_html"),
+    )
+    from .content import _visible_text
+
+    cells = F.transform(
+        F.regexp_extract_all(F.col("row_html"), F.lit(_CELL_RE), F.lit(1)),
+        _visible_text,
+    )
+    return per_row.select(
+        "id",
+        "table_idx",
+        "row_idx",
+        F.array_join(cells, "|").alias("cells_joined"),
+        F.size(cells).alias("n_cells"),
+        F.col("row_html").rlike(_TH_RE).alias("header"),
+    )

@@ -87,3 +87,56 @@ def test_title_consistency(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, i
+
+
+def test_html_tables_basic(spark):
+    html = (
+        "<html><body>"
+        "<TABLE class='x'><tr><th>Name</th><th>Qty</th></tr>"
+        "<tr><td><b>v</b>7_1</td><td>71 &amp; up</td></tr>"
+        "<tr><td>a</td><td>b</td><td>c</td></tr></TABLE>"
+        "<table><tr><td>only</td></tr></table>"
+        "</body></html>"
+    )
+    rows = st.html_tables(_pages(spark, [("u", html)])).collect()
+    got = {
+        (r["table_idx"], r["row_idx"]): (
+            r["cells_joined"], r["n_cells"], r["header"]
+        )
+        for r in rows
+    }
+    assert got == {
+        (0, 0): ("Name|Qty", 2, True),
+        # nested tag stripped to a space then collapsed; entity decoded
+        (0, 1): ("v 7_1|71 & up", 2, False),
+        (0, 2): ("a|b|c", 3, False),
+        (1, 0): ("only", 1, False),
+    }
+
+
+def test_html_tables_edge_cases(spark):
+    rows = st.html_tables(
+        _pages(
+            spark,
+            [
+                ("none", "<p>no tables here</p>"),
+                ("null", None),
+                # row with no cells still surfaces (n_cells 0)
+                ("empty", "<table><tr></tr></table>"),
+                # attributes on tr/td, mixed case, th mid-row
+                (
+                    "attrs",
+                    '<table><tr class="r"><td colspan="2">A</td>'
+                    "<TH>H</TH></tr></table>",
+                ),
+            ],
+        )
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert "none" not in by_id and "null" not in by_id
+    (e,) = by_id["empty"]
+    assert (e["cells_joined"], e["n_cells"], e["header"]) == ("", 0, False)
+    (a,) = by_id["attrs"]
+    assert (a["cells_joined"], a["n_cells"], a["header"]) == ("A|H", 2, True)
