@@ -639,6 +639,56 @@ def q_minhash_md5(spark, sf_dir):
     )
 
 
+def _md5_sig_table(docs):
+    """Deterministic md5 MinHash signature table (id, sig array<long>) in
+    pure Catalyst — the engine-portable stand-in for the production
+    crc32-UDF signatures, shared by the incremental-probe query."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P))
+            )
+            for a, b in _MH_PERMS
+        ]
+    )
+    return docs.filter(F.trim(F.col("text")) != "").select(
+        F.col("doc_id").alias("id"), sig.alias("sig")
+    )
+
+
+def q_minhash_incremental_probe(spark, sf_dir):
+    """Incremental LSH probe (dedup.minhash_probe_pairs): standing =
+    doc_id % 3 != 0, new = doc_id % 3 == 0, md5-deterministic 4-perm
+    signatures, 2 bands × 2 rows, threshold 0.5. The oracle recomputes
+    the BATCH LSH over the full corpus in DuckDB and restricts to pairs
+    touching a new doc — so the probe path must agree with batch exactly
+    (the equality contract minhash_probe_pairs pins; pytest checks it on
+    the production UDF signatures, this query checks it cross-engine)."""
+    from spider_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _md5_sig_table(docs)
+    standing = sigs.filter(F.col("id") % 3 != 0)
+    new = sigs.filter(F.col("id") % 3 == 0)
+    return dedup.minhash_probe_pairs(
+        standing,
+        new,
+        num_perm=4,
+        bands=2,
+        jaccard_threshold=0.5,
+        max_bucket_size=None,
+    ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_r"))
+
+
 def q_winnowing_md5(spark, sf_dir):
     """Deterministic winnowing fingerprints (char 5-grams → md5 hashes →
     min per 4-window → distinct) in pure Catalyst array algebra — the
@@ -4564,6 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
+        "minhash_incremental_probe": q_minhash_incremental_probe,
         "winnowing_deterministic": q_winnowing_md5,
         "ivf_topk_ann": q_ivf_topk,
         "repetition_signals": q_repetition_signals,
@@ -5294,6 +5345,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CASE WHEN jaccard >= 0.5 AND est >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
                          / SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 4) AS recall_r
             FROM s
+        """,
+        # batch LSH over the full corpus, restricted to pairs touching a
+        # "new" (doc_id % 3 = 0) doc — the incremental probe must agree
+        "minhash_incremental_probe": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 1)),
+                         i -> array_to_string(t[i:i+2], ' '))),
+                       s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT)) AS hs
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents WHERE trim(text) <> '')),
+            sigs AS (
+              SELECT doc_id,
+                     {", ".join(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS sig{i}"
+                                for i, (a, b) in enumerate(_MH_PERMS))}
+              FROM g)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+                                       for i in range(len(_MH_PERMS)))}) / 4.0, 4) AS est_r
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id
+             AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+               OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+            WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+              AND ({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+                                for i in range(len(_MH_PERMS)))}) / 4.0 >= 0.5
         """,
         "minhash_deterministic": f"""
             WITH g AS (

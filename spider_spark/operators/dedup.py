@@ -777,3 +777,120 @@ def cross_source_dup_matrix(
         ).alias("n_shared_docs"),
         F.count(F.lit(1)).alias("n_groups"),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Standing signature table (id, sig array<long>) — the persisted half
+    of the incremental near-dup index. Computed ONCE per capture and
+    appended tick-over-tick (the `update_index` discipline applied to
+    dedup): at 100 TB the signature pass is the expensive stage, and a
+    standing table means each crawl tick pays it only for NEW captures.
+    Degenerate (empty/whitespace) texts are excluded — exact dedupe owns
+    them (same short-circuit as minhash_near_duplicates)."""
+    sig_udf = minhash_signature_udf(num_perm, shingle_n, seed)
+    return df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
+def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    band_cols = [
+        F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows), F.lit(i)).alias(
+            "band_hash"
+        )
+        for i in range(bands)
+    ]
+    return sigs.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
+    )
+
+
+def minhash_probe_pairs(
+    standing_sigs: DataFrame,
+    new_sigs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Incremental LSH probe: near-dup pairs (id_a < id_b, est_jaccard)
+    where AT LEAST ONE side is a new capture — new×standing plus new×new,
+    never standing×standing. This is the per-tick shape of corpus dedup:
+    the standing corpus was already deduped against itself in prior
+    ticks; recomputing its internal pairs every tick is the quadratic a
+    10^10-doc corpus cannot afford.
+
+    Equality contract (pinned by tests + the entry oracle): with the same
+    banding parameters and a hot-bucket census taken over the COMBINED
+    band table, the result equals minhash_near_duplicates over
+    standing ∪ new restricted to pairs touching a new id. The census must
+    be combined because batch-mode bucket sizes count both sides — a
+    bucket hot only together must drop in both paths for the differential
+    to hold.
+
+    Scale shape: standing banding is a map-only projection of the
+    signature table (at deployment, a persisted table partitioned by
+    (band, band_hash) — the probe join then co-locates); the new side is
+    tiny relative to standing, so the new×standing equi-join broadcasts
+    or shuffles ∝ new + matched buckets; ids-only banding and the
+    pair-scoped signature rejoin carry over from the batch operator."""
+    from pyspark import StorageLevel
+
+    rows = num_perm // bands
+    standing_sigs = standing_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    b_standing = _band_table(standing_sigs, bands, rows)
+    b_new = _band_table(new_sigs, bands, rows)
+    if max_bucket_size is not None:
+        # combined census, applied to both sides (see equality contract)
+        combined = b_standing.unionByName(b_new)
+        hot = (
+            combined.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        b_standing = b_standing.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+        b_new = b_new.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+
+    n = b_new.alias("n")
+    s = b_standing.alias("s")
+    pairs_ns = n.join(
+        s,
+        (F.col("n.band") == F.col("s.band")) & (F.col("n.bh") == F.col("s.bh")),
+    ).select(
+        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
+        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
+    )
+    n2 = b_new.alias("m")
+    pairs_nn = n.join(
+        n2,
+        (F.col("n.band") == F.col("m.band"))
+        & (F.col("n.bh") == F.col("m.bh"))
+        & (F.col("n.id") < F.col("m.id")),
+    ).select(F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"))
+    pairs = pairs_ns.unionByName(pairs_nn).dropDuplicates(["id_a", "id_b"])
+
+    all_sigs = standing_sigs.unionByName(new_sigs)
+    pairs = pairs.join(
+        all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(num_perm)
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
