@@ -4022,6 +4022,40 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_outlink_farms(spark, sf_dir):
+    """Link-farm detection (graph.outlink_farms): docs with
+    doc_id % 10 ∈ {1,3,7} form a planted farm — identical 3-target
+    outlink sets across 20 hosts (their background edges removed so the
+    sets really are byte-identical); everyone else keeps the shared
+    deterministic background graph, whose dst = (src*11+5) % 150
+    congruences produce small organic same-set groups the census must
+    also report. Oracle recomputes fingerprints + census in DuckDB."""
+    from spider_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    member = F.col("doc_id") % 10
+    bg_docs = docs.filter(~member.isin(1, 3, 7))
+    farm = (
+        docs.filter(member.isin(1, 3, 7))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(9001), F.lit(9002), F.lit(9003))).alias(
+                "dst"
+            ),
+        )
+    )
+    edges = (
+        _link_edges(bg_docs)
+        .union(farm)
+        .withColumn(
+            "host", F.concat(F.lit("h"), (F.col("src") % 20).cast("string"))
+        )
+    )
+    return graph.outlink_farms(
+        edges, host_col="host", min_pages=3, min_hosts=2
+    )
+
+
 def _sketch_hosts(docs: DataFrame):
     """Deterministic zipf-ish host stream for the sketch queries: two
     planted heads (25% each) over a per-source tail (~1.25% each)."""
@@ -4772,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_param_rules": q_dust_rules,
         "dust_strip": q_dust_strip,
         "reciprocal_links": q_reciprocal_links,
+        "outlink_farms": q_outlink_farms,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -9767,6 +9802,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # fingerprint census recomputed over the same planted-farm +
+        # background construction
+        "outlink_farms": """
+            WITH base AS (
+              SELECT doc_id AS src, (doc_id * 11 + 5) % 150 AS dst
+              FROM documents WHERE doc_id % 10 NOT IN (1, 3, 7)
+              UNION ALL
+              SELECT doc_id, (doc_id * 17 + 2) % 150
+              FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id % 10 NOT IN (1, 3, 7)
+              UNION ALL
+              SELECT doc_id, f
+              FROM documents, (VALUES (9001), (9002), (9003)) AS v(f)
+              WHERE doc_id % 10 IN (1, 3, 7)
+            ), per_src AS (
+              SELECT src, 'h' || (src % 20) AS host,
+                     md5(array_to_string(
+                       list_sort(list(DISTINCT CAST(dst AS VARCHAR))),
+                       '|')) AS farm_fp,
+                     COUNT(DISTINCT dst) AS deg
+              FROM base GROUP BY src
+            )
+            SELECT farm_fp,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT host) AS n_hosts,
+                   MIN(deg) AS n_outlinks,
+                   MIN(src) AS first_src,
+                   COUNT(DISTINCT host) >= 2 AS cross_host
+            FROM per_src GROUP BY farm_fp
+            HAVING COUNT(*) >= 3
+        """,
         "reciprocal_links": """
             WITH ue AS (
               SELECT doc_id AS s, (doc_id * 11 + 5) % 150 AS d FROM documents

@@ -1437,3 +1437,65 @@ def bowtie_classes(
     )
     nodes.unpersist()
     return out
+
+
+def outlink_farms(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    host_col: str | None = None,
+    min_pages: int = 3,
+    min_hosts: int = 2,
+    max_outdegree: int = 10_000,
+) -> DataFrame:
+    """Link-farm candidates via shared-outlink-set fingerprints: groups of
+    pages whose DISTINCT outlink sets are byte-identical. Template-stamped
+    spam farms generate thousands of pages pointing at the same boost
+    targets (Fetterly/Manasse/Najork, "Spam, Damn Spam, and Statistics",
+    WebDB 2004 — near-identical link structure is one of the strongest
+    machine-generated-page signals; Gyöngyi & Garcia-Molina, "Link Spam
+    Alliances", VLDB 2005). A frontier that demotes members of large
+    cross-host farms starves the boost scheme; the spam_mass/trustrank
+    operators score the TARGETS, this one catches the SOURCES.
+
+    Output: one row per farm (farm_fp, n_pages, n_hosts, n_outlinks,
+    first_src, cross_host) with n_pages ≥ min_pages; ``cross_host`` marks
+    coordination across ≥ min_hosts distinct hosts (host_col optional —
+    without it n_hosts counts distinct src, so cross_host degenerates to
+    n_pages ≥ min_hosts).
+
+    Scale shape: one groupBy-src building the sorted-distinct outlink
+    fingerprint (md5 of the '|'-joined sorted set — engine-portable, and
+    the downstream group key is 128 bits, never the list), then a
+    partial-aggregable census per fingerprint. Pages with outdegree >
+    max_outdegree are dropped BEFORE the set-collect: a 10^5-outlink page
+    is a directory/sitemap, not a farm member, and its collect_set is the
+    memory hot spot at census scale."""
+    host = F.col(host_col) if host_col else F.col(src_col)
+    per_src = (
+        edges.groupBy(src_col)
+        .agg(
+            F.sort_array(F.collect_set(F.col(dst_col).cast("string"))).alias(
+                "_outs"
+            ),
+            F.first(host).alias("_host"),
+        )
+        .filter(F.size("_outs") <= max_outdegree)
+        .select(
+            F.col(src_col).alias("_src"),
+            "_host",
+            F.md5(F.array_join("_outs", "|")).alias("farm_fp"),
+            F.size("_outs").alias("_deg"),
+        )
+    )
+    return (
+        per_src.groupBy("farm_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("_host").alias("n_hosts"),
+            F.min("_deg").alias("n_outlinks"),
+            F.min("_src").alias("first_src"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+        .withColumn("cross_host", F.col("n_hosts") >= min_hosts)
+    )

@@ -222,3 +222,43 @@ def test_mixed_edge_kinds_merge_one_identity(spark):
     assert {r.component for r in rows} == {rows[0].component}
     assert all(r.canonical_url == "http://d/page" for r in rows)
     assert sum(r.is_canonical for r in rows) == 1
+
+
+def test_outlink_farms_detects_planted_farm(spark):
+    from spider_spark.operators.graph import outlink_farms
+
+    rows = []
+    # farm: 4 pages on 3 hosts, identical outlink set {t1,t2}
+    for i, h in enumerate(["a", "a", "b", "c"]):
+        rows += [(f"p{i}", h, "t1"), (f"p{i}", h, "t2")]
+    # duplicate edges must not change the DISTINCT set
+    rows.append(("p0", "a", "t1"))
+    # same-host-only group of 3 (cross_host=False at min_hosts=2... still
+    # >= 2? one host) — 3 pages, 1 host
+    for i in range(3):
+        rows += [(f"q{i}", "z", "u1")]
+    # singleton below min_pages
+    rows.append(("solo", "s", "v1"))
+    edges = spark.createDataFrame(rows, "src string, host string, dst string")
+    out = {
+        r["first_src"]: (r["n_pages"], r["n_hosts"], r["n_outlinks"], r["cross_host"])
+        for r in outlink_farms(edges, host_col="host").collect()
+    }
+    assert out == {"p0": (4, 3, 2, True), "q0": (3, 1, 1, False)}
+
+
+def test_outlink_farms_outdegree_guard_and_order_insensitivity(spark):
+    from spider_spark.operators.graph import outlink_farms
+
+    rows = [("big", "h", f"d{i}") for i in range(50)]
+    # same set presented in different edge orders fingerprints identically
+    rows += [("x", "h1", "m"), ("x", "h1", "n"),
+             ("y", "h2", "n"), ("y", "h2", "m"),
+             ("z", "h3", "m"), ("z", "h3", "n")]
+    edges = spark.createDataFrame(rows, "src string, host string, dst string")
+    out = outlink_farms(
+        edges, host_col="host", max_outdegree=10, min_pages=3
+    ).collect()
+    assert len(out) == 1
+    (farm,) = out
+    assert farm["n_pages"] == 3 and farm["first_src"] == "x"
