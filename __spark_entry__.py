@@ -354,6 +354,37 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", textqc.col_lang_id("text").alias("lang_pred"))
 
 
+def q_declared_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language audit (langid.declared_lang_mismatch):
+    lang attribute planted in all three quoting styles + a BCP 47 region
+    variant, absent on every 7th doc; declared tag cycles by doc_id % 5 so
+    roughly 4/5 of docs mismatch their (mostly English) text. The oracle
+    derives declared from the construction and recomputes the stopword
+    argmax."""
+    from spider_spark.operators import langid as lid
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tag = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+        (d % 5 + 1).cast("int"),
+    )
+    attr = (
+        F.when(d % 7 == 0, F.lit(""))
+        .when(d % 3 == 0, F.concat(F.lit(' lang="'), tag, F.lit('-US"')))
+        .when(d % 3 == 1, F.concat(F.lit(" lang='"), tag, F.lit("'")))
+        .otherwise(F.concat(F.lit(" lang="), tag))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html"), attr, F.lit("><body>x</body></html>")
+        ).alias("html"),
+        "text",
+    )
+    return lid.declared_lang_mismatch(pages, id_col="doc_id")
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (probes broadcast, corpus scan
     stays in codegen): top-5 neighbors of vec_id 0-3."""
@@ -4620,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_flags": q_quality_flags,
         "lang_id": q_lang_id,
+        "declared_lang_mismatch": q_declared_lang_mismatch,
         "similarity_topk_cosine": q_similarity_topk,
         "scrape_document_text_branch": q_scrape_document,
         "scrape_document_download_branch": q_scrape_document_downloads,
@@ -4952,6 +4984,24 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         """,
         "lang_id": _lang_id_oracle(),
+        # declared derived from the construction; detected = the lang_id
+        # oracle expression re-used verbatim
+        "declared_lang_mismatch": f"""
+            WITH det AS (SELECT doc_id, lang_pred FROM ({_lang_id_oracle()})),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE ['en','de','fr','es','zh'][doc_id % 5 + 1]
+                     END AS declared_lang
+              FROM documents)
+            SELECT d.doc_id AS id, d.declared_lang,
+                   det.lang_pred AS detected_lang,
+                   COALESCE(d.declared_lang IS NOT NULL
+                            AND det.lang_pred <> 'und'
+                            AND d.declared_lang <> det.lang_pred,
+                            FALSE) AS mismatch
+            FROM d JOIN det USING (doc_id)
+        """,
         "scrape_document_text_branch": """
             SELECT doc_id,
                    'Doc ' || doc_id AS title,

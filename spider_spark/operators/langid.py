@@ -268,3 +268,55 @@ def lang_mixture(
             "majority_frac_r"
         ),
     )
+
+
+# first <html ...> tag; lang attribute in the three quoting styles the
+# meta-tag machinery already handles (metarobots._first_attr). \blang also
+# matches xml:lang= (':' is a word boundary) — both declare the document
+# language, so that is the desired behavior, not an accident.
+_HTML_TAG_RE = "(?is)<html\\b[^>]*>"
+_LANG_DQ_RE = "(?i)\\blang\\s*=\\s*\"([^\"]*)\""
+_LANG_SQ_RE = "(?i)\\blang\\s*=\\s*'([^']*)'"
+_LANG_UQ_RE = "(?i)\\blang\\s*=\\s*([^\\s\"'>/]+)"
+
+
+def declared_lang_mismatch(
+    pages: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-vs-detected language audit: (id, declared_lang,
+    detected_lang, mismatch).
+
+    ``declared_lang`` is the primary subtag of the first ``<html lang=…>``
+    attribute (BCP 47 'en-US' → 'en', lowercased; absent/empty → null).
+    ``detected_lang`` is the stopword-argmax heuristic the corpus lang
+    column already verifies (`textqc.col_lang_id`). ``mismatch`` accuses
+    only when BOTH sides are known: a missing attribute or an 'und'
+    detection is evidence of nothing. Mislabeled lang attributes are
+    endemic (template default 'en' on translated CMS pages) — CCNet/C4
+    style pipelines that route by declared lang silently misfile those
+    docs, so this audit belongs beside lang_mixture in the QC pass.
+
+    Map-only codegen projection — no shuffle, no UDF."""
+    from ..metarobots import _first_attr
+    from . import textqc
+
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    tag = F.regexp_extract(html, _HTML_TAG_RE, 0)
+    raw = _first_attr(tag, _LANG_DQ_RE, _LANG_SQ_RE, _LANG_UQ_RE)
+    declared = F.nullif(
+        F.lower(F.regexp_extract(raw, "^([A-Za-z]{2,3})", 1)), F.lit("")
+    )
+    detected = textqc.col_lang_id(F.coalesce(F.col(text_col), F.lit("")))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        declared.alias("declared_lang"),
+        detected.alias("detected_lang"),
+        (
+            declared.isNotNull()
+            & (detected != "und")
+            & (declared != detected)
+        ).alias("mismatch"),
+    )

@@ -88,3 +88,36 @@ def test_segment_validation(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         li.token_window_segments(docs, window_tokens=0)
+
+
+def test_declared_lang_mismatch_quote_styles_and_gating(spark):
+    from spider_spark.operators.langid import declared_lang_mismatch
+
+    en = "the of and to in is was for on with"
+    de = "der die und das nicht von zu mit sich auf"
+    cases = [
+        # declared de, text en → mismatch
+        (0, '<html lang="de"><body>x</body></html>', en, "de", "en", True),
+        # region subtag trimmed, single quotes
+        (1, "<html lang='en-GB'>", en, "en", "en", False),
+        # unquoted, uppercase tag normalized
+        (2, "<html LANG=FR-ca>", de, "fr", "de", True),
+        # xml:lang also declares
+        (3, '<html xml:lang="es">', en, "es", "en", True),
+        # no attribute → never accuses
+        (4, "<html><body></body></html>", en, None, "en", False),
+        # declared but detection undetermined → never accuses
+        (5, '<html lang="en">', "zzz qqq", "en", "und", False),
+        # null html
+        (6, None, en, None, "en", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, t) for i, h, t, *_ in cases],
+        "doc_id long, html string, text string",
+    )
+    got = {
+        r["id"]: (r["declared_lang"], r["detected_lang"], r["mismatch"])
+        for r in declared_lang_mismatch(df, id_col="doc_id").collect()
+    }
+    for i, _, _, dec, det, mm in cases:
+        assert got[i] == (dec, det, mm), i
