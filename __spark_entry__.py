@@ -4053,6 +4053,37 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_template_shapes(spark, sf_dir):
+    """DOM-shape template census (content.template_shapes): every doc is
+    stamped from one of two templates whose tag SEQUENCES differ (every
+    3rd doc adds a span) while every visible string and attribute varies
+    per doc — the census must collapse on structure alone. Hosts cycle
+    doc_id % 20. The oracle computes md5 over the statically-known tag
+    sequences and counts arithmetically."""
+    from spider_spark.operators import content as ct
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 20).cast("string")).alias("host"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            d.cast("string"),
+            F.lit('</title></head><body><div class="c'),
+            d.cast("string"),
+            F.lit('"><p>'),
+            F.substring(F.coalesce("text", F.lit("")), 1, 40),
+            F.lit("</p></div>"),
+            F.when(d % 3 == 0, F.lit("<span>x</span>")).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return ct.template_shapes(
+        pages, id_col="doc_id", host_col="host", min_pages=2
+    )
+
+
 def q_outlink_farms(spark, sf_dir):
     """Link-farm detection (graph.outlink_farms): docs with
     doc_id % 10 ∈ {1,3,7} form a planted farm — identical 3-target
@@ -4839,6 +4870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_strip": q_dust_strip,
         "reciprocal_links": q_reciprocal_links,
         "outlink_farms": q_outlink_farms,
+        "template_shapes": q_template_shapes,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -9852,6 +9884,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # tag sequences are static per template, so the fingerprints are
+        # md5 of known literals and the census is pure arithmetic
+        "template_shapes": """
+            SELECT md5('html>head>title>title>head>body>div>p>p>div>body>html')
+                     AS shape_fp,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT doc_id % 20) AS n_hosts,
+                   12 AS n_tags,
+                   MIN(doc_id) AS first_id
+            FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT md5('html>head>title>title>head>body>div>p>p>div>span>span>body>html'),
+                   COUNT(*), COUNT(DISTINCT doc_id % 20), 14, MIN(doc_id)
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         # fingerprint census recomputed over the same planted-farm +
         # background construction
         "outlink_farms": """

@@ -264,3 +264,55 @@ def section_chunks(
             F.size(F.split(F.col("sec_text"), r"\s+"))
         ),
     )
+
+
+# opening/closing tag names — group 1 is the name; RE2-safe (no
+# backreferences), shared verbatim with the DuckDB oracle
+_TAG_NAME_RE = "(?i)</?([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def template_shapes(
+    pages: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    host_col: str | None = None,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Template census by DOM shape: pages whose full tag-name SEQUENCE
+    (open and close tags, attributes and text ignored) is identical share
+    one generator template. Text-level boilerplate ops (boilerplate_ngrams,
+    line_dedup) catch repeated STRINGS; this catches repeated STRUCTURE —
+    CMS themes, listing pages, doorway-page generators — even when every
+    visible string differs (Bar-Yossef & Rajagopalan, WWW 2002: template
+    detection via pagelet structure; the shape fingerprint is the
+    degenerate-but-robust whole-page form).
+
+    Output: (shape_fp, n_pages, n_hosts, n_tags, first_id) for shapes with
+    ≥ min_pages members. n_tags = tag count of the shape (depth proxy).
+    Joining members back is a fingerprint equi-join on the same
+    projection.
+
+    Scale shape: map-only fingerprint projection (the tag sequence never
+    leaves the executor — md5 reduces it to 128 bits in the same stage),
+    then a partial-aggregable census. No UDF, no self-join."""
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    tags = F.transform(
+        F.regexp_extract_all(html, F.lit(_TAG_NAME_RE), F.lit(1)), F.lower
+    )
+    host = F.col(host_col) if host_col else F.col(id_col)
+    per_page = pages.select(
+        F.col(id_col).alias("_id"),
+        host.alias("_host"),
+        F.md5(F.array_join(tags, ">")).alias("shape_fp"),
+        F.size(tags).alias("_n_tags"),
+    )
+    return (
+        per_page.groupBy("shape_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("_host").alias("n_hosts"),
+            F.min("_n_tags").alias("n_tags"),
+            F.min("_id").alias("first_id"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )

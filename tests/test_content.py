@@ -127,3 +127,28 @@ def test_wet_spark_roundtrip_and_file_read(spark, tmp_path):
     (tmp_path / "part0.warc.wet.gz").write_bytes(warc.build_wet(recs, compress=True))
     got = sorted(map(tuple, warc.read_wet(spark, str(tmp_path)).collect()))
     assert got == sorted(recs)
+
+
+def test_template_shapes_structure_only(spark):
+    from spider_spark.operators.content import template_shapes
+
+    rows = [
+        # same structure, different text/attrs/case → one shape
+        ("a1", "h1", '<div class="x"><p>hello</p></div>'),
+        ("a2", "h2", "<DIV id='y'><P>totally other words</P></DIV>"),
+        ("a3", "h1", "<div><p>third</p></div>"),
+        # different structure (extra span)
+        ("b1", "h1", "<div><p>x</p><span>s</span></div>"),
+        ("b2", "h1", "<div><p>y</p><span>t</span></div>"),
+        # singleton below min_pages
+        ("c1", "h9", "<table><tr><td>z</td></tr></table>"),
+        ("n1", "h9", None),
+        ("n2", "h9", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, html string")
+    out = {
+        r["first_id"]: (r["n_pages"], r["n_hosts"], r["n_tags"])
+        for r in template_shapes(df, host_col="host").collect()
+    }
+    # null html pages share the empty shape (0 tags) — still a group
+    assert out == {"a1": (3, 2, 4), "b1": (2, 1, 6), "n1": (2, 1, 0)}
