@@ -4053,6 +4053,45 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_url_path_dates(spark, sf_dir):
+    """URL-path date priors (dust.url_path_dates): permalink styles cycled
+    by doc_id % 5 — /YYYY/MM/DD/, /YYYY-MM-DD.html, monthly /YYYY/MM/, an
+    out-of-range /2024/13/40/ (must yield kind null), and dateless. The
+    oracle derives (year, month, day, kind) from the construction."""
+    from spider_spark.operators import dust
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    yy = (F.lit(2000) + d % 20).cast("string")
+    mm = F.lpad((d % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    url = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("https://b.test/"), yy, F.lit("/"), mm, F.lit("/"),
+                dd, F.lit("/post-"), d.cast("string"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("https://b.test/news/"), yy, F.lit("-"), mm,
+                F.lit("-"), dd, F.lit(".html"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("https://b.test/"), yy, F.lit("/"), mm, F.lit("/")),
+        )
+        .when(d % 5 == 3, F.lit("https://b.test/2024/13/40/x"))
+        .otherwise(F.concat(F.lit("https://b.test/p/"), d.cast("string")))
+    )
+    return dust.url_path_dates(docs.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url_year", "url_month", "url_day", "url_date_kind"
+    )
+
+
 def q_template_shapes(spark, sf_dir):
     """DOM-shape template census (content.template_shapes): every doc is
     stamped from one of two templates whose tag SEQUENCES differ (every
@@ -4871,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_links": q_reciprocal_links,
         "outlink_farms": q_outlink_farms,
         "template_shapes": q_template_shapes,
+        "url_path_dates": q_url_path_dates,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -9884,6 +9924,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # (year, month, day, kind) derived from the permalink construction
+        "url_path_dates": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 IN (0, 1, 2)
+                        THEN 2000 + doc_id % 20 END AS url_year,
+                   CASE WHEN doc_id % 5 IN (0, 1, 2)
+                        THEN doc_id % 12 + 1 END AS url_month,
+                   CASE WHEN doc_id % 5 IN (0, 1)
+                        THEN doc_id % 28 + 1 END AS url_day,
+                   CASE WHEN doc_id % 5 IN (0, 1) THEN 'ymd'
+                        WHEN doc_id % 5 = 2 THEN 'ym' END AS url_date_kind
+            FROM documents
+        """,
         # tag sequences are static per template, so the fingerprints are
         # md5 of known literals and the census is pure arithmetic
         "template_shapes": """

@@ -153,3 +153,76 @@ def strip_junk_params(
         .otherwise(base)
     )
     return with_rules.withColumn("url_dusted", dusted).drop("__host", "junk_params")
+
+
+# date-in-path conventions, tightest first; RE2-safe (no backreferences —
+# the separator is per-alternative, not captured-and-reused), shared
+# verbatim with the DuckDB oracle. Anchored between '/'es so numeric ids
+# (/p/20240512999/) don't false-positive.
+_URL_DATE_YMD_SLASH_RE = r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)"
+_URL_DATE_YMD_DASH_RE = r"/((?:19|20)\d{2})-(\d{2})-(\d{2})(?:[/.]|$)"
+_URL_DATE_YM_RE = r"/((?:19|20)\d{2})/(\d{2})(?:/|$)"
+
+
+def url_path_dates(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Publication-date prior from URL path conventions: blog/news CMSes
+    overwhelmingly stamp /YYYY/MM/DD/, /YYYY-MM-DD or /YYYY/MM/ into
+    permalinks. At crawl scale that is a free freshness signal available
+    BEFORE fetch — the recrawl scheduler can deprioritize a 2009 archive
+    permalink sight-unseen, where http_freshness/sitemap lastmod need a
+    prior capture. (SIGIR/WWW date-extraction literature treats URL dates
+    as the highest-precision field next to structured metadata.)
+
+    Adds (url_year, url_month, url_day, url_date_kind): kind ∈
+    {'ymd','ym',null}; day is null for 'ym'. Month/day are RANGE-CHECKED
+    in the projection (01-12 / 01-31) — a /2024/99/ path is a section
+    number, not a date, and surfaces as kind null. A valid-month path
+    with a junk day (/2024/05/99/) degrades to its monthly prefix
+    ('ym') rather than null — the weaker prior is still real. Map-only codegen
+    projection; no UDF, no shuffle."""
+    u = F.col(url_col)
+    ymd_y = F.nullif(F.regexp_extract(u, _URL_DATE_YMD_SLASH_RE, 1), F.lit(""))
+    ymd_m = F.nullif(F.regexp_extract(u, _URL_DATE_YMD_SLASH_RE, 2), F.lit(""))
+    ymd_d = F.nullif(F.regexp_extract(u, _URL_DATE_YMD_SLASH_RE, 3), F.lit(""))
+    dash_y = F.nullif(F.regexp_extract(u, _URL_DATE_YMD_DASH_RE, 1), F.lit(""))
+    dash_m = F.nullif(F.regexp_extract(u, _URL_DATE_YMD_DASH_RE, 2), F.lit(""))
+    dash_d = F.nullif(F.regexp_extract(u, _URL_DATE_YMD_DASH_RE, 3), F.lit(""))
+    ym_y = F.nullif(F.regexp_extract(u, _URL_DATE_YM_RE, 1), F.lit(""))
+    ym_m = F.nullif(F.regexp_extract(u, _URL_DATE_YM_RE, 2), F.lit(""))
+
+    def _valid(m: Column, d: Column | None) -> Column:
+        ok = m.cast("int").between(1, 12)
+        if d is not None:
+            ok = ok & d.cast("int").between(1, 31)
+        return ok
+
+    y = (
+        F.when(ymd_y.isNotNull() & _valid(ymd_m, ymd_d), ymd_y)
+        .when(dash_y.isNotNull() & _valid(dash_m, dash_d), dash_y)
+        .when(ym_y.isNotNull() & _valid(ym_m, None), ym_y)
+    )
+    m = (
+        F.when(ymd_y.isNotNull() & _valid(ymd_m, ymd_d), ymd_m)
+        .when(dash_y.isNotNull() & _valid(dash_m, dash_d), dash_m)
+        .when(ym_y.isNotNull() & _valid(ym_m, None), ym_m)
+    )
+    d = F.when(ymd_y.isNotNull() & _valid(ymd_m, ymd_d), ymd_d).when(
+        dash_y.isNotNull() & _valid(dash_m, dash_d), dash_d
+    )
+    kind = (
+        F.when(
+            (ymd_y.isNotNull() & _valid(ymd_m, ymd_d))
+            | (dash_y.isNotNull() & _valid(dash_m, dash_d)),
+            F.lit("ymd"),
+        )
+        .when(ym_y.isNotNull() & _valid(ym_m, None), F.lit("ym"))
+    )
+    return df.select(
+        "*",
+        y.cast("int").alias("url_year"),
+        m.cast("int").alias("url_month"),
+        d.cast("int").alias("url_day"),
+        kind.alias("url_date_kind"),
+    )

@@ -109,3 +109,32 @@ def test_reciprocal_link_stats(spark):
     assert got["a"] == (2, 1, 0.5)
     assert got["b"] == (1, 1, 1.0)
     assert "c" not in got  # no out-edges
+
+
+def test_url_path_dates_conventions(spark):
+    from spider_spark.operators.dust import url_path_dates
+
+    cases = [
+        ("https://a.test/2024/05/12/post-title", (2024, 5, 12, "ymd")),
+        ("https://a.test/blog/2019-12-31.html", (2019, 12, 31, "ymd")),
+        ("https://a.test/2024-01-02/", (2024, 1, 2, "ymd")),
+        ("https://a.test/archive/2021/07/", (2021, 7, None, "ym")),
+        # numeric id is not a date (no separators between components)
+        ("https://a.test/p/20240512999/", (None, None, None, None)),
+        # out-of-range month/day rejected by the range check
+        ("https://a.test/2024/13/40/x", (None, None, None, None)),
+        # invalid day falls back to the still-valid monthly prefix
+        ("https://a.test/2024/05/99/x", (2024, 5, None, "ym")),
+        # century outside 19xx/20xx
+        ("https://a.test/1824/05/12/x", (None, None, None, None)),
+        # ymd takes precedence over its own ym prefix
+        ("https://a.test/2022/03/04/", (2022, 3, 4, "ymd")),
+        ("https://a.test/no/date/here", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: (r["url_year"], r["url_month"], r["url_day"], r["url_date_kind"])
+        for r in url_path_dates(df).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, u
