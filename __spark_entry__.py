@@ -4053,6 +4053,35 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_markup_density(spark, sf_dir):
+    """Page-level markup density (content.markup_density): head/style
+    stripped, doc text as the article body, doc_id % 3 planted anchors —
+    the oracle reconstructs the same HTML string for html_chars and
+    derives text/link chars arithmetically (collapsed text length +
+    per-anchor 'LINK'+digits)."""
+    from spider_spark.operators import content as ct
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    anchor = F.concat(
+        F.lit('<a href="x">LINK'), d.cast("string"), F.lit("</a>")
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><title>T</title><style>p{color:red}</style>"
+                "</head><body><p>"
+            ),
+            F.col("text"),
+            F.lit("</p>"),
+            F.repeat(anchor, (d % 3).cast("int")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return ct.markup_density(pages, id_col="doc_id")
+
+
 def q_url_path_dates(spark, sf_dir):
     """URL-path date priors (dust.url_path_dates): permalink styles cycled
     by doc_id % 5 — /YYYY/MM/DD/, /YYYY-MM-DD.html, monthly /YYYY/MM/, an
@@ -4911,6 +4940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_farms": q_outlink_farms,
         "template_shapes": q_template_shapes,
         "url_path_dates": q_url_path_dates,
+        "markup_density": q_markup_density,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -9924,6 +9954,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # html_chars from the reconstructed string; text/link chars
+        # arithmetic (collapsed text + n anchors of 'LINK'+digits)
+        "markup_density": """
+            WITH b AS (
+              SELECT doc_id, text, doc_id % 3 AS n,
+                     CAST(doc_id AS VARCHAR) AS ds,
+                     strlen(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tc0
+              FROM documents),
+            h AS (
+              SELECT *,
+                '<html><head><title>T</title><style>p{color:red}</style></head><body><p>'
+                  || text || '</p>'
+                  || repeat('<a href="x">LINK' || ds || '</a>', n)
+                  || '</body></html>' AS html
+              FROM b)
+            SELECT doc_id AS id,
+                   strlen(html) AS html_chars,
+                   12 + 2 * n AS tag_count,
+                   tc0 + n * (5 + strlen(ds)) AS text_chars,
+                   n * (4 + strlen(ds)) AS link_chars,
+                   ROUND((tc0 + n * (5 + strlen(ds)))
+                         / CAST(strlen(html) AS DOUBLE), 6) AS text_ratio_r,
+                   ROUND(n * (4 + strlen(ds))
+                         / CAST(tc0 + n * (5 + strlen(ds)) AS DOUBLE), 6)
+                     AS link_density_r
+            FROM h
+        """,
         # (year, month, day, kind) derived from the permalink construction
         "url_path_dates": """
             SELECT doc_id,

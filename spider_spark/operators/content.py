@@ -316,3 +316,61 @@ def template_shapes(
         )
         .filter(F.col("n_pages") >= min_pages)
     )
+
+
+# anchor element bodies — group 1 is the inner HTML; lazy match, RE2-safe
+_ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def markup_density(
+    pages: DataFrame, id_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-level markup-density signals: (id, html_chars, tag_count,
+    text_chars, link_chars, text_ratio_r, link_density_r).
+
+    text_ratio (visible text chars / raw HTML chars) and link_density
+    (anchor-text chars / visible-text chars) are the oldest reliable
+    boilerplate discriminators — navigation/tag-cloud/footer pages sit at
+    high link density and low text ratio, article pages the reverse
+    (Kohlschütter et al., WSDM 2010 "Boilerplate detection using shallow
+    text features"; C4/Gopher apply the same idea at line/doc level).
+    `extract_main_content` classifies BLOCKS; this is the page-level
+    rollup a crawl can use to triage before block work, and a corpus
+    datacard can aggregate per host.
+
+    Visible text = `_strip_invisible` (head/script/style/noscript/
+    comments) → `_visible_text` (tag strip, 5-entity chain, collapse) —
+    the exact normalization the block path uses. Anchor text is measured
+    on the raw body (an <a> inside a stripped region does not count
+    toward text but would toward links — at the documented signal
+    granularity that bias is negligible and the plan stays one
+    projection). Ratios are 0.0 when the denominator is 0. Map-only
+    codegen; no UDF, no shuffle, no join."""
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    visible = _visible_text(_strip_invisible(html))
+    anchor_lens = F.transform(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_BODY_RE), F.lit(1)),
+        lambda a: F.length(_visible_text(a)),
+    )
+    link_chars = F.coalesce(
+        F.aggregate(anchor_lens, F.lit(0), lambda acc, x: acc + x), F.lit(0)
+    )
+    html_chars = F.length(html)
+    text_chars = F.length(visible)
+    return pages.select(
+        F.col(id_col).alias("id"),
+        html_chars.alias("html_chars"),
+        F.size(F.regexp_extract_all(html, F.lit(_TAG_NAME_RE), F.lit(0))).alias(
+            "tag_count"
+        ),
+        text_chars.alias("text_chars"),
+        link_chars.alias("link_chars"),
+        F.round(
+            F.when(html_chars > 0, text_chars / html_chars).otherwise(F.lit(0.0)),
+            6,
+        ).alias("text_ratio_r"),
+        F.round(
+            F.when(text_chars > 0, link_chars / text_chars).otherwise(F.lit(0.0)),
+            6,
+        ).alias("link_density_r"),
+    )

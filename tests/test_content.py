@@ -152,3 +152,36 @@ def test_template_shapes_structure_only(spark):
     }
     # null html pages share the empty shape (0 tags) — still a group
     assert out == {"a1": (3, 2, 4), "b1": (2, 1, 6), "n1": (2, 1, 0)}
+
+
+def test_markup_density_signals(spark):
+    from spider_spark.operators.content import markup_density
+
+    nav = (
+        "<html><head><script>junk()</script></head><body>"
+        '<a href="/a">Home</a> <a href="/b">About&amp;Co</a>'
+        "</body></html>"
+    )
+    art = "<html><body><p>ten visible words of real article text here</p>" \
+          '<a href="/m">more</a></body></html>'
+    rows = markup_density(
+        spark.createDataFrame(
+            [("nav", nav), ("art", art), ("empty", ""), ("null", None)],
+            "url string, html string",
+        )
+    ).collect()
+    by = {r["id"]: r for r in rows}
+    # nav page: visible text is exactly the anchor texts (entity decoded)
+    assert by["nav"]["text_chars"] == len("Home About&Co")
+    assert by["nav"]["link_chars"] == len("Home") + len("About&Co")
+    assert by["nav"]["link_density_r"] > 0.9
+    # article: link density is the 4-char anchor over the full text
+    a = by["art"]
+    assert a["text_chars"] == len("ten visible words of real article text here more")
+    assert a["link_chars"] == 4
+    assert 0 < a["link_density_r"] < 0.15
+    assert a["text_ratio_r"] > 0.3
+    for k in ("empty", "null"):
+        r = by[k]
+        assert (r["html_chars"], r["text_chars"], r["link_chars"]) == (0, 0, 0)
+        assert r["text_ratio_r"] == 0.0 and r["link_density_r"] == 0.0
