@@ -324,6 +324,14 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "revisit_priority",
         "tokenizer_fertility",
         "fixed_chunk_dedup",
+        # round-3 late-session additions
+        "html_tables",
+        "minhash_incremental_probe",
+        "outlink_farms",
+        "declared_lang_mismatch",
+        "template_shapes",
+        "url_path_dates",
+        "markup_density",
     ]
     out = {}
     for name in names:
