@@ -4053,6 +4053,31 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_idn_host_audit(spark, sf_dir):
+    """IDN/homograph host audit (domains.idn_host_audit): six planted
+    host shapes cycled by doc_id % 6 — plain ASCII, ordinary IDN
+    (münchen.de), all-Cyrillic homograph (аррӏе.com — NOT mixed), a
+    truly mixed label (аpple.com — flagged), CJK, and an invalid
+    punycode label. The oracle pins the expected decode per case (DuckDB
+    cannot run RFC 3492 — the decode itself is what is under test)."""
+    from spider_spark.operators import domains
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("h"), d.cast("string"), F.lit(".example.com")))
+        .when(d % 6 == 1, F.lit("xn--mnchen-3ya.de"))
+        .when(d % 6 == 2, F.lit("xn--80ak6aa92e.com"))
+        .when(d % 6 == 3, F.lit("xn--pple-43d.com"))
+        .when(d % 6 == 4, F.lit("xn--fiq228c.cn"))
+        .otherwise(F.lit("xn--999999999.com"))
+    )
+    return domains.idn_host_audit(docs.select(host.alias("host"))).select(
+        "host", "is_idn", "unicode_host", "scripts", "mixed_script",
+        "decode_error",
+    )
+
+
 def q_markup_density(spark, sf_dir):
     """Page-level markup density (content.markup_density): head/style
     stripped, doc text as the article body, doc_id % 3 planted anchors —
@@ -4941,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_shapes": q_template_shapes,
         "url_path_dates": q_url_path_dates,
         "markup_density": q_markup_density,
+        "idn_host_audit": q_idn_host_audit,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -9954,6 +9980,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # expected decode pinned per planted case — the RFC 3492 decode is
+        # what is under test, so the oracle states answers, never recomputes
+        "idn_host_audit": """
+            SELECT CASE doc_id % 6
+                     WHEN 0 THEN 'h' || doc_id || '.example.com'
+                     WHEN 1 THEN 'xn--mnchen-3ya.de'
+                     WHEN 2 THEN 'xn--80ak6aa92e.com'
+                     WHEN 3 THEN 'xn--pple-43d.com'
+                     WHEN 4 THEN 'xn--fiq228c.cn'
+                     ELSE 'xn--999999999.com' END AS host,
+                   doc_id % 6 <> 0 AS is_idn,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'h' || doc_id || '.example.com'
+                     WHEN 1 THEN 'm' || chr(252) || 'nchen.de'
+                     WHEN 2 THEN chr(1072) || chr(1088) || chr(1088)
+                                 || chr(1231) || chr(1077) || '.com'
+                     WHEN 3 THEN chr(1072) || 'pple.com'
+                     WHEN 4 THEN chr(20013) || chr(25991) || '.cn'
+                     ELSE NULL END AS unicode_host,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'latin'
+                     WHEN 1 THEN 'latin'
+                     WHEN 2 THEN 'cyrillic|latin'
+                     WHEN 3 THEN 'cyrillic|latin'
+                     WHEN 4 THEN 'latin|other'
+                     ELSE NULL END AS scripts,
+                   doc_id % 6 = 3 AS mixed_script,
+                   doc_id % 6 = 5 AS decode_error
+            FROM documents
+        """,
         # html_chars from the reconstructed string; text/link chars
         # arithmetic (collapsed text + n anchors of 'LINK'+digits)
         "markup_density": """

@@ -96,3 +96,37 @@ def test_budget_filter_deterministic_across_partitioning(spark):
     a = sorted(r.url for r in domains.domain_budget_filter(frontier.repartition(1), 9).collect())
     b = sorted(r.url for r in domains.domain_budget_filter(frontier.repartition(13), 9).collect())
     assert a == b and len(a) == 9
+
+
+def test_idn_host_audit_cases(spark):
+    from spider_spark.operators.domains import idn_host_audit
+
+    cases = [
+        ("plain.example.com", (False, "plain.example.com", "latin", False, False)),
+        ("xn--mnchen-3ya.de", (True, "münchen.de", "latin", False, False)),
+        # all-Cyrillic homograph label: IDN, NOT mixed (single script)
+        ("xn--80ak6aa92e.com",
+         (True, "аррӏе.com", "cyrillic|latin", False, False)),
+        # Cyrillic а + Latin pple in ONE label → flagged
+        ("xn--pple-43d.com",
+         (True, "аpple.com", "cyrillic|latin", True, False)),
+        ("xn--fiq228c.cn", (True, "中文.cn", "latin|other", False, False)),
+        # Greek omicron + latin in one label → flagged
+        ("xn--gogle-rce.com", None),  # filled below after decode check
+        ("xn--999999999.com", (True, None, None, False, True)),
+        ("UPPER.COM", (False, "upper.com", "latin", False, False)),
+        ("127.0.0.1", (False, "127.0.0.1", None, False, False)),
+    ]
+    greek = "xn--gogle-rce".removeprefix("xn--").encode().decode("punycode")
+    assert any("Ͱ" <= ch <= "Ͽ" for ch in greek)
+    cases[5] = ("xn--gogle-rce.com", (True, greek + ".com", "greek|latin", True, False))
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: (
+            r["is_idn"], r["unicode_host"], r["scripts"],
+            r["mixed_script"], r["decode_error"],
+        )
+        for r in idn_host_audit(df).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, h
