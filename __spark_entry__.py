@@ -4053,6 +4053,26 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_code_fraction(spark, sf_dir):
+    """Code-likeness census (textqc.code_fraction): every 4th doc gets a
+    4-line code block appended (semicolon/brace ends, keyword head,
+    indent); the oracle replays the same per-line cue regexes in DuckDB
+    (all RE2-safe, shared verbatim)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nreturn x == y;\nfunction f() {\n    indented(1);\n}"
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    return textqc.code_fraction(
+        docs.select("doc_id", planted.alias("text"))
+    )
+
+
 def q_idn_host_audit(spark, sf_dir):
     """IDN/homograph host audit (domains.idn_host_audit): six planted
     host shapes cycled by doc_id % 6 — plain ASCII, ordinary IDN
@@ -4967,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_path_dates": q_url_path_dates,
         "markup_density": q_markup_density,
         "idn_host_audit": q_idn_host_audit,
+        "code_fraction": q_code_fraction,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -9980,6 +10001,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # per-line cue regexes replayed verbatim (RE2-safe by construction)
+        "code_fraction": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN text || chr(10) || 'return x == y;'
+                               || chr(10) || 'function f() {{'
+                               || chr(10) || '    indented(1);'
+                               || chr(10) || '}}'
+                          ELSE text END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) <> '') AS lines
+              FROM t),
+            c AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     len(list_filter(lines, x ->
+                         regexp_matches(x, '{textqc.CODE_LINE_RES[0]}')
+                      OR regexp_matches(x, '{textqc.CODE_LINE_RES[1]}')
+                      OR regexp_matches(x, '{textqc.CODE_LINE_RES[2]}')
+                      OR regexp_matches(x, '{textqc.CODE_LINE_RES[3]}')))
+                       AS n_code
+              FROM l)
+            SELECT doc_id AS id, n_lines, n_code AS n_code_lines,
+                   ROUND(CASE WHEN n_lines > 0
+                              THEN n_code / CAST(n_lines AS DOUBLE)
+                              ELSE 0.0 END, 6) AS code_frac_r,
+                   (CASE WHEN n_lines > 0
+                         THEN n_code / CAST(n_lines AS DOUBLE)
+                         ELSE 0.0 END) >= 0.3 AND n_code >= 3 AS is_codey
+            FROM c
+        """,
         # expected decode pinned per planted case — the RFC 3492 decode is
         # what is under test, so the oracle states answers, never recomputes
         "idn_host_audit": """

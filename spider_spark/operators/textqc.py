@@ -1167,3 +1167,52 @@ def char_entropy(
         n.alias("n_chars"),
         F.round(F.when(n > 0, h), 6).alias("entropy_r"),
     )
+
+
+# code-line cues — ALL RE2-safe (no backreferences), shared verbatim with
+# the DuckDB oracle. Deliberately high-precision, low-recall per line:
+# the DOCUMENT-level fraction is the signal.
+CODE_LINE_RES = [
+    r"[{};]\s*$",                     # brace/semicolon line ends
+    r"^(    |\t)",                    # indented block
+    r"^\s*(def |class |import |from |function |var |let |const |return\b)",
+    r"=>|==|!=|&&|\|\||::|</?[a-z]+>",  # operators / inline markup
+]
+
+
+def code_fraction(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document code-likeness: (id, n_lines, n_code_lines,
+    code_frac_r, is_codey).
+
+    Web corpora destined for natural-language training need code either
+    ROUTED (to a code mixture bucket) or DOWN-WEIGHTED, and either way
+    MEASURED — StarCoder/RedPajama-style pipelines gate on exactly this
+    kind of per-line cue census (brace/semicolon line ends, indent
+    blocks, keyword heads, operator density). Per-line cues are cheap
+    and noisy; the document-level fraction is robust: prose rarely
+    sustains >30% cue lines, real code rarely stays under it.
+
+    ``is_codey`` = code_frac ≥ 0.3 with ≥ 3 matching lines (a 2-line doc
+    with one brace is not code). Empty/whitespace docs report 0 lines
+    and are never codey. Map-only codegen projection (split + filter
+    over the line array) — no UDF, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    is_code = lambda x: (  # noqa: E731
+        x.rlike(CODE_LINE_RES[0])
+        | x.rlike(CODE_LINE_RES[1])
+        | x.rlike(CODE_LINE_RES[2])
+        | x.rlike(CODE_LINE_RES[3])
+    )
+    n_code = F.size(F.filter(lines, is_code))
+    n_lines = F.size(lines)
+    frac = F.when(n_lines > 0, n_code / n_lines).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        n_code.alias("n_code_lines"),
+        F.round(frac, 6).alias("code_frac_r"),
+        ((frac >= 0.3) & (n_code >= 3)).alias("is_codey"),
+    )

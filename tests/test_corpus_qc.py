@@ -376,3 +376,26 @@ def test_char_entropy(spark):
     assert got[5] == (1000, 0.0)
     # band property: prose well above repetition
     assert got[2][1] > 3.0
+
+
+def test_code_fraction_cues_and_gating(spark):
+    from spider_spark.operators.textqc import code_fraction
+
+    code = "def f(x):\n    return x == 1\nclass A {\n  int y;\n}"
+    prose = "This is a plain paragraph.\nIt has two prose lines."
+    short_brace = "one line only {"   # 1 cue line but n_code < 3 → not codey
+    mixed = "Intro prose here\nvar x = 1;\nif (x) {\n}\nclosing words"
+    rows = [(0, code), (1, prose), (2, short_brace), (3, mixed),
+            (4, ""), (5, None), (6, "   \n  \n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_lines"], r["n_code_lines"], r["is_codey"])
+        for r in code_fraction(df).collect()
+    }
+    assert got[0] == (5, 5, True)
+    assert got[1] == (2, 0, False)
+    assert got[2] == (1, 1, False)
+    n_lines, n_code, codey = got[3]
+    assert n_lines == 5 and n_code == 3 and codey  # 3/5 = 0.6 ≥ 0.3
+    for i in (4, 5, 6):
+        assert got[i] == (0, 0, False)
