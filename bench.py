@@ -332,6 +332,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "template_shapes",
         "url_path_dates",
         "markup_density",
+        "idn_host_audit",
+        "code_fraction",
     ]
     out = {}
     for name in names:
