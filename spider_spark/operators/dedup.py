@@ -840,7 +840,15 @@ def minhash_probe_pairs(
     (band, band_hash) — the probe join then co-locates); the new side is
     tiny relative to standing, so the new×standing equi-join broadcasts
     or shuffles ∝ new + matched buckets; ids-only banding and the
-    pair-scoped signature rejoin carry over from the batch operator."""
+    pair-scoped signature rejoin carry over from the batch operator.
+
+    Cache ownership (same contract as minhash_near_duplicates): both
+    signature inputs are persisted here and live under the session LRU.
+    Callers maintaining a standing signature table on disk must APPEND
+    per-tick delta files, never overwrite one path in place — a
+    same-path rewrite lets a later read canonicalize to the stale cached
+    plan and silently drop the newest signatures
+    (scripts/incremental_pipeline.py documents the observed failure)."""
     from pyspark import StorageLevel
 
     rows = num_perm // bands
