@@ -291,3 +291,69 @@ def watermark_lateness_audit(
             ).alias("late_frac_r"),
         )
     )
+
+
+def stream_content_seen(captures: DataFrame, num_shards: int = 32) -> DataFrame:
+    """Stateful streaming content-seen filter (Mercator §4.2.1 online):
+    every capture gets a verdict the moment it arrives — 'first' if its
+    content fingerprint is new across ALL micro-batches so far,
+    'duplicate' (with the first-encounter URL attributed) otherwise.
+    The streaming twin of the batch `dedup.content_seen_report`, with
+    the fp→first_url map living in the state store sharded by
+    ``pmod(content_fp, num_shards)`` — the same partitioning discipline
+    as `stream_first_seen`.
+
+    Input columns: (url_canon string, content_fp long). Null-fp rows
+    (bodyless captures) must be filtered by the caller — there is
+    nothing to compare, and the batch operator already gives them
+    'first' by definition.
+
+    Batch-parity contract (pinned in tests): for the same rows in the
+    same arrival order, verdicts and first_url attribution equal the
+    batch report's when the batch key is that arrival order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def judge(key, pdf_iter, state: GroupState):
+        first_by_fp = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        out_u, out_fp, out_v, out_first = [], [], [], []
+        for pdf in pdf_iter:
+            for u, fp in zip(pdf["url_canon"], pdf["content_fp"]):
+                fp = int(fp)
+                owner = first_by_fp.get(fp)
+                out_u.append(u)
+                out_fp.append(fp)
+                if owner is None:
+                    first_by_fp[fp] = u
+                    out_v.append("first")
+                    out_first.append(None)
+                else:
+                    out_v.append("duplicate")
+                    out_first.append(owner)
+        state.update(
+            (list(first_by_fp.keys()), list(first_by_fp.values()))
+        )
+        yield pd.DataFrame(
+            {
+                "url_canon": out_u,
+                "content_fp": out_fp,
+                "verdict": out_v,
+                "first_url": out_first,
+            }
+        )
+
+    sharded = captures.withColumn(
+        "shard", F.pmod(F.col("content_fp"), F.lit(num_shards))
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        judge,
+        outputStructType=(
+            "url_canon string, content_fp long, verdict string,"
+            " first_url string"
+        ),
+        stateStructType="fps array<long>, urls array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

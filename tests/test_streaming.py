@@ -131,3 +131,58 @@ def test_watermark_lateness_audit_matches_sequential(spark):
 
     with _pytest.raises(ValueError):
         watermark_lateness_audit(df, bucket_size=1)
+
+
+def test_stream_content_seen_verdicts_across_batches(spark, tmp_path):
+    """Online content-seen: 'first' exactly once per fingerprint across
+    micro-batches, duplicates attributed to the first-encounter URL even
+    when the duplicate arrives in a LATER batch (state store carries the
+    fp→first_url map)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "caps"
+    src.mkdir()
+    # batch 0: contents c0..c9 on urls a0..a9, plus an in-batch dup of c3
+    b0 = pd.DataFrame({
+        "url_canon": [f"https://a.test/{i}" for i in range(10)] + ["https://a.test/dup3"],
+        "content": [f"c{i}" for i in range(10)] + ["c3"],
+    })
+    # batch 1: new contents c10..c14 + cross-batch dups of c0 and c7
+    b1 = pd.DataFrame({
+        "url_canon": [f"https://b.test/{i}" for i in range(10, 15)]
+        + ["https://b.test/dup0", "https://b.test/dup7"],
+        "content": [f"c{i}" for i in range(10, 15)] + ["c0", "c7"],
+    })
+    spark.createDataFrame(b0).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("url_canon string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withColumn("content_fp", F.xxhash64("content"))
+        .drop("content")
+    )
+    from spider_spark import streaming
+
+    judged = streaming.stream_content_seen(stream, num_shards=4)
+    q = (
+        judged.writeStream.format("memory")
+        .queryName("contentseen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT url_canon, verdict, first_url FROM contentseen"
+    ).collect()
+    by_url = {r.url_canon: (r.verdict, r.first_url) for r in rows}
+    assert len(by_url) == 18
+    firsts = [u for u, (v, _) in by_url.items() if v == "first"]
+    assert len(firsts) == 15  # c0..c14 exactly once each
+    assert by_url["https://a.test/dup3"] == ("duplicate", "https://a.test/3")
+    assert by_url["https://b.test/dup0"] == ("duplicate", "https://a.test/0")
+    assert by_url["https://b.test/dup7"] == ("duplicate", "https://a.test/7")
