@@ -4053,6 +4053,36 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_outlink_novelty(spark, sf_dir):
+    """Frontier-yield signal (ordering.outlink_novelty): per-page fraction
+    of outlinks leading somewhere unseen. Outlink targets L{(3d+j) % 900}
+    for j ≤ d % 4; the seen set holds exactly the EVEN targets, so a
+    link is novel iff its target is odd — the oracle counts parity
+    directly while Spark must run the distinct + anti-join + rollup.
+    Every 7th page has no outlinks (null link row) and must surface with
+    novelty 0."""
+    from spider_spark.operators import ordering
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    links_arr = F.when(
+        d % 7 == 0, F.array(F.lit(None).cast("string"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (d % 4).cast("int")),
+            lambda j: F.concat(F.lit("L"), ((d * 3 + j) % 900).cast("string")),
+        )
+    )
+    captures = docs.select(
+        F.concat(F.lit("p"), d.cast("string")).alias("url"),
+        F.explode(links_arr).alias("link"),
+    )
+    seen = docs.select(
+        F.concat(F.lit("L"), ((d * 2) % 900).cast("string")).alias("url_canon")
+    )
+    return ordering.outlink_novelty(captures, seen)
+
+
 def q_code_fraction(spark, sf_dir):
     """Code-likeness census (textqc.code_fraction): every 4th doc gets a
     4-line code block appended (semicolon/brace ends, keyword head,
@@ -4988,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_density": q_markup_density,
         "idn_host_audit": q_idn_host_audit,
         "code_fraction": q_code_fraction,
+        "outlink_novelty": q_outlink_novelty,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -10001,6 +10032,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # novelty counted by target parity (seen = the even targets)
+        "outlink_novelty": """
+            WITH links AS (
+              SELECT DISTINCT 'p' || doc_id AS src,
+                     (doc_id * 3 + j) % 900 AS v
+              FROM (SELECT doc_id,
+                           unnest(generate_series(0, CAST(doc_id % 4 AS INT)))
+                             AS j
+                    FROM documents WHERE doc_id % 7 <> 0)
+            ), agg AS (
+              SELECT src, COUNT(*) AS n_links,
+                     SUM(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS n_novel
+              FROM links GROUP BY src
+            )
+            SELECT s.src,
+                   COALESCE(a.n_links, 0) AS n_links,
+                   COALESCE(a.n_novel, 0) AS n_novel,
+                   ROUND(CASE WHEN COALESCE(a.n_links, 0) > 0
+                              THEN COALESCE(a.n_novel, 0)
+                                   / CAST(a.n_links AS DOUBLE)
+                              ELSE 0.0 END, 6) AS novelty_r
+            FROM (SELECT 'p' || doc_id AS src FROM documents) s
+            LEFT JOIN agg a USING (src)
+        """,
         # per-line cue regexes replayed verbatim (RE2-safe by construction)
         "code_fraction": f"""
             WITH t AS (

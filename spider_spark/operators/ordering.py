@@ -94,3 +94,60 @@ def ordering_auc(
         F.count(F.lit(1)).cast("int").alias("n_ticks"),
         F.round(F.avg("cum_value_frac_r"), 6).alias("auc_r"),
     )
+
+
+def outlink_novelty(
+    captures: DataFrame,
+    seen: DataFrame,
+    src_col: str = "url",
+    link_col: str = "link",
+    seen_col: str = "url_canon",
+) -> DataFrame:
+    """Frontier-yield signal per captured page: what fraction of its
+    outlinks lead somewhere NEW. (src, n_links, n_novel, novelty_r).
+
+    Hub pages whose outlinks are mostly unseen are where the next tick's
+    discoveries come from; pages whose outlinks are all already-seen are
+    exhausted (IRLbot's budget-by-yield and OPIC both chase this signal —
+    this is its direct measurement from the last tick's captures, usable
+    as a prior on the hosts/pages the scheduler expands first).
+
+    ``captures`` has one row per (page, outlink), with a NULL link row
+    for pages that had no outlinks (the shape an explode_outer of the
+    links column produces); ``seen`` is the canonical seen-set
+    projection. Novel = left_anti against seen on the link. Distinct
+    outlinks counted once (keep-first discipline); zero-outlink pages
+    surface with n_links 0 and novelty 0.0, not dropped — an exhausted
+    page IS the signal.
+
+    Scale shape: distinct (src, link) → ONE left_anti keyed on the link
+    (the same join discipline as the frontier's new_links anti-join,
+    co-locatable with the seen snapshot's layout) → two partial-agg
+    counts keyed on src. No window, no collect."""
+    srcs = captures.select(F.col(src_col).alias("_src")).distinct()
+    links = (
+        captures.select(
+            F.col(src_col).alias("_src"), F.col(link_col).alias("_dst")
+        )
+        .filter(F.col("_dst").isNotNull())
+        .distinct()
+    )
+    seen_keys = seen.select(F.col(seen_col).alias("_dst")).distinct()
+    novel = links.join(seen_keys, "_dst", "left_anti")
+    totals = links.groupBy("_src").agg(F.count(F.lit(1)).alias("n_links"))
+    novels = novel.groupBy("_src").agg(F.count(F.lit(1)).alias("n_novel"))
+    n_links = F.coalesce("n_links", F.lit(0))
+    n_novel = F.coalesce("n_novel", F.lit(0))
+    return (
+        srcs.join(totals, "_src", "left")
+        .join(novels, "_src", "left")
+        .select(
+            F.col("_src").alias("src"),
+            n_links.alias("n_links"),
+            n_novel.alias("n_novel"),
+            F.round(
+                F.when(n_links > 0, n_novel / n_links).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty_r"),
+        )
+    )

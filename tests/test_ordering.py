@@ -120,3 +120,31 @@ def test_expected_freshness_future_capture_null(spark):
     )
     out = recrawl.expected_freshness(rates, dt.datetime(2024, 1, 2)).collect()[0]
     assert out["freshness_r"] is None and out["age_s"] < 0
+
+
+def test_outlink_novelty_yield_signal(spark):
+    from spider_spark.operators.ordering import outlink_novelty
+
+    captures = spark.createDataFrame(
+        [
+            # hub: 3 distinct outlinks (one repeated), 2 unseen
+            ("hub", "n1"), ("hub", "n2"), ("hub", "s1"), ("hub", "n1"),
+            # exhausted: every outlink already seen
+            ("old", "s1"), ("old", "s2"),
+            # leaf: no outlinks (explode_outer null row)
+            ("leaf", None),
+        ],
+        "url string, link string",
+    )
+    seen = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",)], "url_canon string"
+    )
+    got = {
+        r["src"]: (r["n_links"], r["n_novel"], r["novelty_r"])
+        for r in outlink_novelty(captures, seen).collect()
+    }
+    assert got == {
+        "hub": (3, 2, round(2 / 3, 6)),
+        "old": (2, 0, 0.0),
+        "leaf": (0, 0, 0.0),
+    }
