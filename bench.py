@@ -334,6 +334,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "markup_density",
         "idn_host_audit",
         "code_fraction",
+        "outlink_novelty",
     ]
     out = {}
     for name in names:
