@@ -4053,6 +4053,33 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_sniff_content_type(spark, sf_dir):
+    """Magic-byte sniffing (multimodal.sniff_content_type): six payload
+    shapes cycled by doc_id % 6 — %PDF, PNG magic, <!DOCTYPE, GIF89a,
+    unsigned plain text, null — with the doc text as body bytes. The
+    oracle derives the expected type per branch; Spark must hex-match
+    real binary prefixes."""
+    from spider_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.col("text").cast("binary")
+    content = (
+        F.when(d % 6 == 0, F.concat(F.lit("%PDF-1.4 ").cast("binary"), body))
+        .when(d % 6 == 1, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
+        .when(
+            d % 6 == 2,
+            F.concat(F.lit("<!DOCTYPE html><p>").cast("binary"), body),
+        )
+        .when(d % 6 == 3, F.concat(F.unhex(F.lit("474946383961")), body))
+        .when(d % 6 == 4, body)
+        .otherwise(F.lit(None).cast("binary"))
+    )
+    return mm.sniff_content_type(
+        docs.select("doc_id", content.alias("content"))
+    ).select("doc_id", "sniffed_type", "type_sniffable")
+
+
 def q_outlink_novelty(spark, sf_dir):
     """Frontier-yield signal (ordering.outlink_novelty): per-page fraction
     of outlinks leading somewhere unseen. Outlink targets L{(3d+j) % 900}
@@ -5019,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idn_host_audit": q_idn_host_audit,
         "code_fraction": q_code_fraction,
         "outlink_novelty": q_outlink_novelty,
+        "sniff_content_type": q_sniff_content_type,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -10032,6 +10060,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # expected type derived per construction branch
+        "sniff_content_type": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'application/pdf'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'text/html'
+                     WHEN 3 THEN 'image/gif'
+                     ELSE NULL END AS sniffed_type,
+                   doc_id % 6 IN (0, 1, 2, 3) AS type_sniffable
+            FROM documents
+        """,
         # novelty counted by target parity (seen = the even targets)
         "outlink_novelty": """
             WITH links AS (

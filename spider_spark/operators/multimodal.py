@@ -960,3 +960,63 @@ def extract_video_metadata(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields])
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+# magic-byte table: (hex prefix, sniffed type). Order matters — first
+# match wins; longer/stricter prefixes come first. Shared with the DuckDB
+# oracle via hex-prefix compares (engine-portable: no binary casts that
+# differ between JVM UTF-8 and DuckDB BLOB semantics).
+MAGIC_PREFIXES = [
+    ("255044462D", "application/pdf"),          # %PDF-
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),              # GIF87a
+    ("474946383961", "image/gif"),              # GIF89a
+    ("FFD8FF", "image/jpeg"),
+    ("504B0304", "application/zip"),            # PK.. (docx/xlsx too)
+    ("1F8B", "application/gzip"),
+    ("377ABCAF271C", "application/x-7z-compressed"),
+    ("52494646", "riff"),                       # RIFF container → WAV/WebP
+    ("3C21444F43545950", "text/html"),          # <!DOCTYP
+    ("3C68746D6C", "text/html"),                # <html
+    ("3C48544D4C", "text/html"),                # <HTML
+    ("25215053", "application/postscript"),     # %!PS
+    ("7B5C727466", "application/rtf"),          # {\rtf
+]
+
+
+def sniff_content_type(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Magic-byte content sniffing: adds ``sniffed_type`` (first-match
+    over MAGIC_PREFIXES; null = no signature) and ``type_sniffable``.
+
+    The Content-Type header LIES at web scale — mislabeled PDFs served
+    as text/html are the reference's whole document-detector problem
+    domain (detectors.ts), and the WHATWG MIME-sniffing spec exists
+    because clients cannot trust the header. This is the byte-level
+    counterpart of `textops.infer_content_type` (extension/MIME-table
+    based): run both, and disagreement is the routing signal — a
+    'text/html' capture that sniffs as application/pdf goes to the
+    download pipeline, not the text extractor.
+
+    RIFF containers sniff as 'riff' at the 4-byte level; callers needing
+    WAV-vs-WebP split on bytes 9-12 ('WAVE'/'WEBP') — kept out of the
+    first-match table so the common case stays one prefix compare.
+
+    Map-only codegen: ONE hex() of the first 8 bytes feeds a CASE chain
+    of startswith compares — no UDF, no shuffle, binary never leaves
+    the scan projection."""
+    prefix = F.upper(F.hex(F.expr(f"substring({content_col}, 1, 8)")))
+    sniffed = F.lit(None).cast("string")
+    for hx, typ in reversed(MAGIC_PREFIXES):
+        sniffed = F.when(prefix.startswith(hx.upper()), F.lit(typ)).otherwise(
+            sniffed
+        )
+    sniffed = F.when(
+        F.col(content_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(sniffed)
+    return df.select(
+        "*",
+        sniffed.alias("sniffed_type"),
+        sniffed.isNotNull().alias("type_sniffable"),
+    )
