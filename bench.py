@@ -335,6 +335,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "idn_host_audit",
         "code_fraction",
         "outlink_novelty",
+        "sniff_content_type",
     ]
     out = {}
     for name in names:
