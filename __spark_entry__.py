@@ -4053,6 +4053,44 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_publish_date_fusion(spark, sf_dir):
+    """Publication-date fusion (structured.publish_date_fusion): doc_id %
+    5 plants jsonld-only / meta-only / url-only / all-three (jsonld must
+    win) / none. Day = 10 + doc_id % 10 keeps every branch
+    data-dependent. Oracle derives (pub_date, pub_source) per branch."""
+    from spider_spark.operators import structured as st
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dd = (F.lit(10) + d % 10).cast("string")
+    ld_island = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "Article", "datePublished": "2022-03-'),
+        dd,
+        F.lit('T09:00:00Z"}</script>'),
+    )
+    meta_tag = F.concat(
+        F.lit('<meta property="article:published_time" content="2023-11-'),
+        dd,
+        F.lit('T12:00:00+00:00">'),
+    )
+    branch = d % 5
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(branch.isin(0, 3), ld_island).otherwise(F.lit("")),
+        F.when(branch.isin(1, 3), meta_tag).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    url = F.when(
+        branch.isin(2, 3),
+        F.concat(F.lit("https://x.test/2020/07/"), dd, F.lit("/a")),
+    ).otherwise(F.lit("https://x.test/p"))
+    pages = docs.select("doc_id", html.alias("html"), url.alias("url"))
+    return st.publish_date_fusion(
+        pages, id_col="doc_id", url_col="url"
+    )
+
+
 def q_sniff_content_type(spark, sf_dir):
     """Magic-byte sniffing (multimodal.sniff_content_type): six payload
     shapes cycled by doc_id % 6 — %PDF, PNG magic, <!DOCTYPE, GIF89a,
@@ -5047,6 +5085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_fraction": q_code_fraction,
         "outlink_novelty": q_outlink_novelty,
         "sniff_content_type": q_sniff_content_type,
+        "publish_date_fusion": q_publish_date_fusion,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -10060,6 +10099,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # (pub_date, pub_source) derived per construction branch;
+        # branch 3 plants all three sources and jsonld must win
+        "publish_date_fusion": """
+            SELECT doc_id AS id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN '2022-03-' || (10 + doc_id % 10)
+                     WHEN 1 THEN '2023-11-' || (10 + doc_id % 10)
+                     WHEN 2 THEN '2020-07-' || (10 + doc_id % 10)
+                     WHEN 3 THEN '2022-03-' || (10 + doc_id % 10)
+                     ELSE NULL END AS pub_date,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'jsonld'
+                     WHEN 1 THEN 'meta'
+                     WHEN 2 THEN 'url'
+                     WHEN 3 THEN 'jsonld'
+                     ELSE NULL END AS pub_source
+            FROM documents
+        """,
         # expected type derived per construction branch
         "sniff_content_type": """
             SELECT doc_id,

@@ -242,3 +242,93 @@ def html_tables(
         F.size(cells).alias("n_cells"),
         F.col("row_html").rlike(_TH_RE).alias("header"),
     )
+
+
+_PUB_META_TAG_RE = (
+    "(?i)<meta\\b[^>]*property\\s*=\\s*[\"']?article:published_time[^>]*>"
+)
+
+
+def publish_date_fusion(
+    pages: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    url_col: str | None = None,
+) -> DataFrame:
+    """Best-estimate publication date per page with provenance:
+    (id, pub_date, pub_source ∈ {jsonld, meta, url, null}).
+
+    Precedence mirrors measured field precision (structured data beats
+    conventions): schema.org JSON-LD ``datePublished`` → OpenGraph-style
+    ``<meta property="article:published_time">`` → the URL-path date
+    convention (full /YYYY/MM/DD only — `dust.url_path_dates` owns the
+    weaker monthly form; used only when ``url_col`` is given). First
+    non-null wins; each source is normalized to its
+    YYYY-MM-DD prefix when it carries a full timestamp. The recrawl
+    scheduler treats the fused date exactly like sitemap lastmod — a
+    prior, not ground truth.
+
+    One map-only projection reusing the three extractors' expressions —
+    no UDF, no shuffle, no joins."""
+    from ..metarobots import _first_attr
+    from .dust import _URL_DATE_YMD_DASH_RE, _URL_DATE_YMD_SLASH_RE
+
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    ld = F.from_json(
+        F.trim(
+            F.get(F.regexp_extract_all(html, F.lit(_JSONLD_RE), F.lit(1)), 0)
+        ),
+        _JSONLD_SCHEMA,
+    )
+    jsonld_date = F.nullif(
+        F.substring(F.col("_ld")["datePublished"], 1, 10), F.lit("")
+    )
+    meta_tag = F.get(
+        F.regexp_extract_all(html, F.lit(_PUB_META_TAG_RE), F.lit(0)), 0
+    )
+    meta_date = F.nullif(
+        F.substring(
+            F.coalesce(
+                _first_attr(
+                    meta_tag, _CONTENT_DQ_RE, _CONTENT_SQ_RE, _CONTENT_UQ_RE
+                ),
+                F.lit(""),
+            ),
+            1,
+            10,
+        ),
+        F.lit(""),
+    )
+    if url_col is not None:
+        u = F.col(url_col)
+        y = F.coalesce(
+            F.nullif(F.regexp_extract(u, _URL_DATE_YMD_SLASH_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(u, _URL_DATE_YMD_DASH_RE, 1), F.lit("")),
+        )
+        m = F.coalesce(
+            F.nullif(F.regexp_extract(u, _URL_DATE_YMD_SLASH_RE, 2), F.lit("")),
+            F.nullif(F.regexp_extract(u, _URL_DATE_YMD_DASH_RE, 2), F.lit("")),
+        )
+        d = F.coalesce(
+            F.nullif(F.regexp_extract(u, _URL_DATE_YMD_SLASH_RE, 3), F.lit("")),
+            F.nullif(F.regexp_extract(u, _URL_DATE_YMD_DASH_RE, 3), F.lit("")),
+        )
+        valid = m.cast("int").between(1, 12) & d.cast("int").between(1, 31)
+        url_date = F.when(
+            y.isNotNull() & valid, F.concat_ws("-", y, m, d)
+        )
+    else:
+        url_date = F.lit(None).cast("string")
+
+    with_ld = pages.withColumn("_ld", ld)
+    pub = F.coalesce(jsonld_date, meta_date, url_date)
+    source = (
+        F.when(jsonld_date.isNotNull(), F.lit("jsonld"))
+        .when(meta_date.isNotNull(), F.lit("meta"))
+        .when(url_date.isNotNull(), F.lit("url"))
+    )
+    return with_ld.select(
+        F.col(id_col).alias("id"),
+        pub.alias("pub_date"),
+        source.alias("pub_source"),
+    )

@@ -140,3 +140,44 @@ def test_html_tables_edge_cases(spark):
     assert (e["cells_joined"], e["n_cells"], e["header"]) == ("", 0, False)
     (a,) = by_id["attrs"]
     assert (a["cells_joined"], a["n_cells"], a["header"]) == ("A|H", 2, True)
+
+
+def test_publish_date_fusion_precedence(spark):
+    from spider_spark.operators.structured import publish_date_fusion
+
+    ld = ('<script type="application/ld+json">'
+          '{"@type": "Article", "datePublished": "2022-03-14T09:00:00Z"}'
+          "</script>")
+    meta = ('<meta property="article:published_time" '
+            'content="2023-11-20T12:00:00+00:00">')
+    cases = [
+        ("ld", f"<html><head>{ld}</head></html>", "https://x.test/p",
+         ("2022-03-14", "jsonld")),
+        ("meta", f"<html><head>{meta}</head></html>", "https://x.test/p",
+         ("2023-11-20", "meta")),
+        ("url", "<html></html>", "https://x.test/2020/07/04/a",
+         ("2020-07-04", "url")),
+        # precedence: jsonld beats meta beats url
+        ("all", f"<html><head>{ld}{meta}</head></html>",
+         "https://x.test/2020/07/04/a", ("2022-03-14", "jsonld")),
+        # broken jsonld falls through to meta
+        ("broken", "<html><head><script type='application/ld+json'>"
+                   f"{{oops</script>{meta}</head></html>",
+         "https://x.test/p", ("2023-11-20", "meta")),
+        # invalid url date (month 13) yields nothing
+        ("badurl", "<html></html>", "https://x.test/2020/13/04/a",
+         (None, None)),
+        ("none", "<html><body>plain</body></html>", "https://x.test/p",
+         (None, None)),
+        ("null", None, "https://x.test/p", (None, None)),
+    ]
+    df = spark.createDataFrame(
+        [(n, h, u) for n, h, u, _ in cases],
+        "name string, html string, url string",
+    )
+    got = {
+        r["id"]: (r["pub_date"], r["pub_source"])
+        for r in publish_date_fusion(df, id_col="name", url_col="url").collect()
+    }
+    for n, _, _, want in cases:
+        assert got[n] == want, n
