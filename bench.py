@@ -336,6 +336,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "code_fraction",
         "outlink_novelty",
         "sniff_content_type",
+        "publish_date_fusion",
     ]
     out = {}
     for name in names:
