@@ -4053,6 +4053,24 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_truncation_recall(spark, sf_dir):
+    """Dimension-truncation recall curve
+    (similarity.truncation_recall_curve): recall@5 of prefix-truncated
+    cosine top-k (dims 8/16/32/64) vs the full 64-dim ground truth,
+    probes = vec_id 0-3, corpus = the rest. The oracle recomputes both
+    rankings with DuckDB list_cosine_similarity and the same
+    (cosine desc, id) tie-break."""
+    from spider_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.truncation_recall_curve(
+        emb.filter(F.col("vec_id") >= 4), probes, dims=[8, 16, 32, 64], k=5
+    )
+
+
 def q_publish_date_fusion(spark, sf_dir):
     """Publication-date fusion (structured.publish_date_fusion): doc_id %
     5 plants jsonld-only / meta-only / url-only / all-three (jsonld must
@@ -5086,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_novelty": q_outlink_novelty,
         "sniff_content_type": q_sniff_content_type,
         "publish_date_fusion": q_publish_date_fusion,
+        "truncation_recall": q_truncation_recall,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -10099,6 +10118,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # both rankings recomputed with list_cosine_similarity + the same
+        # (cosine desc, id) tie-break; recall joined per dim
+        "truncation_recall": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+            probes AS (
+              SELECT vec_id AS probe_id, embedding AS probe_vec
+              FROM embeddings WHERE vec_id < 4),
+            dimt AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+            truth AS (
+              SELECT probe_id, vec_id FROM (
+                SELECT p.probe_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY p.probe_id
+                         ORDER BY list_cosine_similarity(c.embedding,
+                                                         p.probe_vec) DESC,
+                                  c.vec_id) AS rk
+                FROM corpus c CROSS JOIN probes p)
+              WHERE rk <= 5),
+            approx AS (
+              SELECT d.dim, probe_id, vec_id FROM (
+                SELECT d.dim, p.probe_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY d.dim, p.probe_id
+                         ORDER BY list_cosine_similarity(
+                                    c.embedding[1:d.dim],
+                                    p.probe_vec[1:d.dim]) DESC,
+                                  c.vec_id) AS rk
+                FROM dimt d, corpus c, probes p) d
+              WHERE rk <= 5)
+            SELECT a.dim, 5 AS k, 4 AS n_probes,
+                   ROUND(SUM(CASE WHEN t.vec_id IS NOT NULL
+                                  THEN 1 ELSE 0 END) / 20.0, 6)
+                     AS mean_recall_r
+            FROM approx a
+            LEFT JOIN truth t USING (probe_id, vec_id)
+            GROUP BY a.dim
+        """,
         # (pub_date, pub_source) derived per construction branch;
         # branch 3 plants all three sources and jsonld must win
         "publish_date_fusion": """

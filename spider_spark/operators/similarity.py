@@ -899,3 +899,65 @@ def pca_project(
     return embeddings.select(
         F.col(id_col).alias("id"), proj(F.col(vec_col)).alias("pca")
     )
+
+
+def truncation_recall_curve(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Dimension-truncation recall curve: for each d in ``dims``, run the
+    exact cosine top-k with only the FIRST d components and measure
+    recall@k against the full-dimension top-k. Output one row per dim:
+    (dim, k, n_probes, mean_recall_r).
+
+    This is the sizing experiment behind prefix-truncatable embeddings
+    (Matryoshka representation learning, Kusupati et al. 2022) and more
+    generally behind "how many dims can the ANN index drop": at 100 TB
+    the index's memory AND the bucket-join shuffle width scale linearly
+    with d, so a d/4 prefix at ~0.95 recall is a 4× capacity win. The
+    measurement composes the repo's exact baseline (`brute_force_topk`)
+    with itself — truncated candidates vs full-dim ground truth, a
+    LEFT SEMI overlap per probe, one mean per dim.
+
+    Ties at the k boundary resolve by (cosine desc, id) in BOTH paths —
+    the deterministic-ordering discipline every ranked operator here
+    pins — so the curve is rerun-stable. ``dims`` is a small fixed list
+    (each dim is one broadcast-join top-k; the loop is plan-side, never
+    a data-side explode)."""
+    truth = brute_force_topk(
+        embeddings, probes, k, id_col, vec_col, probe_id_col, probe_vec_col
+    ).select(probe_id_col, id_col)
+    n_probes = probes.select(probe_id_col).distinct().count()
+    per_dim = []
+    for d in dims:
+        t_emb = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        t_probes = probes.select(
+            F.col(probe_id_col),
+            F.slice(F.col(probe_vec_col), 1, d).alias(probe_vec_col),
+        )
+        approx = brute_force_topk(
+            t_emb, t_probes, k, id_col, vec_col, probe_id_col, probe_vec_col
+        ).select(probe_id_col, id_col)
+        hits = approx.join(truth, [probe_id_col, id_col], "left_semi")
+        per_dim.append(
+            hits.agg(
+                F.lit(d).alias("dim"),
+                F.lit(k).alias("k"),
+                F.lit(n_probes).alias("n_probes"),
+                F.round(
+                    F.count(F.lit(1)) / F.lit(float(k * n_probes)), 6
+                ).alias("mean_recall_r"),
+            )
+        )
+    out = per_dim[0]
+    for df in per_dim[1:]:
+        out = out.unionByName(df)
+    return out

@@ -100,3 +100,30 @@ def test_embedding_lsh_recall_floor(spark):
     n_exact, recall = _recall(spark, approx, exact)
     assert n_exact >= 20
     assert recall >= 0.9
+
+
+def test_truncation_recall_curve_planted(spark):
+    from spider_spark.operators.similarity import truncation_recall_curve
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 1.0, 0.0, 0.0]),   # A: exact match at every dim
+            (11, [1.0, 1.0, 1.0, 1.0]),   # B: ties A on the 2-dim prefix,
+                                          #    full-dim cos only .707
+            (12, [-1.0, -1.0, 1.0, 1.0]), # C: anti-correlated
+            (13, [1.0, 0.9, 0.0, 0.0]),   # D: full-dim #2 (cos ≈ .998)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0, 0.0])], "probe_id long, probe_vec array<double>"
+    )
+    rows = {
+        r["dim"]: r["mean_recall_r"]
+        for r in truncation_recall_curve(
+            corpus, probes, dims=[2, 4], k=2
+        ).collect()
+    }
+    # 2-dim prefix: A and B tie at cos 1.0, id-break keeps both → {A, B};
+    # truth is {A, D} → recall 1/2. Full dim reproduces truth exactly.
+    assert rows == {2: 0.5, 4: 1.0}
