@@ -337,6 +337,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "outlink_novelty",
         "sniff_content_type",
         "publish_date_fusion",
+        "truncation_recall",
     ]
     out = {}
     for name in names:
