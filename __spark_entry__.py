@@ -4053,6 +4053,41 @@ def q_reciprocal_links(spark, sf_dir):
     return graph.reciprocal_link_stats(graph.host_graph(e))
 
 
+def q_path_template_census(spark, sf_dir):
+    """URL path-template census (dust.path_template_census): four
+    permalink shapes cycled by doc_id % 4 across 10 hosts — numeric ids,
+    dated archives, 32-hex cache segments, a static page. The oracle
+    derives (host, template, counts, first_url) from the construction
+    while Spark must normalize the real paths."""
+    from spider_spark.operators import dust
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 10).cast("string"), F.lit(".test"))
+    b = d % 4
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(b == 0, F.concat(F.lit("/product/"), d.cast("string")))
+        .when(
+            b == 1,
+            F.concat(
+                F.lit("/2020/"), (d % 12 + 1).cast("string"),
+                F.lit("/page-"), d.cast("string"), F.lit(".html"),
+            ),
+        )
+        .when(
+            b == 2,
+            F.concat(
+                F.lit("/cache/"), F.md5(d.cast("string")), F.lit("/x?q="),
+                d.cast("string"),
+            ),
+        )
+        .otherwise(F.lit("/about")),
+    )
+    return dust.path_template_census(docs.select(url.alias("url")))
+
+
 def q_truncation_recall(spark, sf_dir):
     """Dimension-truncation recall curve
     (similarity.truncation_recall_curve): recall@5 of prefix-truncated
@@ -5105,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sniff_content_type": q_sniff_content_type,
         "publish_date_fusion": q_publish_date_fusion,
         "truncation_recall": q_truncation_recall,
+        "path_template_census": q_path_template_census,
         "postings_delta_merge": q_postings_merge,
         "degree_histogram_in": q_degree_histogram,
         "kmeans_codebook": q_kmeans_codebook,
@@ -10118,6 +10154,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # host-graph reciprocity: distinct pairs left-joined against their
         # own reversal, per-src census
+        # (host, template, counts, first_url) derived from the four-branch
+        # permalink construction; md5 recomputed identically both engines
+        "path_template_census": """
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 10) || '.test' AS host,
+                     doc_id % 4 AS b,
+                     md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents),
+            r AS (
+              SELECT host,
+                     CASE b WHEN 0 THEN '/product/{n}'
+                            WHEN 1 THEN '/{n}/{n}/page-{n}.html'
+                            WHEN 2 THEN '/cache/{h}/x'
+                            ELSE '/about' END AS template,
+                     CASE b WHEN 0 THEN '/product/' || doc_id
+                            WHEN 1 THEN '/2020/' || (doc_id % 12 + 1)
+                                 || '/page-' || doc_id || '.html'
+                            WHEN 2 THEN '/cache/' || hx || '/x'
+                            ELSE '/about' END AS path,
+                     'https://' || host ||
+                     CASE b WHEN 0 THEN '/product/' || doc_id
+                            WHEN 1 THEN '/2020/' || (doc_id % 12 + 1)
+                                 || '/page-' || doc_id || '.html'
+                            WHEN 2 THEN '/cache/' || hx || '/x?q=' || doc_id
+                            ELSE '/about' END AS url
+              FROM u)
+            SELECT host, template,
+                   COUNT(*) AS n_urls,
+                   COUNT(DISTINCT path) AS n_distinct_paths,
+                   MIN(url) AS first_url
+            FROM r GROUP BY host, template
+            HAVING COUNT(*) >= 2
+        """,
         # both rankings recomputed with list_cosine_similarity + the same
         # (cosine desc, id) tie-break; recall joined per dim
         "truncation_recall": """

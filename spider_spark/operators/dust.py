@@ -226,3 +226,62 @@ def url_path_dates(
         d.cast("int").alias("url_day"),
         kind.alias("url_date_kind"),
     )
+
+
+# normalization chain for path templates — order matters (hex before
+# digits: a hex run contains digit runs); RE2-safe, shared with the oracle
+_TPL_HEX_RE = r"[0-9a-fA-F]{8,}"   # long hex runs: ids, hashes, uuid parts
+_TPL_NUM_RE = r"\d+"
+
+
+def path_template_census(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    min_urls: int = 2,
+) -> DataFrame:
+    """Per-host URL path-template census: collapse volatile path tokens
+    (long hex runs → ``{h}``, digit runs → ``{n}``) and count URLs per
+    resulting template — the structural map of a site
+    (``/product/{n}``, ``/2020/{n}/{n}/``, ``/cache/{h}/``).
+
+    Where `dust_param_rules` learns junk QUERY params, this is the PATH
+    analog, and it feeds three consumers: trap triage (a template with
+    10^6 instances on one host is a calendar/session generator —
+    `traps` catches known shapes, this surfaces novel ones), crawl
+    sampling (cap fetches per template instead of per host to cover a
+    site's structure before its volume), and dedup priors (same
+    template ⇒ same DOM shape, usually — join against
+    `content.template_shapes` to confirm).
+
+    Output: (host, template, n_urls, n_distinct_paths, first_url) with
+    n_urls ≥ min_urls. The query string is ignored (param rules own
+    it); host defaults to parse_url(url, 'HOST') when host_col is None.
+
+    Scale shape: two chained regexp_replace in the scan projection, one
+    partial-agg census keyed (host, template). No UDF, no joins."""
+    u = F.col(url_col)
+    # parse_url yields '' (not null) for a bare-host URL — both normalize
+    # to the root template
+    path = F.coalesce(
+        F.nullif(F.parse_url(u, F.lit("PATH")), F.lit("")), F.lit("/")
+    )
+    tpl = F.regexp_replace(
+        F.regexp_replace(path, _TPL_HEX_RE, "{h}"), _TPL_NUM_RE, "{n}"
+    )
+    host = F.col(host_col) if host_col else F.parse_url(u, F.lit("HOST"))
+    return (
+        urls.select(
+            host.alias("host"),
+            tpl.alias("template"),
+            path.alias("_path"),
+            u.alias("_url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("_path").alias("n_distinct_paths"),
+            F.min("_url").alias("first_url"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

@@ -138,3 +138,37 @@ def test_url_path_dates_conventions(spark):
     }
     for u, want in cases:
         assert got[u] == want, u
+
+
+def test_path_template_census_shapes(spark):
+    from spider_spark.operators.dust import path_template_census
+
+    urls = [
+        "https://a.test/product/1",
+        "https://a.test/product/23",
+        "https://a.test/product/23?utm=x",     # query ignored → same path
+        "https://a.test/cache/00deadbeef1234aa/x",
+        "https://a.test/cache/ffeeddccbbaa0099/x",
+        # short hex run (<8) stays literal; digits still collapse
+        "https://a.test/v2/cafe/9",
+        "https://a.test/v2/cafe/77",
+        # same template on ANOTHER host counts separately
+        "https://b.test/product/5",
+        "https://b.test/product/6",
+        # singleton template dropped at min_urls=2
+        "https://a.test/only-once",
+        # no path at all → '/'
+        "https://c.test", "https://c.test?x=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["n_distinct_paths"])
+        for r in path_template_census(df).collect()
+    }
+    assert got == {
+        ("a.test", "/product/{n}"): (3, 2),
+        ("a.test", "/cache/{h}/x"): (2, 2),
+        ("a.test", "/v{n}/cafe/{n}"): (2, 2),
+        ("b.test", "/product/{n}"): (2, 2),
+        ("c.test", "/"): (2, 1),
+    }
