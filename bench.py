@@ -338,6 +338,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "sniff_content_type",
         "publish_date_fusion",
         "truncation_recall",
+        "path_template_census",
     ]
     out = {}
     for name in names:
