@@ -30,6 +30,10 @@ SF_DIR = "/root/testdata/sf0.001"
 ALLOWED_QUADRATIC = {
     "embedding_near_dups_exact",
     "similarity_topk_cosine",
+    # composes brute_force_topk with itself (truncated candidates vs
+    # full-dim truth) — the same bounded-probe broadcast NL as above,
+    # once per dim in the curve
+    "truncation_recall",
 }
 
 
