@@ -2493,8 +2493,11 @@ def q_dhash_near_dups(spark, sf_dir):
     grayscale images synthesized arithmetically — pixel(p) = (p·s + k)
     mod 256 with content key k = doc_id DIV 2 (every even/odd pair is an
     exact perceptual dup) and gradient step s = k%13+1. max_dist=4 is
-    the pigeonhole-complete band regime, so the engine's banded result
-    must equal the oracle's BRUTE-FORCE all-pairs Hamming filter."""
+    the pigeonhole-complete band regime. The default hot-band guard
+    (max_band_size=2000) is LIVE here and the oracle replicates its
+    census + anti-join semantics: at sf0.01 no bucket crosses the cap
+    (result == brute-force all-pairs), at sf0.1 the near-uniform val=0
+    buckets (~2.8k members) are dropped on both sides identically."""
     from spider_spark.operators import phash
 
     docs = _t(spark, sf_dir, "documents")
@@ -2510,6 +2513,29 @@ def q_dhash_near_dups(spark, sf_dir):
         ).alias("pixels"),
     )
     return phash.dhash_near_dups(imgs, max_dist=4)
+
+
+def q_dhash_hot_band_census(spark, sf_dir):
+    """No-silent-caps accounting for the dhash hot-band guard
+    (phash.dhash_hot_band_census): same synthetic image family as
+    dhash_near_dups, cap 100 so the census is non-trivial at sf0.01 —
+    reports (band, hot_buckets, dropped_memberships) per band position.
+    The oracle restates the banding + census in SQL."""
+    from spider_spark.operators import phash
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.expr("doc_id DIV 2")
+    s = F.pmod(k, F.lit(13)) + 1
+    imgs = docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.lit(18).alias("width"),
+        F.lit(16).alias("height"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(287)),
+            lambda p: F.pmod(p * s + k, F.lit(256)),
+        ).alias("pixels"),
+    )
+    return phash.dhash_hot_band_census(imgs, max_band_size=100)
 
 
 def q_collocations_pmi(spark, sf_dir):
@@ -5043,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_flesch": q_readability_flesch,
         "collocations_pmi": q_collocations_pmi,
         "dhash_near_dups": q_dhash_near_dups,
+        "dhash_hot_band_census": q_dhash_hot_band_census,
         "zipf_fit": q_zipf_fit,
         "lpa_communities_2sweep": q_lpa_communities,
         "sitemap_urlsets": q_sitemap_write,
@@ -8758,13 +8785,60 @@ def oracle_sql() -> dict[str, str]:
                             AS INT) + 1]
                      THEN 1 ELSE 0 END) AS b
               FROM px),
+            bands AS (
+              SELECT img_id, CAST(j AS INT) AS band,
+                     CAST(list_sum(list_transform(range(0, 8), i ->
+                       b[CAST(j * 8 + i AS INT) + 1] * (1 << CAST(7 - i AS INT))
+                     )) AS INT) AS val
+              FROM bits, range(0, 8) t(j)),
+            hot AS (
+              SELECT band, val FROM bands
+              GROUP BY band, val HAVING count(*) > 2000),
+            cold AS (
+              SELECT b.img_id, b.band, b.val
+              FROM bands b ANTI JOIN hot h USING (band, val)),
+            cand AS (
+              SELECT DISTINCT x.img_id AS id_a, y.img_id AS id_b
+              FROM cold x JOIN cold y
+                ON x.band = y.band AND x.val = y.val
+               AND x.img_id < y.img_id),
             pairs AS (
-              SELECT x.img_id AS id_a, y.img_id AS id_b,
+              SELECT c.id_a, c.id_b,
                      CAST(list_sum(list_transform(range(1, 65), i ->
                        CASE WHEN x.b[CAST(i AS INT)] <> y.b[CAST(i AS INT)]
                             THEN 1 ELSE 0 END)) AS INT) AS hamming
-              FROM bits x JOIN bits y ON x.img_id < y.img_id)
+              FROM cand c
+              JOIN bits x ON x.img_id = c.id_a
+              JOIN bits y ON y.img_id = c.id_b)
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+        """,
+        "dhash_hot_band_census": """
+            WITH imgs AS (
+              SELECT doc_id AS img_id, doc_id // 2 AS k FROM documents),
+            px AS (
+              SELECT img_id,
+                     list_transform(range(0, 288), p ->
+                       (p * (k % 13 + 1) + k) % 256) AS v
+              FROM imgs),
+            bits AS (
+              SELECT img_id, list_transform(range(0, 64), t ->
+                CASE WHEN v[CAST((t // 8) * 2 * 18 + (t % 8) * 2 AS INT) + 1]
+                        > v[CAST((t // 8) * 2 * 18 + ((t % 8) + 1) * 2
+                            AS INT) + 1]
+                     THEN 1 ELSE 0 END) AS b
+              FROM px),
+            bands AS (
+              SELECT img_id, CAST(j AS INT) AS band,
+                     CAST(list_sum(list_transform(range(0, 8), i ->
+                       b[CAST(j * 8 + i AS INT) + 1] * (1 << CAST(7 - i AS INT))
+                     )) AS INT) AS val
+              FROM bits, range(0, 8) t(j)),
+            hot AS (
+              SELECT band, val, count(*) AS n FROM bands
+              GROUP BY band, val HAVING count(*) > 100)
+            SELECT band, count(*) AS hot_buckets,
+                   sum(n) AS dropped_memberships
+            FROM hot GROUP BY band ORDER BY band
         """,
         "collocations_pmi": """
             WITH toks AS (

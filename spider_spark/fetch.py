@@ -259,6 +259,30 @@ def fetch_one(url: str, transport, headers: dict, timeout: float):
     return current, None, 599, "unreachable", None, None
 
 
+def fetch_rows(
+    url_list: list, hdrs_list: list, transport, timeout: float, concurrency: int = 1
+) -> list:
+    """Fetch a batch of (url, headers) rows through ``fetch_one``,
+    preserving input order. ``concurrency=1`` is the strict sequential
+    loop; >1 overlaps requests on a per-partition thread pool — the
+    Python-side analog of the reference's ``Promise.all`` batching
+    (README.md:488-502). Threads are the right tool here: the stage is
+    network-bound (the GIL is released during socket waits), each
+    ``fetch_one`` owns its full redirect chain, and
+    ``ThreadPoolExecutor.map`` reassembles results in submission order,
+    so concurrent output is row-identical to sequential. Politeness is
+    enforced UPSTREAM on the selected batch; concurrency here only
+    overlaps the already-budgeted requests of one partition."""
+    if concurrency <= 1 or len(url_list) <= 1:
+        return [fetch_one(u, transport, h, timeout) for u, h in zip(url_list, hdrs_list)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(concurrency, len(url_list))) as pool:
+        return list(
+            pool.map(lambda t: fetch_one(t[0], transport, t[1], timeout), zip(url_list, hdrs_list))
+        )
+
+
 def live_fetch(
     urls: DataFrame,
     transport=None,
@@ -269,6 +293,7 @@ def live_fetch(
     accept_encoding: bool = True,
     etag_col: str | None = None,
     last_modified_col: str | None = None,
+    concurrency: int = 1,
 ) -> DataFrame:
     """The fetch stage as mapInPandas: input rows pass through unchanged
     plus (final_url, html BINARY, status, fetch_error, etag,
@@ -284,7 +309,14 @@ def live_fetch(
     / If-Modified-Since, and an unchanged resource comes back as a 304
     status row with no body — revalidation at header cost instead of a
     refetch (RFC 9110 §13; pair with ``catalog``'s latest_capture or the
-    downloaded page store for the cached bytes)."""
+    downloaded page store for the cached bytes).
+
+    ``concurrency>1`` overlaps requests inside each Arrow batch on a
+    thread pool (``fetch_rows``): at ~200 ms/URL a politeness bucket of
+    64 URLs serializes to ~13 s per task sequentially; with
+    concurrency=16 the same bucket drains in ~1 s. Output rows are
+    byte-identical to sequential (order-preserving assembly) — asserted
+    by tests/test_live_fetch.py's concurrency differential."""
     tp = transport or urllib_transport
     hdrs = merge_headers(headers, user_agent)
     if accept_encoding:
@@ -298,6 +330,7 @@ def live_fetch(
             cols = {name: [] for name in ("final_url", "html", "status", "fetch_error", "etag", "last_modified")}
             etags = pdf[etag_col] if etag_col else None
             lastmods = pdf[last_modified_col] if last_modified_col else None
+            url_list, hdrs_list = [], []
             for i, u in enumerate(pdf[url_col]):
                 row_hdrs = hdrs
                 cond_etag = etags.iloc[i] if etags is not None else None
@@ -310,7 +343,9 @@ def live_fetch(
                         row_hdrs["If-None-Match"] = str(cond_etag)
                     if cond_lm is not None and not pd.isna(cond_lm):
                         row_hdrs["If-Modified-Since"] = str(cond_lm)
-                f, b, s, e, tg, lm = fetch_one(u, tp, row_hdrs, timeout)
+                url_list.append(u)
+                hdrs_list.append(row_hdrs)
+            for f, b, s, e, tg, lm in fetch_rows(url_list, hdrs_list, tp, timeout, concurrency):
                 cols["final_url"].append(f)
                 cols["html"].append(b)
                 cols["status"].append(s)

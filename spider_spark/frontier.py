@@ -92,6 +92,12 @@ class CrawlConfig:
     # stdlib urllib transport).
     adapter: str = "join"
     fetch_timeout_s: float = 30.0  # reference default 30 000 ms (types.ts:127)
+    # live-adapter intra-partition request concurrency (fetch.fetch_rows):
+    # the reference batches fetches with Promise.all (README.md:488-502);
+    # here a per-partition thread pool overlaps the network waits of one
+    # Arrow batch, order-preserving so output is row-identical to
+    # sequential. 1 = strict sequential (the deterministic default).
+    fetch_concurrency: int = 1
     max_ticks: int = 10
     # total fetch budget across the whole run. The reference parses
     # maxRequests but never enforces it (SURVEY.md §2.3); here it is real —
@@ -473,7 +479,11 @@ def live_fetch_and_parse(
     from . import fetch as fetch_mod
 
     fetched = fetch_mod.live_fetch(
-        selected, transport, url_col="url_canon", timeout=cfg.fetch_timeout_s
+        selected,
+        transport,
+        url_col="url_canon",
+        timeout=cfg.fetch_timeout_s,
+        concurrency=cfg.fetch_concurrency,
     )
     parsed = F.when(
         F.col("status") == 200, udfs.parse_page(F.col("final_url"), F.col("html"))

@@ -92,15 +92,31 @@ def dhash_near_dups(
     pixels_col: str = "pixels",
     width_col: str = "width",
     height_col: str = "height",
+    max_band_size: int | None = 2000,
 ) -> DataFrame:
     """Banded near-duplicate image pairs: (id_a, id_b, hamming) with
     id_a < id_b and hamming ≤ max_dist. Guaranteed-complete for
     max_dist ≤ 7 (pigeonhole over the 8 byte-bands: ≤7 differing bits
     leave at least one band untouched); larger distances degrade to
     candidate recall like any banding scheme, so they are refused
-    rather than silently incomplete."""
+    rather than silently incomplete.
+
+    Hot-band guard: a crawl-scale image corpus is dense in near-uniform
+    images (tracking pixels, placeholders, letterboxed frames) whose
+    shared band bytes collapse into one (band, val) bucket, turning the
+    candidate self-join quadratic. Bands with more than ``max_band_size``
+    members are dropped via the same census + broadcast anti-join that
+    guards MinHash/SimHash banding (``dedup._drop_hot_buckets``). A pair
+    living ONLY in dropped bands is missed — such images are uniform/
+    boilerplate content that exact byte-dedup already owns, the same
+    recall argument as text LSH. Pass ``max_band_size=None`` for the
+    unguarded banding-complete behavior (small corpora / oracle checks).
+    Dropped-band accounting: ``dhash_hot_band_census`` reports what the
+    guard removed — no silent caps."""
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (banding-complete range)")
+    from .dedup import _drop_hot_buckets
+
     hashed = dhash_images(
         images, id_col, pixels_col, width_col, height_col
     ).where(F.col("dh").isNotNull())
@@ -108,6 +124,7 @@ def dhash_near_dups(
         "img_id",
         F.posexplode("dh").alias("band", "val"),
     )
+    bands = _drop_hot_buckets(bands, ["band", "val"], max_band_size)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "val"])
@@ -131,6 +148,40 @@ def dhash_near_dups(
         .join(b, "id_b")
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_dist)
+    )
+
+
+def dhash_hot_band_census(
+    images: DataFrame,
+    max_band_size: int = 2000,
+    id_col: str = "img_id",
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Accounting for the ``dhash_near_dups`` hot-band guard (the repo's
+    no-silent-caps rule): per byte-band position, how many (band, val)
+    buckets exceed ``max_band_size`` and how many band memberships the
+    anti-join removes. One map-side-combinable census over the banding —
+    the exact aggregation the guard itself computes, surfaced as a
+    DataFrame so operators can log what a cap dropped. Output:
+    (band, hot_buckets, dropped_memberships) for bands with any drop."""
+    hashed = dhash_images(
+        images, id_col, pixels_col, width_col, height_col
+    ).where(F.col("dh").isNotNull())
+    bucket_sizes = (
+        hashed.select(F.posexplode("dh").alias("band", "val"))
+        .groupBy("band", "val")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_band_size)
+    )
+    return (
+        bucket_sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("hot_buckets"),
+            F.sum("_n").alias("dropped_memberships"),
+        )
+        .orderBy("band")
     )
 
 

@@ -108,6 +108,82 @@ def test_rejects_out_of_band_max_dist(spark):
         phash.dhash_near_dups(_images(spark, []), max_dist=8)
 
 
+def _uniform_plus_pair(spark, n_uniform):
+    """n_uniform all-zero 18x16 images (every band byte collapses to the
+    same (band, 0) bucket) plus two gradient images forming one cold-band
+    near-dup pair."""
+    from pyspark.sql import functions as F
+
+    uniform = spark.range(n_uniform).select(
+        F.col("id").alias("img_id"),
+        F.lit(18).alias("width"),
+        F.lit(16).alias("height"),
+        F.transform(F.sequence(F.lit(0), F.lit(287)), lambda p: F.lit(0)).alias(
+            "pixels"
+        ),
+    )
+    # DECREASING gradient: g(i) > g(i+1) everywhere, so every band byte
+    # is 0xFF — disjoint from the uniform mass's (band, 0) hot buckets.
+    px = [255 - x * 3 for _ in range(16) for x in range(18)]
+    pair = _images(
+        spark,
+        [
+            (n_uniform, 18, 16, px),
+            (n_uniform + 1, 18, 16, list(px)),
+        ],
+    )
+    return uniform.unionByName(pair)
+
+
+def test_hot_band_guard_bounds_uniform_mass(spark):
+    """10k near-uniform images (the tracking-pixel/placeholder scenario):
+    unguarded banding would enqueue ~50M candidate pairs; the guard drops
+    the 8 hot (band, 0) buckets so only the cold gradient pair survives.
+    Completing at all — quickly, with one emitted pair — IS the assertion
+    that candidates stayed bounded."""
+    imgs = _uniform_plus_pair(spark, 10_000)
+    got = phash.dhash_near_dups(imgs, max_dist=4, max_band_size=100).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {
+        (10_000, 10_001, 0)
+    }
+
+
+def test_hot_band_census_accounts_for_drops(spark):
+    """No-silent-caps: the census reports exactly what the guard removed —
+    each of the 8 band positions has one hot bucket (val=0) carrying all
+    200 uniform memberships; the gradient pair's buckets stay cold."""
+    imgs = _uniform_plus_pair(spark, 200)
+    rows = phash.dhash_hot_band_census(imgs, max_band_size=100).collect()
+    assert [r["band"] for r in rows] == list(range(8))
+    assert all(r["hot_buckets"] == 1 for r in rows)
+    assert all(r["dropped_memberships"] == 200 for r in rows)
+    # below the cap: nothing to report
+    assert phash.dhash_hot_band_census(imgs, max_band_size=1000).count() == 0
+
+
+def test_guard_noop_below_cap(spark):
+    """With every bucket under the cap the guarded result is identical to
+    the unguarded (max_band_size=None) banding-complete result."""
+    rows = [
+        (i, 18, 16, _img_gradient(18, 16, s))
+        for i, s in enumerate([3, 3, 7, 11, 100])
+    ]
+    unguarded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash.dhash_near_dups(
+            _images(spark, rows), max_dist=4, max_band_size=None
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash.dhash_near_dups(
+            _images(spark, rows), max_dist=4, max_band_size=50
+        ).collect()
+    }
+    assert guarded == unguarded
+    assert (0, 1, 0) in guarded
+
+
 def test_real_codec_integration(spark):
     """PPM payloads decoded by the real parser -> grayscale -> dHash
     matches a numpy reference on the same decoded arrays."""
