@@ -99,58 +99,19 @@ def js_trim(s: str) -> str:
     return s.strip(_JS_WS_SET)
 
 
-class _Serializer(HTMLParser):
-    """Parse → re-serialize round trip for normalize_html: preserves
-    document order and attribute form; unparseable input falls back to the
-    raw string (the DomAdapter contract, dom.ts:36-49)."""
-
-    VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
-            "link", "meta", "source", "track", "wbr"}
-
-    def __init__(self):
-        super().__init__(convert_charrefs=False)
-        self.out: list[str] = []
-
-    def _attrs(self, attrs):
-        parts = []
-        for k, v in attrs:
-            parts.append(f' {k}' if v is None else f' {k}="{v}"')
-        return "".join(parts)
-
-    def handle_starttag(self, tag, attrs):
-        self.out.append(f"<{tag}{self._attrs(attrs)}>")
-
-    def handle_startendtag(self, tag, attrs):
-        self.out.append(f"<{tag}{self._attrs(attrs)}/>")
-
-    def handle_endtag(self, tag):
-        self.out.append(f"</{tag}>")
-
-    def handle_data(self, data):
-        self.out.append(data)
-
-    def handle_entityref(self, name):
-        self.out.append(f"&{name};")
-
-    def handle_charref(self, name):
-        self.out.append(f"&#{name};")
-
-    def handle_comment(self, data):
-        self.out.append(f"<!--{data}-->")
-
-    def handle_decl(self, decl):
-        self.out.append(f"<!{decl}>")
-
-
 def normalize_html(html: str) -> str:
-    """DomAdapter.processHtml (dom.ts:36-49): normalize through a parser
-    round trip; on failure return the input unchanged. Idempotent and
-    deterministic — the ``adapter='dom'`` variant of the fetch stage."""
+    """DomAdapter.processHtml (dom.ts:36-49): happy-dom's
+    ``documentElement.innerHTML = html; return outerHTML`` round trip,
+    re-expressed per the WHATWG fragment parse/serialize algorithms the
+    library implements (``domnorm.whatwg_normalize_html`` — implemented
+    subset and documented divergences in that module's docstring). On
+    failure return the input unchanged (dom.ts:43-48's catch). Idempotent
+    and deterministic — the ``adapter='dom'`` variant of the fetch
+    stage."""
+    from .domnorm import whatwg_normalize_html
+
     try:
-        p = _Serializer()
-        p.feed(html)
-        p.close()
-        return "".join(p.out)
+        return whatwg_normalize_html(html)
     except Exception:
         return html
 

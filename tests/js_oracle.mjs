@@ -155,9 +155,32 @@ const cacheKey = ([namespace, url, parts]) => {
   return `${namespace}:${createHash('sha256').update(signature).digest('hex')}`;
 };
 
+// DomAdapter.processHtml (dom.ts:36-49) — the TRUE happy-dom differential
+// for textops.normalize_html. happy-dom is not vendored in this sandbox
+// (no network, installs forbidden), so the op degrades to a sentinel the
+// Python test turns into an explicit skip; anywhere happy-dom IS
+// resolvable (e.g. next to the reference's own node_modules) the
+// byte-parity assertion activates automatically.
+const makeNormalize = async () => {
+  try {
+    const { Window } = await import('happy-dom');
+    return (html) => {
+      try {
+        const window = new Window();
+        window.document.documentElement.innerHTML = html;
+        return window.document.documentElement.outerHTML;
+      } catch {
+        return html;
+      }
+    };
+  } catch {
+    return () => ({ unavailable: 'happy-dom not installed' });
+  }
+};
+
 let input = '';
 process.stdin.on('data', (c) => (input += c));
-process.stdin.on('end', () => {
+process.stdin.on('end', async () => {
   const { op, args } = JSON.parse(input);
   const fn = {
     strip: stripHtmlToText,
@@ -167,6 +190,7 @@ process.stdin.on('end', () => {
     detect_regexes: detectRegexes,
     detect,
     cache_key: cacheKey,
+    normalize: op === 'normalize' ? await makeNormalize() : undefined,
   }[op];
   process.stdout.write(JSON.stringify(args.map(fn)));
 });
