@@ -775,6 +775,38 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe.encode_with_merges(docs, merges).orderBy("id")
 
 
+#: literal merge table for the oracle-backed BPE-encode sibling — ranks
+#: chosen to exercise cascades (th→the→the</w>) and the rank-greedy
+#: ordering. MUST stay byte-identical to the VALUES list in the oracle.
+BPE_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "</w>"),
+    ("e", "</w>"),
+    ("a", "n"),
+    ("an", "d"),
+    ("and", "</w>"),
+    ("i", "n"),
+]
+
+
+def q_bpe_encode_fixed_merges(spark, sf_dir):
+    """The deterministic oracle-backed sibling of bpe_tokenize (family
+    discipline: minhash→minhash_deterministic): the SAME production
+    encode path (bpe.encode_with_merges, rank-greedy) applied with a
+    LITERAL 8-merge table instead of a trained one, so DuckDB can replay
+    it exactly. The oracle exploits the classic equivalence that
+    rank-greedy encoding equals applying merges sequentially in rank
+    order (each left-to-right greedy): a recursive CTE carries
+    (word, syms, merge_index) and either applies the current merge at
+    its leftmost occurrence or advances the index — replaying the exact
+    per-word token counts, then aggregating per document."""
+    from spider_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe.encode_with_merges(docs, BPE_FIXED_MERGES).orderBy("id")
+
+
 def q_main_content(spark, sf_dir):
     """jusText/Boilerpipe-style main-content extraction (pure Catalyst:
     block segmentation, link density, word-count classes, one context-
@@ -4996,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_extract": q_wat_extract,
         "wet_roundtrip": q_wet_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_encode_fixed_merges": q_bpe_encode_fixed_merges,
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "minhash_incremental_probe": q_minhash_incremental_probe,
@@ -8811,6 +8844,53 @@ def oracle_sql() -> dict[str, str]:
               JOIN bits x ON x.img_id = c.id_a
               JOIN bits y ON y.img_id = c.id_b)
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+        """,
+        "bpe_encode_fixed_merges": """
+            WITH RECURSIVE merges(rank, ml, mr) AS (
+              VALUES (0,'t','h'),(1,'th','e'),(2,'the','</w>'),(3,'e','</w>'),
+                     (4,'a','n'),(5,'an','d'),(6,'and','</w>'),(7,'i','n')
+            ),
+            docs AS (
+              SELECT doc_id AS id, lower(trim(coalesce(text, ''))) AS t
+              FROM documents),
+            docwords AS (
+              SELECT id, u.w
+              FROM docs, unnest(list_filter(regexp_split_to_array(t, '\\s+'),
+                                            x -> x <> '')) AS u(w)),
+            vocab AS (SELECT DISTINCT w FROM docwords),
+            init AS (
+              SELECT w, list_append(string_split(w, ''), '</w>') AS syms
+              FROM vocab),
+            enc AS (
+              SELECT w, syms, 0 AS m FROM init
+              UNION ALL
+              SELECT w,
+                     CASE WHEN pos IS NULL THEN syms
+                          ELSE list_concat(list_concat(syms[1:pos-1],
+                                 [syms[CAST(pos AS INT)]
+                                  || syms[CAST(pos AS INT)+1]]),
+                               syms[pos+2:]) END AS syms,
+                     CASE WHEN pos IS NULL THEN m + 1 ELSE m END AS m
+              FROM (
+                SELECT e.w, e.syms, e.m,
+                       list_filter(range(1, len(e.syms)),
+                                   i -> e.syms[CAST(i AS INT)] = mg.ml
+                                    AND e.syms[CAST(i AS INT) + 1] = mg.mr
+                                   )[1] AS pos
+                FROM enc e JOIN merges mg ON mg.rank = e.m
+                WHERE e.m < 8)
+            ),
+            done AS (SELECT w, len(syms) AS n_tok FROM enc WHERE m = 8),
+            perdoc AS (
+              SELECT d.id, count(*) AS n_words, sum(n_tok) AS n_tokens
+              FROM docwords d JOIN done ON d.w = done.w GROUP BY d.id)
+            SELECT dd.id,
+                   CAST(coalesce(p.n_words, 0) AS INT) AS n_words,
+                   CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
+                   CASE WHEN coalesce(p.n_words, 0) > 0
+                        THEN round(p.n_tokens / p.n_words, 4)
+                        ELSE 0.0 END AS tokens_per_word
+            FROM docs dd LEFT JOIN perdoc p ON dd.id = p.id
         """,
         "dhash_hot_band_census": """
             WITH imgs AS (

@@ -241,10 +241,24 @@ class AdapterContext:
     against the engine's page store (the sandbox "network": equi-join on
     url, exactly the fetch-stage contract of frontier.fetch_and_parse),
     ``scrape_index`` runs the link-extraction entry point, ``log`` is
-    driver-side."""
+    driver-side.
+
+    ``ai`` is the reference's optional untyped AI-client slot
+    (types.ts:52: "Optional AI client for discoverOptions (untyped to
+    avoid a hard dep)") made DataFrame-shaped: an optional callable
+    ``(df: DataFrame, prompt: str) -> DataFrame`` that an adapter may
+    use to enrich/label a frame. None by default — adapters must treat
+    it as absent-capable exactly as the reference's ``ai?`` is, and
+    ``ask_ai`` raises a clear error when unbound rather than guessing."""
 
     pages: DataFrame | None = None
     log: object = print
+    ai: object | None = None
+
+    def ask_ai(self, df: DataFrame, prompt: str) -> DataFrame:
+        if self.ai is None:
+            raise ValueError("AdapterContext has no ai client bound (types.ts:52 'ai?')")
+        return self.ai(df, prompt)
 
     def fetch_page(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
         if self.pages is None:

@@ -142,3 +142,39 @@ def test_parallelism_invariance(spark, docs):
     got1 = bpe.train_bpe(docs.repartition(1), num_merges=12)
     got8 = bpe.train_bpe(docs.repartition(8), num_merges=12)
     assert got1 == got8
+
+
+def test_rank_greedy_equals_sequential_by_rank(spark):
+    """The equivalence the bpe_encode_fixed_merges oracle rests on:
+    rank-greedy encoding (encode_with_merges' loop) equals applying
+    merges sequentially in rank order, each left-to-right greedy.
+    Pinned with a pure-Python sequential encoder over words that
+    exercise cascades (th->the-></w>) and overlap (aaa with (a,a))."""
+    from __spark_entry__ import BPE_FIXED_MERGES
+
+    def sequential(word, merges):
+        syms = list(word) + [bpe.END]
+        for ml, mr in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == ml and syms[i + 1] == mr:
+                    res.append(ml + mr)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    words = ["the", "and", "thine", "theater", "thethe", "in", "tthhee", "x"]
+    merges = BPE_FIXED_MERGES + [("a", "a")]
+    words.append("aaaa")
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["n_tokens"]
+        for r in bpe.encode_with_merges(docs, merges).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == sequential(w, merges), w

@@ -486,6 +486,31 @@ def test_adapter_context_fetch_and_scrape(spark):
     assert [r.href for r in links] == ["https://s.test/d.pdf"]
 
 
+def test_adapter_context_ai_seam(spark):
+    """types.ts:52 — the optional untyped ``ai?`` hook: unbound contexts
+    refuse ask_ai with a clear error; a bound fake client receives the
+    frame and prompt and its result flows back."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from spider_spark.platform import AdapterContext
+
+    urls = spark.createDataFrame([("https://s.test/a",)], "url string")
+    with _pytest.raises(ValueError, match="no ai client"):
+        AdapterContext().ask_ai(urls, "label these")
+
+    seen = {}
+
+    def fake_ai(df, prompt):
+        seen["prompt"] = prompt
+        return df.withColumn("ai_label", F.lit("doc"))
+
+    ctx = AdapterContext(ai=fake_ai)
+    out = ctx.ask_ai(urls, "label these").collect()
+    assert seen["prompt"] == "label these"
+    assert [(r.url, r.ai_label) for r in out] == [("https://s.test/a", "doc")]
+
+
 def test_adapter_parity_same_fixture_all_adapters(spark):
     """index.spec.ts:70-99: the same page through every adapter yields the
     same absolute links with consistent metadata. Here: the simple path
