@@ -357,3 +357,117 @@ def stream_content_seen(captures: DataFrame, num_shards: int = 32) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming prospective search — the per-tick twin of
+    ``operators.index.percolate`` (the Elasticsearch-percolator shape):
+    every micro-batch of fresh documents alerts on the standing
+    conjunctive queries it satisfies. Output (doc_id, query_id, n_terms),
+    append mode, SEMANTICS IDENTICAL to the batch percolator over the
+    same rows (asserted by the twin test).
+
+    Physical shape: percolation is stateless per document — the right
+    streaming form is a map-only projection, not a stateful aggregation.
+    The standing-query registry is tokenized ONCE with the exact batch
+    tokenizer (``col_index_tokens`` on the queries frame) and folded into
+    the plan as a broadcast literal — a registry of standing alerts is
+    driver-bounded by design (thousands of rows, the same bound the batch
+    operator's broadcast join relies on). Each doc computes its distinct
+    term set once, then a conjunction check per query via array algebra —
+    no shuffle, no state store, watermark-free append."""
+    from .operators.index import col_index_tokens
+
+    regs = (
+        queries.select(
+            F.col("query_id"),
+            F.array_distinct(col_index_tokens("query")).alias("_qt"),
+        )
+        .where(F.size("_qt") > 0)
+        .collect()
+    )
+    if not regs:
+        raise ValueError("percolate needs at least one non-empty standing query")
+    reg_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.query_id)).alias("query_id"),
+                F.array(*[F.lit(t) for t in r._qt]).alias("qt"),
+            )
+            for r in regs
+        ]
+    )
+    toks = F.array_distinct(col_index_tokens(text_col))
+    matched = F.filter(
+        reg_lit,
+        lambda q: F.forall(q.qt, lambda t: F.array_contains(toks, t)),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(matched).alias("q")
+        )
+        .select(
+            "doc_id",
+            F.col("q.query_id").alias("query_id"),
+            F.size("q.qt").alias("n_terms"),
+        )
+    )
+
+
+def stream_trending_lift(
+    counts: DataFrame,
+    window_minutes: int = 60,
+    min_count: int = 1,
+) -> DataFrame:
+    """Stateful streaming lift over CLOSED window counts — the
+    applyInPandasWithState twin of ``operators.trends.trending_terms``'s
+    lag step. Input is a stream of finalized (window_start_epoch, term,
+    n) rows — e.g. the sink of ``stream_trending_terms``, whose
+    watermark guarantees a window's count is final before it lands —
+    and the state per term is just (last_window_start_epoch, last_n):
+    constant per key, unbounded stream.
+
+    Semantics pinned to the batch operator: ``prev_n``/``lift_r`` are
+    null unless the previous window is exactly adjacent
+    (window_minutes·60 earlier — cold starts and gaps yield nulls, not
+    stale lifts), ``lift_r = round(n/prev_n, 6)``, and ``min_count``
+    filters OUTPUT rows only, after lift. Multiple windows for one term
+    arriving in a single micro-batch are processed in window order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step = window_minutes * 60
+
+    def lift(key, pdf_iter, state: GroupState):
+        last_ws, last_n = state.get if state.exists else (None, None)
+        out = []
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        batch = batch.sort_values("window_start_epoch")
+        for ws, n in zip(batch["window_start_epoch"], batch["n"]):
+            ws, n = int(ws), int(n)
+            prev = last_n if (last_ws is not None and ws - last_ws == step) else None
+            lift_r = round(n / prev, 6) if prev else None
+            if n >= min_count:
+                out.append((ws, key[0], n, prev, lift_r))
+            last_ws, last_n = ws, n
+        state.update((last_ws, last_n))
+        yield pd.DataFrame(
+            out,
+            columns=["window_start_epoch", "term", "n", "prev_n", "lift_r"],
+        )
+
+    return counts.groupBy("term").applyInPandasWithState(
+        lift,
+        outputStructType=(
+            "window_start_epoch long, term string, n long,"
+            " prev_n long, lift_r double"
+        ),
+        stateStructType="last_ws long, last_n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

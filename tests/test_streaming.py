@@ -186,3 +186,122 @@ def test_stream_content_seen_verdicts_across_batches(spark, tmp_path):
     assert by_url["https://a.test/dup3"] == ("duplicate", "https://a.test/3")
     assert by_url["https://b.test/dup0"] == ("duplicate", "https://a.test/0")
     assert by_url["https://b.test/dup7"] == ("duplicate", "https://a.test/7")
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """The streaming percolator (map-only, registry folded as a literal)
+    must produce exactly the batch operator's (doc_id, query_id, n_terms)
+    rows over the same documents — across micro-batch boundaries."""
+    import pandas as pd
+
+    from spider_spark import streaming
+    from spider_spark.operators import index as index_ops
+
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "alpha delta"), (3, "beta beta")],
+        "query_id long, query string",
+    )
+    texts = [
+        "alpha beta gamma",      # matches 0,1,3
+        "alpha delta",           # matches 2
+        "beta",                  # matches 3
+        "unrelated words here",  # matches none
+        "gamma alpha beta delta" # matches all
+    ]
+    docs = [(f"https://t.test/{i}", t) for i, t in enumerate(texts)]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(docs[:3], "url string, text string").coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(docs[3:], "url string, text string").coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming.stream_percolate(stream, queries)
+        .writeStream.format("memory")
+        .queryName("perc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.query_id, r.n_terms)
+        for r in spark.sql("SELECT * FROM perc").collect()
+    }
+    batch = spark.createDataFrame(docs, "url string, text string")
+    want = {
+        (r.doc_id, r.query_id, r.n_terms)
+        for r in index_ops.percolate(batch, queries, id_col="url", text_col="text").collect()
+    }
+    assert got == want and len(want) >= 7
+
+
+def test_stream_trending_lift_matches_batch(spark, tmp_path):
+    """The stateful lift twin over closed window counts equals the batch
+    trending_terms lag step on the same events: adjacency nulls at gaps,
+    round-6 lift, min_count output filtering — with windows split across
+    micro-batches so the state store carries prev counts between them."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from spider_spark import streaming
+    from spider_spark.operators import trends
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # term 'a': windows 0,1,2 rising; term 'b': windows 0 and 2 (gap);
+    # term 'c': only window 3
+    for w, k in [(0, 2), (1, 4), (2, 8)]:
+        rows += [("a", base + dt.timedelta(hours=w, minutes=i)) for i in range(k)]
+    for w, k in [(0, 5), (2, 5)]:
+        rows += [("b", base + dt.timedelta(hours=w, minutes=i)) for i in range(k)]
+    rows += [("c", base + dt.timedelta(hours=3),)]
+    events = spark.createDataFrame(rows, "term string, warc_ts timestamp")
+
+    counts = trends.term_window_counts(events, term_col="term").collect()
+    # stream the counts window-by-window: windows 0-1 in batch one,
+    # windows 2-3 in batch two (closure order)
+    early = [r for r in counts if r.window_start_epoch <= int(base.timestamp()) + 3600]
+    late = [r for r in counts if r.window_start_epoch > int(base.timestamp()) + 3600]
+    src = tmp_path / "counts"
+    src.mkdir()
+    schema = "window_start_epoch long, term string, n long"
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming.stream_trending_lift(stream, window_minutes=60)
+        .writeStream.format("memory")
+        .queryName("lift")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start_epoch, r.term): (r.n, r.prev_n, r.lift_r)
+        for r in spark.sql("SELECT * FROM lift").collect()
+    }
+    want = {
+        (r.window_start_epoch, r.term): (r.n, r.prev_n, r.lift_r)
+        for r in trends.trending_terms(events, term_col="term").collect()
+    }
+    assert got == want
+    # the interesting cells: a's lift crosses the micro-batch boundary,
+    # b's gap yields null lift, c's cold start yields null
+    a2 = got[(int((base + dt.timedelta(hours=2)).timestamp()), "a")]
+    assert a2 == (8, 4, 2.0)
+    b2 = got[(int((base + dt.timedelta(hours=2)).timestamp()), "b")]
+    assert b2 == (5, None, None)
