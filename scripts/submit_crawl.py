@@ -121,6 +121,21 @@ def main() -> None:
     p.add_argument("--use-bloom", action="store_true")
     p.add_argument("--use-cuckoo", action="store_true")
     p.add_argument(
+        "--bloom-bits-per-shard",
+        type=int,
+        default=None,
+        help="size the sharded bloom for the expected seen-set cardinality "
+        "(64 shards; ~10 bits/key keeps the prefilter effective — the "
+        "test-scale default 2^20 saturates above ~5M URLs)",
+    )
+    p.add_argument(
+        "--cuckoo-buckets-per-shard",
+        type=int,
+        default=None,
+        help="size the sharded cuckoo (64 shards x buckets x 4 slots; keep "
+        "load factor under ~0.95 of total slots)",
+    )
+    p.add_argument(
         "--compact-seen-every",
         type=int,
         default=None,
@@ -206,6 +221,10 @@ def main() -> None:
     )
     if args.compact_seen_every is not None:
         cfg_kwargs["compact_seen_every"] = args.compact_seen_every
+    if args.bloom_bits_per_shard is not None:
+        cfg_kwargs["bloom_bits_per_shard"] = args.bloom_bits_per_shard
+    if args.cuckoo_buckets_per_shard is not None:
+        cfg_kwargs["cuckoo_buckets_per_shard"] = args.cuckoo_buckets_per_shard
     cfg = CrawlConfig(**cfg_kwargs)
     crawler = Crawler(spark, pages, args.checkpoint, cfg, robots=robots, redirects=redirects)
     t0 = time.monotonic()
