@@ -64,6 +64,7 @@ def train_nb_langid(
     n: int = 3,
     alpha: float = 0.5,
     max_chars: int = 1000,
+    cache_counts: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the classifier: returns ``(grams, labels)``.
 
@@ -73,13 +74,24 @@ def train_nb_langid(
     denominator is label-comparable).
     ``labels``: (label, log_prior, unk_log_prob) — document-frequency
     priors and the per-label unknown-gram mass.
-    """
+
+    ``cache_counts`` persists the (label, gram, c) census — the one
+    corpus-sized pass in training. Without it, every consumer of the
+    returned frames (the vocab scalar, the label totals, the scoring
+    join, AND the broadcast-gate probe in ``nb_classify``) re-runs the
+    full explode over the corpus: 4-5 corpus scans for one model. The
+    census itself is vocabulary-bounded (|labels| × |observed n-grams|),
+    not corpus-bounded, so caching it is safe at any corpus scale —
+    exactly the frame a 100 TB job would checkpoint between train and
+    score."""
     base = docs.select(
         F.col(label_col).alias("label"),
         col_char_ngrams(text_col, n, max_chars).alias("grams"),
     )
     exploded = base.select("label", F.explode("grams").alias("gram"))
     counts = exploded.groupBy("label", "gram").agg(F.count(F.lit(1)).alias("c"))
+    if cache_counts:
+        counts = counts.cache()
     vocab = counts.select("gram").distinct().agg(
         F.count(F.lit(1)).alias("v_all")
     )
