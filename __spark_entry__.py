@@ -1590,6 +1590,29 @@ def q_stupid_backoff_ppl(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_kneser_ney_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (lm.doc_kneser_ney; Chen &
+    Goodman 1998 eq. 4.26-4.27 — the KenLM smoothing family behind
+    CCNet's perplexity filter): census the even-doc_id half, score the
+    odd half, so unseen bigrams, unseen contexts, and unseen
+    continuations all fire. One reference shuffle for the census,
+    partial-agg fertility/continuation sweeps over census rows, scoring
+    via three broadcast-gated equi-joins + one per-doc aggregation. The
+    oracle replays census → continuation smoothing → interpolation
+    end-to-end."""
+    from spider_spark.operators import lm as lmod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    held_out = docs.filter(F.col("doc_id") % 2 == 1)
+    out = lmod.doc_kneser_ney(held_out, reference)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("kn_nats", 6).alias("kn_nats_r"),
+    ).orderBy("doc_id")
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: train a Lidstone-smoothed unigram
     LM on the corpus, score every document (cross-entropy nats/token), and
@@ -5113,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_quota_topk": q_source_quota,
         "perplexity_buckets": q_perplexity_buckets,
         "stupid_backoff_ppl": q_stupid_backoff_ppl,
+        "kneser_ney_ppl": q_kneser_ney_ppl,
         "charset_decode": q_charset_decode,
         "host_reputation": q_host_reputation,
         "anchor_text_rollup": q_anchor_text,
@@ -6641,6 +6665,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_trigrams,
                    round(-avg(ln(s)), 6) AS sb_nats_r
+            FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "kneser_ney_ppl": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            ref AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
+            bi AS (
+              SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM (
+                SELECT t[i] AS w1, t[i+1] AS w2
+                FROM ref, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i))
+              GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c) AS c1, CAST(count(*) AS DOUBLE) AS fert
+                    FROM bi GROUP BY w1),
+            cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS contc FROM bi GROUP BY w2),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS b_types,
+                           CAST(count(DISTINCT w2) AS DOUBLE) AS vc FROM bi),
+            pos AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM tok, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+              WHERE doc_id % 2 = 1),
+            sc AS (
+              SELECT pos.doc_id,
+                     CASE WHEN ctx.c1 IS NOT NULL THEN
+                       (greatest(COALESCE(bi.c, 0.0) - 0.75, 0.0)
+                        + 0.75 * ctx.fert
+                          * ((COALESCE(cont.contc, 0.0) + 0.5)
+                             / (tot.b_types + 0.5 * (tot.vc + 1.0))))
+                       / ctx.c1
+                     ELSE (COALESCE(cont.contc, 0.0) + 0.5)
+                          / (tot.b_types + 0.5 * (tot.vc + 1.0)) END AS p
+              FROM pos
+              LEFT JOIN bi ON pos.w1 = bi.w1 AND pos.w2 = bi.w2
+              LEFT JOIN ctx ON pos.w1 = ctx.w1
+              LEFT JOIN cont ON pos.w2 = cont.w2
+              CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(-avg(ln(p)), 6) AS kn_nats_r
             FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         "perplexity_buckets": """

@@ -339,6 +339,10 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "publish_date_fusion",
         "truncation_recall",
         "path_template_census",
+        # round-4 additions
+        "dhash_hot_band_census",
+        "bpe_encode_fixed_merges",
+        "kneser_ney_ppl",
     ]
     out = {}
     for name in names:

@@ -43,6 +43,7 @@ __all__ = [
     "perplexity_buckets",
     "ngram_counts",
     "doc_stupid_backoff",
+    "doc_kneser_ney",
 ]
 
 # Above this many vocab rows, stop broadcasting the LM into the scoring
@@ -348,4 +349,98 @@ def doc_stupid_backoff(
     return j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         (-F.avg(F.log(s))).alias("sb_nats"),
+    )
+
+
+def doc_kneser_ney(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    lidstone: float = 0.5,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram cross-entropy (Kneser
+    & Ney 1995; Chen & Goodman 1998 eq. 4.26-4.27) — the smoothing KenLM
+    implements, i.e. the actual model family behind CCNet's perplexity
+    filter, next to `doc_stupid_backoff`'s cheaper relative-frequency
+    cousin:
+
+        P(w2 | w1) = [max(c(w1 w2) − D, 0) + D · N1+(w1 •) · Pcont(w2)]
+                     / c(w1 •)
+
+    where the lower-order distribution is the CONTINUATION probability
+    Pcont(w2) ∝ N1+(• w2) — how many distinct contexts w2 completes,
+    not how often it occurs ("francisco" is frequent but follows only
+    "san", so KN rightly distrusts it in new contexts — the insight the
+    unigram backoff misses).
+
+    Deterministic, engine-portable conventions (mirrored by the SQL
+    oracle; any fixed choice works, these keep every log finite):
+    - Pcont is Lidstone-floored over the continuation-type space:
+      (N1+(• w2) + λ) / (B + λ·(Vc + 1)), B = distinct bigram types,
+      Vc = distinct continuation types — so an unseen continuation
+      keeps positive mass.
+    - An unseen CONTEXT (w1 absent from the reference) carries no
+      higher-order evidence at all: P = Pcont(w2), the full back-off.
+    - All context counts come from the bigram census (c(w1 •) = Σ_w2
+      c(w1 w2) — the KN convention), so the model is self-consistent
+      without touching the unigram table.
+
+    Output: (id_col, n_bigrams, kn_nats) — mean −ln P over the doc's
+    bigram positions; docs with <2 tokens emit no row (same
+    absent-empties contract as the other scorers).
+
+    Scale shape at 100 TB: the census is ONE shuffle over the REFERENCE
+    (the small trusted corpus in the CCNet deployment); fertility /
+    continuation / totals are partial-agg sweeps over the census, not
+    the corpus. Scoring scans `docs` once through three equi-joins
+    against census-derived tables — broadcast under LM_BROADCAST_ROWS
+    (limit-bounded probe, the frontier.resolve_redirects gate), shuffle
+    on token keys above it — and the only corpus shuffle is the final
+    groupBy(id).
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    bi = ngram_counts(reference, 2, text_col)  # (w1, w2, c)
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).cast("double").alias("fert")
+    )
+    cont = bi.groupBy(F.col("w2")).agg(
+        F.count(F.lit(1)).cast("double").alias("contc")
+    )
+    totals = bi.agg(
+        F.count(F.lit(1)).cast("double").alias("b_types"),
+        F.count_distinct("w2").cast("double").alias("vc"),
+    )
+    if broadcast is None:
+        probe = bi.limit(LM_BROADCAST_ROWS + 1).count()
+        broadcast = probe <= LM_BROADCAST_ROWS
+    wrap = F.broadcast if broadcast else (lambda d: d)
+
+    pos = _positions(docs, 2, text_col, [id_col])
+    j = (
+        pos.join(wrap(bi.select("w1", "w2", F.col("c").alias("c2"))), ["w1", "w2"], "left")
+        .join(wrap(ctx), ["w1"], "left")
+        .join(wrap(cont), ["w2"], "left")
+    )
+    from . import join_scalar_frame
+
+    j = join_scalar_frame(j, totals)
+    d = F.lit(discount)
+    p_cont = (F.coalesce(F.col("contc"), F.lit(0.0)) + F.lit(lidstone)) / (
+        F.col("b_types") + F.lit(lidstone) * (F.col("vc") + F.lit(1.0))
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("c2"), F.lit(0.0)) - d, F.lit(0.0))
+            + d * F.col("fert") * p_cont
+        )
+        / F.col("c1"),
+    ).otherwise(p_cont)
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg(F.log(p))).alias("kn_nats"),
     )

@@ -225,3 +225,116 @@ def test_ngram_counts_orders(spark, sb_reference):
         for r in lmod.ngram_counts(sb_reference, 3).collect()
     }
     assert tri == {("a", "b", "c"): 2.0, ("b", "c", "d"): 1.0}
+
+
+# ---- interpolated Kneser-Ney (doc_kneser_ney) --------------------------
+
+
+def _kn_hand(ref_docs, probe, d=0.75, lid=0.5):
+    """Pure-Python mirror of doc_kneser_ney's formula (Chen & Goodman
+    1998 eq. 4.26-4.27 with the module's Lidstone-floored continuation
+    distribution)."""
+    import math
+    from collections import Counter
+
+    bi = Counter()
+    for t in (doc.lower().split() for doc in ref_docs):
+        bi.update(zip(t, t[1:]))
+    ctx_c, fert, cont = Counter(), Counter(), Counter()
+    for (w1, w2), c in bi.items():
+        ctx_c[w1] += c
+        fert[w1] += 1
+        cont[w2] += 1
+    b_types, vc = len(bi), len(cont)
+    denom = b_types + lid * (vc + 1)
+    out = []
+    for w1, w2 in zip(probe, probe[1:]):
+        p_cont = (cont.get(w2, 0) + lid) / denom
+        if w1 in ctx_c:
+            p = (max(bi.get((w1, w2), 0) - d, 0.0) + d * fert[w1] * p_cont) / ctx_c[w1]
+        else:
+            p = p_cont
+        out.append(math.log(p))
+    return len(out), -sum(out) / len(out)
+
+
+@pytest.fixture()
+def kn_reference(spark):
+    # bigrams: (a,b)x2 (b,c)x2 (c,d)x1 → B=3 types, Vc=3, denom=5
+    return spark.createDataFrame(
+        [(0, "a b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+
+
+def test_kneser_ney_seen_and_backoff_branches(spark, kn_reference):
+    # "a b": seen bigram → (max(2-.75,0) + .75·1·(1.5/5)) / 2 = 0.7375
+    # "b d": unseen bigram, seen context → .75·1·(1.5/5) / 2 = 0.1125
+    probe = spark.createDataFrame(
+        [(1, "a b"), (3, "b d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lmod.doc_kneser_ney(probe, kn_reference).collect()}
+    for doc_id, toks in [(1, ["a", "b"]), (3, ["b", "d"])]:
+        n, want = _kn_hand(["a b c d", "a b c"], toks)
+        assert got[doc_id]["n_bigrams"] == n == 1
+        assert got[doc_id]["kn_nats"] == pytest.approx(want)
+    import math
+
+    assert got[1]["kn_nats"] == pytest.approx(-math.log(0.7375))
+    assert got[3]["kn_nats"] == pytest.approx(-math.log(0.1125))
+
+
+def test_kneser_ney_unseen_context_and_continuation(spark, kn_reference):
+    # "x c": context x unseen → full back-off to Pcont(c) = 1.5/5 = 0.3
+    # "c zzz": continuation zzz unseen → .75·1·(0.5/5) / 1 = 0.075
+    probe = spark.createDataFrame(
+        [(1, "x c"), (3, "c zzz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lmod.doc_kneser_ney(probe, kn_reference).collect()}
+    import math
+
+    assert got[1]["kn_nats"] == pytest.approx(-math.log(0.3))
+    assert got[3]["kn_nats"] == pytest.approx(-math.log(0.075))
+    for doc_id, toks in [(1, ["x", "c"]), (3, ["c", "zzz"])]:
+        _, want = _kn_hand(["a b c d", "a b c"], toks)
+        assert got[doc_id]["kn_nats"] == pytest.approx(want)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    # the KN insight: "francisco" is FREQUENT (high unigram count) but
+    # completes only one context, so in a NOVEL context its probability
+    # must fall below an equally-frequent token with many contexts.
+    ref = spark.createDataFrame(
+        [
+            (0, "san francisco san francisco san francisco"),
+            (2, "a the b the c the"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "zzz francisco"), (3, "zzz the")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lmod.doc_kneser_ney(probe, ref).collect()}
+    # both probes back off fully (zzz unseen); cont(the)=3 > cont(francisco)=1
+    assert got[3]["kn_nats"] < got[1]["kn_nats"]
+
+
+def test_kneser_ney_short_docs_and_discount_validation(spark, kn_reference):
+    probe = spark.createDataFrame(
+        [(1, "a"), (3, ""), (5, "a b c")], "doc_id long, text string"
+    )
+    got = lmod.doc_kneser_ney(probe, kn_reference).collect()
+    assert [r["doc_id"] for r in got] == [5]
+    with pytest.raises(ValueError):
+        lmod.doc_kneser_ney(probe, kn_reference, discount=1.5)
+
+
+def test_kneser_ney_no_broadcast_path_matches(spark, kn_reference):
+    probe = spark.createDataFrame(
+        [(1, "a b c d"), (3, "x b zzz")], "doc_id long, text string"
+    )
+    a = lmod.doc_kneser_ney(probe, kn_reference, broadcast=True).collect()
+    b = lmod.doc_kneser_ney(probe, kn_reference, broadcast=False).collect()
+    key = lambda r: r["doc_id"]
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert ra["kn_nats"] == pytest.approx(rb["kn_nats"])
