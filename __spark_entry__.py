@@ -3457,6 +3457,21 @@ def q_heaps_fit(spark, sf_dir):
     )
 
 
+def q_vocab_richness(spark, sf_dir):
+    """Good-Turing coverage + Chao1 richness per source
+    (textqc.vocab_richness; Good 1953, Chao 1984): unseen_mass = f1/N
+    is the probability the next token from this source is a never-seen
+    type — the keep-crawling-this-source signal beside recrawl's λ̂;
+    chao1 bounds the source's true vocabulary. One (source, term)
+    census then one per-source aggregate over census rows. Oracle
+    restates census → frequency-of-frequencies → estimators."""
+    from spider_spark.operators import textqc
+
+    return textqc.vocab_richness(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )
+
+
 def q_lang_mixture(spark, sf_dir):
     """CCNet-style per-segment language screening (langid.lang_mixture
     over langid.token_window_segments, Wenzek et al. LREC 2020): train
@@ -5089,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mixture": q_lang_mixture,
         "salsa_2sweep": q_salsa,
         "heaps_fit": q_heaps_fit,
+        "vocab_richness": q_vocab_richness,
         "allocation_fairness": q_allocation_fairness,
         "ranking_agreement": q_ranking_agreement,
         "comb_fusion": q_comb_fusion,
@@ -9837,6 +9853,29 @@ def oracle_sql() -> dict[str, str]:
                      AS gini_r,
                    ROUND(CAST(sumsq AS DOUBLE) / (t * t), 6) AS hhi_r,
                    ROUND(CAST(cmax AS DOUBLE) / t, 6) AS top_share_r
+            FROM a
+        """,
+        "vocab_richness": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '([a-z0-9]+)', 1)) AS w
+              FROM documents
+            ), census AS (
+              SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ), a AS (
+              SELECT source,
+                     SUM(c) AS n_tokens,
+                     COUNT(*) AS v_types,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                     SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+              FROM census GROUP BY 1
+            )
+            SELECT source, n_tokens, v_types, f1, f2,
+                   round(v_types + CAST(f1 AS DOUBLE) * (f1 - 1)
+                         / (2.0 * (f2 + 1)), 6) AS chao1_r,
+                   round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass_r,
+                   round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage_r
             FROM a
         """,
         "heaps_fit": """

@@ -343,6 +343,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "dhash_hot_band_census",
         "bpe_encode_fixed_merges",
         "kneser_ney_ppl",
+        "vocab_richness",
     ]
     out = {}
     for name in names:

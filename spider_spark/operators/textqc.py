@@ -1015,6 +1015,67 @@ def heaps_fit(
     )
 
 
+def vocab_richness(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Nonparametric vocabulary-richness estimation per corpus slice —
+    the sampling-theory companion to `heaps_fit`'s parametric growth
+    curve (Good 1953 population-frequency estimation; Chao 1984
+    species-richness lower bound, bias-corrected form):
+
+    - ``unseen_mass`` = f1/N — the Good-Turing probability that the
+      NEXT token drawn from this slice is a type never seen before;
+    - ``coverage`` = 1 − f1/N — Good's sample-coverage estimator (how
+      much of the slice's true type distribution the crawl has already
+      captured);
+    - ``chao1`` = V + f1(f1−1)/(2(f2+1)) — estimated TRUE type count,
+      finite even when no type occurs exactly twice.
+
+    The crawl reading: a source whose unseen_mass stays high after N
+    tokens still yields novel vocabulary (keep crawling it — the
+    frontier-scheduling signal beside recrawl's change-rate λ̂); one
+    whose coverage saturates is templated or exhausted. chao1/V is the
+    vocabulary headroom a dictionary-sizing plan (heaps_fit's k·N^β)
+    can be sanity-checked against.
+
+    Physical shape: one (group, term) partial-agg census — shuffle
+    bounded by distinct pairs, never corpus rows — then one per-group
+    aggregate over census rows. Slices with zero tokens emit no row
+    (nothing sampled, nothing estimable). SQL-replayable end-to-end."""
+    from .index import col_index_tokens
+
+    census = (
+        docs.select(
+            F.col(group_col).alias(group_col),
+            F.explode(col_index_tokens(text_col)).alias("w"),
+        )
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = census.groupBy(group_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "v_types",
+        "f1",
+        "f2",
+        F.round(
+            F.col("v_types") + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6
+        ).alias("chao1_r"),
+        F.round(f1 / F.col("n_tokens"), 6).alias("unseen_mass_r"),
+        F.round(1.0 - f1 / F.col("n_tokens"), 6).alias("coverage_r"),
+    )
+
+
 #: Parked-domain phrase alternation — ASCII literals, (?i) + \b only, so
 #: the ORACLE INLINES THIS EXACT STRING (the SOFT404_RE discipline).
 #: Parking lander boilerplate per the registrar/aftermarket ecosystem

@@ -139,3 +139,60 @@ def test_heaps_fit_degenerate(spark):
         [(0, "a", None), (1, "b", "")], "doc_id long, source string, text string"
     )
     assert textqc.heaps_fit(df2, group_col="source").collect()[0]["n_points"] == 0
+
+
+# ---- Good-Turing / Chao1 vocabulary richness (vocab_richness) ----------
+
+
+def test_vocab_richness_hand_computation(spark):
+    # slice s: tokens a a a b b c d → N=7, V=4, f1={c,d}=2, f2={b}=1
+    # chao1 = 4 + 2·1/(2·2) = 4.5; unseen = 2/7; coverage = 5/7
+    df = spark.createDataFrame(
+        [(0, "s", "a a a b b"), (1, "s", "c d")],
+        "doc_id long, source string, text string",
+    )
+    r = textqc.vocab_richness(df, group_col="source").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_tokens"] == 7 and row["v_types"] == 4
+    assert row["f1"] == 2 and row["f2"] == 1
+    assert row["chao1_r"] == pytest.approx(4.5)
+    assert row["unseen_mass_r"] == pytest.approx(round(2 / 7, 6))
+    assert row["coverage_r"] == pytest.approx(round(1 - 2 / 7, 6))
+
+
+def test_vocab_richness_brute_force_and_groups(spark):
+    rows = [
+        (0, "x", "the quick brown fox jumps over the lazy dog the end"),
+        (1, "x", "pack my box with five dozen quick jugs"),
+        (2, "y", "aa bb aa bb aa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in textqc.vocab_richness(df, group_col="source").collect()}
+    for src in ("x", "y"):
+        toks = []
+        for _, s, t in rows:
+            if s == src:
+                toks += re.findall(r"[a-z0-9]+", t.lower())
+        cnt = Counter(toks)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        assert got[src]["n_tokens"] == len(toks)
+        assert got[src]["v_types"] == len(cnt)
+        assert got[src]["chao1_r"] == pytest.approx(
+            round(len(cnt) + f1 * (f1 - 1) / (2 * (f2 + 1)), 6)
+        )
+        assert got[src]["unseen_mass_r"] == pytest.approx(round(f1 / len(toks), 6))
+    # every-type-singleton slice: unseen mass 1 early in a crawl of y'
+    # is the keep-crawling signal; saturated y has f1=0 → coverage 1
+    assert got["y"]["f1"] == 0
+    assert got["y"]["coverage_r"] == pytest.approx(1.0)
+
+
+def test_vocab_richness_empty_slices_absent(spark):
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "b", ""), (2, "c", "one tok")],
+        "doc_id long, source string, text string",
+    )
+    got = textqc.vocab_richness(df, group_col="source").collect()
+    assert [r["source"] for r in got] == ["c"]
