@@ -2745,6 +2745,29 @@ def q_sitemap_coverage(spark, sf_dir):
     return sm.sitemap_coverage(crawled, locs)
 
 
+def q_host_url_space_estimate(spark, sf_dir):
+    """Chapman capture-recapture host-size estimation
+    (sitemap.host_url_space_estimate; Chapman 1951, the Lawrence &
+    Giles overlap method): sitemap listing and crawl as two samples of
+    each host's page population, N-hat from the overlap,
+    undiscovered_est = the pages neither sample surfaced. Same
+    arithmetic sides as sitemap_coverage, so the join and census are
+    shared machinery; the estimator is a map-only projection."""
+    from spider_spark import sitemap as sm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), F.pmod(d, F.lit(16)).cast("string"))
+    u = F.concat(F.lit("u"), d.cast("string"))
+    crawled = docs.where(F.pmod(d, F.lit(3)) != 0).select(
+        host.alias("host"), u.alias("url_canon")
+    )
+    locs = docs.where(F.pmod(d, F.lit(2)) == 0).select(
+        host.alias("host"), u.alias("loc")
+    )
+    return sm.host_url_space_estimate(crawled, locs)
+
+
 def q_robots_policy_diff(spark, sf_dir):
     """robots.txt policy drift across a recrawl wave
     (robots.robots_policy_diff): synthesize per-host OLD and NEW robots
@@ -5133,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "team_draft_interleave": q_team_draft_interleave,
         "robots_policy_diff": q_robots_policy_diff,
         "sitemap_coverage": q_sitemap_coverage,
+        "host_url_space_estimate": q_host_url_space_estimate,
         "trending_event_types": q_trending_event_types,
         "percolate_alerts": q_percolate_alerts,
         "quantize_embeddings_int8": q_quantize_embeddings_int8,
@@ -9161,6 +9185,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(CAST(n AS DOUBLE) / prev_n, 6)
                    END AS lift_r
             FROM lifted
+        """,
+        "host_url_space_estimate": """
+            WITH c AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                     'u' || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 3 <> 0),
+            s AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                     'u' || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 2 = 0),
+            j AS (
+              SELECT COALESCE(c.host, s.host) AS host,
+                     c.u IS NOT NULL AS ic, s.u IS NOT NULL AS im
+              FROM c FULL OUTER JOIN s
+                ON c.host = s.host AND c.u = s.u),
+            agg AS (
+              SELECT host,
+                     CAST(SUM(CASE WHEN im THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_listed,
+                     CAST(SUM(CASE WHEN ic THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_crawled,
+                     CAST(SUM(CASE WHEN ic AND im THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_both,
+                     CAST(SUM(CASE WHEN 1=1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_union
+              FROM j GROUP BY host)
+            SELECT host, n_listed, n_crawled, n_both, n_union,
+                   CASE WHEN n_both > 0 THEN
+                     round((n_listed + 1.0) * (n_crawled + 1.0)
+                           / (n_both + 1.0) - 1.0, 6) END AS chapman_est_r,
+                   CASE WHEN n_both > 0 THEN
+                     round(greatest((n_listed + 1.0) * (n_crawled + 1.0)
+                                    / (n_both + 1.0) - 1.0 - n_union,
+                                    0.0), 6) END AS undiscovered_est_r
+            FROM agg
         """,
         "sitemap_coverage": """
             WITH c AS (

@@ -344,6 +344,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "bpe_encode_fixed_merges",
         "kneser_ney_ppl",
         "vocab_richness",
+        "host_url_space_estimate",
     ]
     out = {}
     for name in names:

@@ -247,6 +247,59 @@ def sitemap_coverage(
     )
 
 
+def host_url_space_estimate(
+    crawled: DataFrame,
+    sitemap_locs: DataFrame,
+    url_col: str = "url_canon",
+    loc_col: str = "loc",
+    host_col: str = "host",
+) -> DataFrame:
+    """Capture-recapture estimate of each host's TRUE URL-space size
+    from the sitemap∩crawl overlap (Lincoln-Petersen via Chapman's
+    bias-corrected form, Chapman 1951; the overlap method Lawrence &
+    Giles, Science 1998, used to size the indexable web): treat the
+    sitemap listing and the crawl as two independent samples of the
+    host's page population —
+
+        N̂ = (n_listed + 1)(n_crawled + 1) / (n_both + 1) − 1
+
+    ``undiscovered_est`` = max(N̂ − |listed ∪ crawled|, 0) is the
+    frontier-planning number: how many pages this host likely has that
+    NEITHER the sitemap nor the crawl surfaced — the budget-allocation
+    signal beside `textqc.vocab_richness`'s token-level unseen mass
+    (that one asks "is the text still novel", this one "are there
+    still pages"). Hosts with zero overlap keep a null estimate (the
+    estimator needs a recapture; Chapman's +1 keeps it finite but a
+    0-overlap reading is evidence of sample dependence, not of size).
+
+    Independence caveat (documented, inherent to the method): crawls
+    SEED from sitemaps, so the samples correlate positively and N̂ is
+    then a lower bound — still the right direction for budgeting.
+
+    Physical shape: `sitemap_coverage`'s one equi-join + per-host
+    census, then a map-only projection — nothing new shuffles."""
+    cov = sitemap_coverage(crawled, sitemap_locs, url_col, loc_col, host_col)
+    n_union = F.col("n_both") + F.col("n_crawled_only") + F.col("n_listed_only")
+    chapman = (
+        (F.col("n_listed") + 1.0) * (F.col("n_crawled") + 1.0)
+        / (F.col("n_both") + 1.0)
+        - 1.0
+    )
+    est = F.when(F.col("n_both") > 0, F.round(chapman, 6))
+    return cov.select(
+        "host",
+        "n_listed",
+        "n_crawled",
+        "n_both",
+        n_union.alias("n_union"),
+        est.alias("chapman_est_r"),
+        F.when(
+            F.col("n_both") > 0,
+            F.round(F.greatest(chapman - n_union, F.lit(0.0)), 6),
+        ).alias("undiscovered_est_r"),
+    )
+
+
 def xml_escape(c: Column) -> Column:
     """Encode the 5 predefined XML entities — the exact inverse of
     ``xml_unescape``: ``&`` is encoded FIRST so later replacements never

@@ -3,6 +3,7 @@ XML entity unescape ordering, seed derivation, crawler composition."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spider_spark import sitemap
@@ -210,3 +211,42 @@ def test_crawler_sitemap_revalidate_end_to_end(spark, tmp_path):
     c.run(max_ticks=c.catalog.committed_tick() + 2)
     assert c.results().filter(F.col("url_canon") == u1).count() == before + 1
     assert c.results().filter(F.col("url_canon") == u2).count() == 1
+
+
+# ---- capture-recapture host-size estimation ----------------------------
+
+
+def test_host_url_space_estimate_chapman_arithmetic(spark):
+    from spider_spark import sitemap as sm
+
+    # host A: listed {u0..u9} (10), crawled {u6..u13} (8), both {u6..u9} (4)
+    # Chapman: 11·9/5 − 1 = 18.8; union = 14 → undiscovered 4.8
+    crawled = spark.createDataFrame(
+        [("A", f"u{i}") for i in range(6, 14)], "host string, url_canon string"
+    )
+    listed = spark.createDataFrame(
+        [("A", f"u{i}") for i in range(10)], "host string, loc string"
+    )
+    r = sm.host_url_space_estimate(crawled, listed).collect()[0]
+    assert (r["n_listed"], r["n_crawled"], r["n_both"], r["n_union"]) == (10, 8, 4, 14)
+    assert r["chapman_est_r"] == pytest.approx(18.8)
+    assert r["undiscovered_est_r"] == pytest.approx(4.8)
+
+
+def test_host_url_space_estimate_zero_overlap_and_floor(spark):
+    from spider_spark import sitemap as sm
+
+    # host B: disjoint samples → no recapture → null estimate
+    # host C: complete overlap → N-hat = 3·3/3−1 = 2 < union 2 → floor 0
+    crawled = spark.createDataFrame(
+        [("B", "u1"), ("B", "u2"), ("C", "x1"), ("C", "x2")],
+        "host string, url_canon string",
+    )
+    listed = spark.createDataFrame(
+        [("B", "u3"), ("C", "x1"), ("C", "x2")], "host string, loc string"
+    )
+    got = {r["host"]: r for r in sm.host_url_space_estimate(crawled, listed).collect()}
+    assert got["B"]["chapman_est_r"] is None
+    assert got["B"]["undiscovered_est_r"] is None
+    assert got["C"]["chapman_est_r"] == pytest.approx(2.0)
+    assert got["C"]["undiscovered_est_r"] == pytest.approx(0.0)
