@@ -62,32 +62,50 @@ def split_by_bloom(
     num_hashes: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) by probing shard
-    bitsets. Join on shard is broadcast (num_shards rows), probe vectorized."""
-    with_shard = candidates.withColumn(
-        "shard", F.pmod(F.col("url_hash"), F.lit(num_shards)).cast("int")
-    )
-    joined = with_shard.join(F.broadcast(bloom), "shard", "left")
+    bitsets, vectorized per Arrow batch.
+
+    The bitsets ride a TASK-LEVEL BROADCAST VARIABLE, not a row column:
+    the earlier broadcast-JOIN shape attached each candidate's shard blob
+    to the row itself, so the Arrow transfer into the probe UDF shipped
+    bits_per_shard/8 bytes PER CANDIDATE — at 2^23-bit shards that is
+    1 MiB/row, and a multi-million-link frontier tick turned into tens of
+    GB of JVM-side DiskRowQueue spill (observed filling an 80 GB disk in
+    the 10M-page stress). With the broadcast variable the per-row payload
+    is the 8-byte hash and the whole filter ships ONCE per executor
+    (torrent), which is also the 1000-executor story: filter size ~10 GiB
+    at 10^10 URLs x 10 bits — fine as one copy per executor, absurd as a
+    per-row column. The driver already held the full filter under the old
+    broadcast-join plan, so `collect()` here adds no new driver memory.
+    Shard geometry derives from each blob's length, so resized filters
+    probe correctly whatever ``bits_per_shard`` the caller passes."""
+    shard_bits = {int(r["shard"]): bytes(r["bits"]) for r in bloom.collect()}
+    bc = candidates.sparkSession.sparkContext.broadcast(shard_bits)
 
     @F.pandas_udf("boolean")
-    def probe(hashes: pd.Series, bits: pd.Series) -> pd.Series:
+    def probe(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return pd.Series(out)
         arr = hashes.to_numpy(np.int64)
-        # group rows by identical bits blob (normally one per partition batch)
-        for blob in bits.dropna().unique():
-            mask = (bits == blob).to_numpy()
+        # numpy % matches F.pmod for a positive divisor (sign of divisor)
+        shards = arr % np.int64(num_shards)
+        blobs = bc.value
+        for s in np.unique(shards):
+            blob = blobs.get(int(s))
+            if blob is None:
+                continue
+            mask = shards == s
             bitarr = np.frombuffer(blob, dtype=np.uint8)
             pos = _positions(arr[mask], len(bitarr) * 8, num_hashes)
-            hit = np.ones(mask.sum(), dtype=bool)
+            hit = np.ones(int(mask.sum()), dtype=bool)
             for k in range(num_hashes):
                 hit &= (bitarr[pos[k] >> 3] & (np.uint8(1) << (pos[k] & 7).astype(np.uint8))) != 0
             out[mask] = hit
         return pd.Series(out)
 
-    probed = joined.withColumn("maybe_seen", probe(F.col("url_hash"), F.col("bits"))).drop("bits")
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "shard")
-    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "shard")
+    probed = candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     return definitely_new, maybe_seen
 
 

@@ -203,30 +203,41 @@ def split_by_cuckoo(
     candidates: DataFrame, cuckoo: DataFrame, num_shards: int = 64, **_ignored
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) by probing shard
-    tables. Join on shard is broadcast (num_shards rows), probe vectorized.
-    Geometry (buckets, slots) travels in each blob's header, so the probe
-    needs no parameters beyond the shard count."""
-    with_shard = candidates.withColumn(
-        "shard", F.pmod(F.col("url_hash"), F.lit(num_shards)).cast("int")
-    )
-    joined = with_shard.join(F.broadcast(cuckoo), "shard", "left")
+    tables, vectorized per Arrow batch. Geometry (buckets, slots) travels
+    in each blob's header, so the probe needs no parameters beyond the
+    shard count.
+
+    The shard tables ride a task-level broadcast variable, not a row
+    column — same fix as ``bloom.split_by_bloom``: a broadcast JOIN put
+    the full shard blob on every candidate row, multiplying the Arrow
+    transfer by the table size (tens of GB of DiskRowQueue spill at
+    stress scale); the broadcast variable ships the filter once per
+    executor and the rows carry only the 8-byte hash."""
+    shard_tables = {int(r["shard"]): bytes(r["table"]) for r in cuckoo.collect()}
+    bc = candidates.sparkSession.sparkContext.broadcast(shard_tables)
 
     @F.pandas_udf("boolean")
-    def probe(hashes: pd.Series, blobs: pd.Series) -> pd.Series:
+    def probe(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return pd.Series(out)
         arr = hashes.to_numpy(np.int64)
-        for blob in blobs.dropna().unique():
-            mask = (blobs == blob).to_numpy()
+        # numpy % matches F.pmod for a positive divisor (sign of divisor)
+        shards = arr % np.int64(num_shards)
+        blobs = bc.value
+        for s in np.unique(shards):
+            blob = blobs.get(int(s))
+            if blob is None:
+                continue
+            mask = shards == s
             table, overflow = _unpack(blob)
             fp, b1 = _fp_b1(arr[mask], table.shape[0])
             out[mask] = _contains(table, overflow, fp, b1)
         return pd.Series(out)
 
-    probed = joined.withColumn("maybe_seen", probe(F.col("url_hash"), F.col("table"))).drop("table")
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "shard")
-    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "shard")
+    probed = candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     return definitely_new, maybe_seen
 
 

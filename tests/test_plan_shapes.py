@@ -9,8 +9,10 @@ sf0.001 and its physical plan inspected:
   NL joins are fine — broadcast NL against a bounded probe side is the
   designed shape; what's banned is `CartesianProduct`, the
   shuffle-everything form that would never survive 100 TB).
-- **The BFF bloom is actually broadcast** (the operator's whole point is
-  that the shard bitsets ride a BroadcastExchange, not a shuffle).
+- **The BFF bloom never rides the rows** (the shard bitsets travel as a
+  task-level broadcast VARIABLE; a broadcast JOIN would attach the blob
+  to every candidate row and multiply the Arrow transfer into the probe
+  UDF by the filter size — tens of GB of spill at stress scale).
 - **A plain projection query pushes its column pruning into the scan**
   (ReadSchema carries only the needed columns).
 
@@ -66,14 +68,20 @@ def test_no_cartesian_product_anywhere(spark, name):
         )
 
 
-def test_bff_bloom_rides_a_broadcast(spark):
+def test_bff_bloom_never_rides_the_rows(spark):
     from spider_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     plan = _plan(dedup.bff_paragraph_dedup(docs, use_bloom=True))
-    assert "BroadcastExchange" in plan
-    # and the bloom probe stage exists (pandas UDF named in the plan)
+    # the bloom probe stage exists (pandas UDF named in the plan)...
     assert "probe" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan
+    # ...and the shard bitsets do NOT appear as a row column: a broadcast
+    # JOIN of the bloom table would attach the blob to every candidate
+    # row and multiply the Arrow transfer into the probe by the filter
+    # size (at 2^23-bit shards, ~1 MiB/row — the 10M-page stress filled
+    # an 80 GB disk through DiskRowQueue spill this way). The filter
+    # rides a task-level broadcast VARIABLE, invisible to the plan.
+    assert "bits" not in plan
 
 
 def test_column_pruning_reaches_scan(spark):
