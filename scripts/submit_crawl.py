@@ -84,7 +84,10 @@ def _audit(spark, checkpoint: str) -> dict:
     dup_fetch = (
         results.groupBy("url_canon").count().where(F.col("count") > 1).count()
     )
-    seen = cat.load_seen(spark, tick)
+    # the post-run seen state is tick+1 (the final tick writes the NEXT
+    # tick's delta before committing, and end-of-run compaction may fold
+    # it) — the same coordinate the crawler itself resumes/requeues at
+    seen = cat.load_seen(spark, tick + 1)
     seen_rows = seen.count()
     dup_pairs = (
         seen.groupBy("url_hash", "url_canon").count().where(F.col("count") > 1).count()
@@ -92,7 +95,7 @@ def _audit(spark, checkpoint: str) -> dict:
     c = cat.seen_compacted_at()
     delta_dirs = sum(
         1
-        for k in range(c + 1, tick + 1)
+        for k in range(c + 1, tick + 2)
         if (Path(checkpoint) / "seen" / f"tick={k}").exists()
     )
     return {
@@ -188,9 +191,13 @@ def main() -> None:
         # materialize the corpus once (hash-distributed on url — the
         # engine's storage contract) so ticks scan files, not the generator
         pages_dir = str(Path(args.checkpoint) / "_synth_pages")
-        synth.generate_pages(spark, args.synth_pages, n_hosts=n_hosts).repartition(
-            64, "url"
-        ).write.mode("overwrite").parquet(pages_dir)
+        # the generator is deterministic in (n_pages, n_hosts), so a resume
+        # on the same checkpoint reuses the corpus it crawled before the
+        # kill instead of spending the regeneration again
+        if not (Path(pages_dir) / "_SUCCESS").exists():
+            synth.generate_pages(spark, args.synth_pages, n_hosts=n_hosts).repartition(
+                64, "url"
+            ).write.mode("overwrite").parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
         robots = synth.generate_robots(spark, n_hosts)
         redirects = synth.generate_redirects(spark, args.synth_pages, n_hosts)
