@@ -724,8 +724,17 @@ def q_winnowing_md5(spark, sf_dir):
     """Deterministic winnowing fingerprints (char 5-grams → md5 hashes →
     min per 4-window → distinct) in pure Catalyst array algebra — the
     window-min fingerprint semantics with a DuckDB oracle (the production
-    operator uses a rolling Karp-Rabin UDF)."""
-    docs = _t(spark, sf_dir, "documents")
+    operator uses a rolling Karp-Rabin UDF).
+
+    The input is repartitioned to the session's parallelism first: the
+    query is map-only but runs ~len(text)·w md5 evaluations per doc, so
+    on a corpus that fits ONE parquet split the whole thing serializes
+    onto a single task (observed: 15+ min at sf0.1 on one core while 7
+    idled). At 100 TB the splits supply the parallelism; at bench scale
+    the explicit exchange (a few MB) buys full-width codegen."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     txt = F.lower(F.trim(F.col("text")))
     n = F.length(txt)
     k, w = 5, 4
