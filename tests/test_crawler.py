@@ -354,3 +354,34 @@ def test_fairness_report_matches_capture_census(spark, world, tmp_path):
     assert row["gini_r"] == round(2 * ranked / (n * t) - (n + 1) / n, 6)
     # politeness spread fetches across all hosts: no single-host capture
     assert row["top_share_r"] < 0.5
+
+
+def test_seen_state_readable_after_final_tick_compaction(spark, world, tmp_path):
+    """The final tick writes the NEXT tick's seen delta before committing,
+    and end-of-run compaction may fold it — so the compacted snapshot can
+    legitimately sit at committed_tick+1. The post-run seen state must be
+    read at that coordinate (Crawler.seen does; the stress audit once read
+    committed_tick and found zero dirs — this pins the contract)."""
+    pages, robots, seeds = world
+    # compact_seen_every=3 with max_ticks=3 → compaction fires after the
+    # final tick commits, folding delta tick 3 into a snapshot at tick 3
+    c = Crawler(
+        spark, pages, str(tmp_path / "ck"),
+        CrawlConfig(per_host_budget=16, max_ticks=3, compact_seen_every=3),
+        robots=robots,
+    )
+    stats = c.run(seeds, max_ticks=3)
+    assert c.catalog.seen_compacted_at() == c.catalog.committed_tick() + 1
+    seen = c.seen()
+    n = seen.count()
+    assert n > 0
+    # pair identity unique, and the set covers at least every fetch
+    assert seen.select("url_hash", "url_canon").distinct().count() == n
+    assert n >= sum(s.fetched for s in stats)
+    # a fresh Crawler on the same checkpoint (resume) reads the same state
+    c2 = Crawler(
+        spark, pages, str(tmp_path / "ck"),
+        CrawlConfig(per_host_budget=16, max_ticks=3, compact_seen_every=3),
+        robots=robots,
+    )
+    assert c2.seen().count() == n
