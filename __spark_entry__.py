@@ -9968,15 +9968,15 @@ def oracle_sql() -> dict[str, str]:
               FROM xy
             )
             SELECT CAST(n AS BIGINT) AS n_points,
-                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 1e-9 * n * sxx
                               THEN (n * sxy - sx * sy)
                                    / (n * sxx - sx * sx) END, 6) AS beta_r,
-                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 1e-9 * n * sxx
                               THEN (sy - (n * sxy - sx * sy)
                                          / (n * sxx - sx * sx) * sx) / n
                          END, 6) AS lnk_r,
-                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                                   AND n * syy - sy * sy > 0
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 1e-9 * n * sxx
+                                   AND n * syy - sy * sy > 1e-9 * n * syy
                               THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                                    / ((n * sxx - sx * sx)
                                       * (n * syy - sy * sy)) END, 6) AS r2_r

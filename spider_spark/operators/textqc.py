@@ -1000,7 +1000,14 @@ def heaps_fit(
     dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = n * F.col("syy") - F.col("sy") * F.col("sy")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    beta = F.when((n >= 2) & (dx > 0), cov / dx)
+    # degeneracy guards are RELATIVE (dx is the catastrophic cancellation
+    # n·Σx² − (Σx)²: with a constant-x slice it lands at ±1e-12 depending
+    # on summation ORDER, so a bare `> 0` flips nondeterministically
+    # between engines/partitionings and can emit a garbage 0/0-shaped r²;
+    # a 1e-9 relative floor reads the same verdict on every engine)
+    dx_ok = dx > F.lit(1e-9) * n * F.col("sxx")
+    dy_ok = dy > F.lit(1e-9) * n * F.col("syy")
+    beta = F.when((n >= 2) & dx_ok, cov / dx)
     return agg.select(
         n.cast("long").alias("n_points"),
         F.round(beta, 6).alias("beta_r"),
@@ -1009,7 +1016,7 @@ def heaps_fit(
             6,
         ).alias("lnk_r"),
         F.round(
-            F.when(beta.isNotNull() & (dy > 0), (cov * cov) / (dx * dy)),
+            F.when(beta.isNotNull() & dy_ok, (cov * cov) / (dx * dy)),
             6,
         ).alias("r2_r"),
     )
