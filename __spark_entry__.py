@@ -720,6 +720,34 @@ def q_minhash_incremental_probe(spark, sf_dir):
     ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_r"))
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination (curation.fuzzy_decontaminate):
+    MinHash-LSH between the corpus (doc_id % 5 != 0) and a benchmark
+    sample (doc_id % 5 == 0), md5-deterministic 4-perm signatures
+    injected via the sig-table seam, 2 bands × 2 rows, threshold 0.5.
+    The oracle recomputes the batch LSH over the full corpus and keeps
+    exactly the cross pairs — so the keyspace-tagged probe composition
+    (corpus ids 2i, benchmark 2i+1, benchmark-internal pairs dropped)
+    must agree with a direct cross-side LSH, cross-engine."""
+    from spider_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _md5_sig_table(docs)
+    corpus = sigs.filter(F.col("id") % 5 != 0)
+    bench = sigs.filter(F.col("id") % 5 == 0)
+    out = curation.fuzzy_decontaminate(
+        num_perm=4,
+        bands=2,
+        jaccard_threshold=0.5,
+        max_bucket_size=None,
+        docs_sigs=corpus,
+        benchmark_sigs=bench,
+    )
+    return out.select(
+        "doc_id", "benchmark_id", F.round("est_jaccard", 4).alias("est_r")
+    )
+
+
 def q_winnowing_md5(spark, sf_dir):
     """Deterministic winnowing fingerprints (char 5-grams → md5 hashes →
     min per 4-window → distinct) in pure Catalyst array algebra — the
@@ -5102,6 +5130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "minhash_incremental_probe": q_minhash_incremental_probe,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "winnowing_deterministic": q_winnowing_md5,
         "ivf_topk_ann": q_ivf_topk,
         "repetition_signals": q_repetition_signals,
@@ -5892,6 +5921,37 @@ def oracle_sql() -> dict[str, str]:
              AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
                OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
             WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+              AND ({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+                                for i in range(len(_MH_PERMS)))}) / 4.0 >= 0.5
+        """,
+        # direct cross-side LSH over the full corpus: the fuzzy-decontaminate
+        # composition (tagged keyspaces through the incremental probe)
+        # must reproduce it exactly
+        "fuzzy_decontaminate": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 1)),
+                         i -> array_to_string(t[i:i+2], ' '))),
+                       s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT)) AS hs
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents WHERE trim(text) <> '')),
+            sigs AS (
+              SELECT doc_id,
+                     {", ".join(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS sig{i}"
+                                for i, (a, b) in enumerate(_MH_PERMS))}
+              FROM g)
+            SELECT CASE WHEN a.doc_id % 5 <> 0 THEN a.doc_id ELSE b.doc_id END AS doc_id,
+                   CASE WHEN a.doc_id % 5 = 0 THEN a.doc_id ELSE b.doc_id END AS benchmark_id,
+                   ROUND(({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+                                       for i in range(len(_MH_PERMS)))}) / 4.0, 4) AS est_r
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id
+             AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+               OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+            WHERE (a.doc_id % 5 = 0) <> (b.doc_id % 5 = 0)
               AND ({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
                                 for i in range(len(_MH_PERMS)))}) / 4.0 >= 0.5
         """,

@@ -345,6 +345,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "kneser_ney_ppl",
         "vocab_richness",
         "host_url_space_estimate",
+        "fuzzy_decontaminate",
     ]
     out = {}
     for name in names:

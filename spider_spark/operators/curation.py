@@ -132,6 +132,76 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = 2000,
+    docs_sigs: DataFrame | None = None,
+    benchmark_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination — the fuzzy complement of
+    `decontaminate`'s exact n-gram overlap (the GPT-3 appendix-C lesson:
+    benchmark text reaches the crawl paraphrased, truncated, or
+    re-punctuated, and an exact 8-gram join misses every variant; the
+    MinHash screen catches anything above `jaccard_threshold` shingle
+    similarity).
+
+    Output: (id_col, benchmark_id, est_jaccard) — one row per
+    contaminated (corpus doc, benchmark doc) pair. Compose with a
+    left_anti on id_col to drop, or keep the ledger for threshold
+    tuning, exactly like `decontaminate`.
+
+    Built ON the incremental near-dup probe (`dedup.minhash_probe_pairs`
+    with corpus as the standing side and the benchmark as the new side),
+    so the scale story is inherited: corpus banding is a map-only
+    projection of the (optionally standing, tick-appended) signature
+    table; the benchmark side is tiny; the band join shuffles ∝
+    benchmark + matched buckets, NEVER corpus²; the hot-bucket census is
+    combined across sides. Corpus ids ride 2i and benchmark ids 2i+1 so
+    the two keyspaces cannot collide inside the probe and benchmark-
+    internal pairs are identifiable (dropped — benchmark×benchmark
+    similarity is not contamination).
+
+    ``docs_sigs``/``benchmark_sigs`` inject precomputed (id, sig) tables
+    (the standing-table deployment, and the engine-portable md5
+    signatures the SQL oracle replays); otherwise signatures come from
+    `dedup.minhash_signatures` (crc32 production path)."""
+    from .dedup import minhash_probe_pairs, minhash_signatures
+
+    if docs_sigs is None:
+        docs_sigs = minhash_signatures(
+            docs, text_col, id_col, num_perm, shingle_n, seed
+        )
+    if benchmark_sigs is None:
+        benchmark_sigs = minhash_signatures(
+            benchmark, text_col, id_col, num_perm, shingle_n, seed
+        )
+    c = docs_sigs.select((F.col("id") * 2).alias("id"), "sig")
+    b = benchmark_sigs.select((F.col("id") * 2 + 1).alias("id"), "sig")
+    pairs = minhash_probe_pairs(
+        c, b, num_perm, bands, jaccard_threshold, max_bucket_size
+    )
+    cross = pairs.filter(F.pmod(F.col("id_a"), 2) != F.pmod(F.col("id_b"), 2))
+    corpus_side = F.when(
+        F.pmod(F.col("id_a"), 2) == 0, F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    bench_side = F.when(
+        F.pmod(F.col("id_a"), 2) == 1, F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    return cross.select(
+        F.shiftright(corpus_side, 1).alias(id_col),
+        F.shiftright(bench_side, 1).alias("benchmark_id"),
+        "est_jaccard",
+    )
+
+
 def col_hash_bucket(id_col: str | Column, n_buckets: int = 100) -> Column:
     """Deterministic, engine-portable hash bucket in [0, n_buckets):
     first 8 hex chars of md5(id as string) → int → mod. md5 (not

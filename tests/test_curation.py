@@ -313,3 +313,62 @@ def test_luhn_and_credit_card_signals(spark):
         for r in sdf.select("d", cu.col_luhn_valid(_F.col("d")).alias("ok")).collect()
     }
     assert got_l == {s: luhn(s) for s in samples}
+
+
+# ---- fuzzy (MinHash) decontamination -----------------------------------
+
+
+def _fz_corpus(spark):
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    return spark.createDataFrame(
+        [
+            (100, body),                                   # contaminated: verbatim
+            (200, body.replace("today", "tomorrow")),      # near-dup variant
+            (300, "completely unrelated text about spark shuffles and joins ok"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _fz_benchmark(spark):
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    return spark.createDataFrame(
+        [(7, body), (8, body + " extra")],  # two near-dup benchmark docs
+        "doc_id long, text string",
+    )
+
+
+def test_fuzzy_decontaminate_finds_near_and_exact(spark):
+    out = curation.fuzzy_decontaminate(
+        _fz_corpus(spark), _fz_benchmark(spark), jaccard_threshold=0.5
+    ).collect()
+    got = {(r["doc_id"], r["benchmark_id"]): r["est_jaccard"] for r in out}
+    # verbatim copy estimated at exactly 1.0 against benchmark doc 7
+    assert got.get((100, 7)) == pytest.approx(1.0)
+    # the near-dup variant is caught too
+    assert (200, 7) in got or (200, 8) in got
+    # the unrelated doc never appears
+    assert all(d != 300 for d, _ in got)
+    # benchmark-internal similarity (7 vs 8) is NOT contamination
+    assert all(d in (100, 200) for d, _ in got)
+    assert all(b in (7, 8) for _, b in got)
+
+
+def test_fuzzy_decontaminate_keyspaces_cannot_collide(spark):
+    # corpus and benchmark SHARE raw ids — the 2i/2i+1 tagging must keep
+    # them apart and decode back to the original ids on both columns
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(5, body)], "doc_id long, text string")
+    bench = spark.createDataFrame([(5, body)], "doc_id long, text string")
+    out = curation.fuzzy_decontaminate(docs, bench, jaccard_threshold=0.5).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_id"], out[0]["benchmark_id"]) == (5, 5)
+    assert out[0]["est_jaccard"] == pytest.approx(1.0)
+
+
+def test_fuzzy_decontaminate_threshold_screens(spark):
+    out = curation.fuzzy_decontaminate(
+        _fz_corpus(spark), _fz_benchmark(spark), jaccard_threshold=0.999
+    ).collect()
+    # only the verbatim copy survives a ~exact threshold
+    assert {(r["doc_id"], r["benchmark_id"]) for r in out} == {(100, 7)}
