@@ -193,11 +193,23 @@ def main() -> None:
         pages_dir = str(Path(args.checkpoint) / "_synth_pages")
         # the generator is deterministic in (n_pages, n_hosts), so a resume
         # on the same checkpoint reuses the corpus it crawled before the
-        # kill instead of spending the regeneration again
-        if not (Path(pages_dir) / "_SUCCESS").exists():
+        # kill instead of spending the regeneration again. The geometry is
+        # stamped in a sidecar so a resume with DIFFERENT --synth-pages /
+        # --synth-hosts regenerates instead of silently crawling the stale
+        # corpus (ADVICE r04).
+        meta_path = Path(pages_dir) / "_synth_meta.json"
+        stamp = {"n_pages": args.synth_pages, "n_hosts": n_hosts}
+        reusable = (Path(pages_dir) / "_SUCCESS").exists()
+        if reusable:
+            try:
+                reusable = json.loads(meta_path.read_text()) == stamp
+            except (OSError, ValueError):
+                reusable = False
+        if not reusable:
             synth.generate_pages(spark, args.synth_pages, n_hosts=n_hosts).repartition(
                 64, "url"
             ).write.mode("overwrite").parquet(pages_dir)
+            meta_path.write_text(json.dumps(stamp))
         pages = spark.read.parquet(pages_dir)
         robots = synth.generate_robots(spark, n_hosts)
         redirects = synth.generate_redirects(spark, args.synth_pages, n_hosts)
@@ -264,10 +276,19 @@ def main() -> None:
             for s in stats
         ],
     }
+    exit_code = 0
     if args.audit:
-        line["audit"] = _audit(spark, args.checkpoint)
+        line["audit"] = audit = _audit(spark, args.checkpoint)
+        # --audit promises to ASSERT the invariants, not just report them:
+        # a violated run must fail the process so automated stress harnesses
+        # can't pass on a duplicated crawl (ADVICE r04)
+        if audit["duplicate_fetches"] or audit["duplicate_seen_pairs"]:
+            line["audit_failed"] = True
+            exit_code = 2
     print(json.dumps(line))
     spark.stop()
+    if exit_code:
+        sys.exit(exit_code)
 
 
 if __name__ == "__main__":

@@ -54,53 +54,83 @@ def build_bloom_shards(
     )
 
 
+def _probe_blob(blob: bytes, arr: np.ndarray, num_hashes: int) -> np.ndarray:
+    """Vectorized membership test of int64 hashes against one shard bitset.
+    Geometry derives from the blob's length, so resized filters probe
+    correctly whatever ``bits_per_shard`` the builder used."""
+    bitarr = np.frombuffer(blob, dtype=np.uint8)
+    pos = _positions(arr, len(bitarr) * 8, num_hashes)
+    hit = np.ones(len(arr), dtype=bool)
+    for k in range(num_hashes):
+        hit &= (bitarr[pos[k] >> 3] & (np.uint8(1) << (pos[k] & 7).astype(np.uint8))) != 0
+    return hit
+
+
 def split_by_bloom(
     candidates: DataFrame,
     bloom: DataFrame,
     num_shards: int = 64,
     bits_per_shard: int = 1 << 20,
     num_hashes: int = 5,
+    mode: str = "sharded",
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) by probing shard
     bitsets, vectorized per Arrow batch.
 
-    The bitsets ride a TASK-LEVEL BROADCAST VARIABLE, not a row column:
-    the earlier broadcast-JOIN shape attached each candidate's shard blob
-    to the row itself, so the Arrow transfer into the probe UDF shipped
-    bits_per_shard/8 bytes PER CANDIDATE — at 2^23-bit shards that is
-    1 MiB/row, and a multi-million-link frontier tick turned into tens of
-    GB of JVM-side DiskRowQueue spill (observed filling an 80 GB disk in
-    the 10M-page stress). With the broadcast variable the per-row payload
-    is the 8-byte hash and the whole filter ships ONCE per executor
-    (torrent), which is also the 1000-executor story: filter size ~10 GiB
-    at 10^10 URLs x 10 bits — fine as one copy per executor, absurd as a
-    per-row column. The driver already held the full filter under the old
-    broadcast-join plan, so `collect()` here adds no new driver memory.
-    Shard geometry derives from each blob's length, so resized filters
-    probe correctly whatever ``bits_per_shard`` the caller passes."""
+    ``mode="sharded"`` (the default, and the 10^10-URL shape): candidates
+    cogroup with the ``(shard, bits)`` table on ``pmod(url_hash,
+    num_shards)``, so each task ships exactly ONE shard's bitset
+    (``bits_per_shard/8`` bytes) and no process — driver included — ever
+    materializes the whole filter. See ``shardprobe`` for the full cost
+    model and the size guard.
+
+    ``mode="broadcast"`` (round-4 shape, for small filters): the whole
+    filter is collected and rides a task-level broadcast variable; per-row
+    payload is the 8-byte hash but every executor holds the FULL filter —
+    fine at MiBs, absurd at the ~10 GiB a 10^10-URL filter needs. The
+    broadcast is tracked for reclamation via
+    ``shardprobe.release_probe_broadcasts()``.
+
+    Never a broadcast JOIN: that attached the blob to every candidate row
+    (1 MiB/row at 2^23-bit shards — tens of GB of DiskRowQueue spill in
+    the 10M-page stress), asserted against by the plan tripwire.
+    """
+    from . import shardprobe
+
+    shardprobe.check_shard_geometry(bits_per_shard // 8, num_shards, "bloom config")
+    if mode == "sharded":
+        return shardprobe.split_sharded(
+            candidates,
+            bloom.withColumnRenamed("bits", "__blob"),
+            "__blob",
+            num_shards,
+            lambda blob, arr: _probe_blob(blob, arr, num_hashes),
+        )
+    if mode != "broadcast":
+        raise ValueError(f"unknown bloom probe mode: {mode!r}")
+
     shard_bits = {int(r["shard"]): bytes(r["bits"]) for r in bloom.collect()}
     bc = candidates.sparkSession.sparkContext.broadcast(shard_bits)
+    shardprobe.track_broadcast(bc)
 
     @F.pandas_udf("boolean")
     def probe(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return pd.Series(out)
-        arr = hashes.to_numpy(np.int64)
+        valid = hashes.notna().to_numpy()  # null url_hash → definitely_new
+        arr = hashes.to_numpy()[valid].astype(np.int64)
         # numpy % matches F.pmod for a positive divisor (sign of divisor)
         shards = arr % np.int64(num_shards)
+        sub = np.zeros(len(arr), dtype=bool)
         blobs = bc.value
         for s in np.unique(shards):
             blob = blobs.get(int(s))
             if blob is None:
                 continue
             mask = shards == s
-            bitarr = np.frombuffer(blob, dtype=np.uint8)
-            pos = _positions(arr[mask], len(bitarr) * 8, num_hashes)
-            hit = np.ones(int(mask.sum()), dtype=bool)
-            for k in range(num_hashes):
-                hit &= (bitarr[pos[k] >> 3] & (np.uint8(1) << (pos[k] & 7).astype(np.uint8))) != 0
-            out[mask] = hit
+            sub[mask] = _probe_blob(blob, arr[mask], num_hashes)
+        out[valid] = sub
         return pd.Series(out)
 
     probed = candidates.withColumn("maybe_seen", probe(F.col("url_hash")))

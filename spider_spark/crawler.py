@@ -425,6 +425,13 @@ class Crawler:
             if new is not None:
                 new.unpersist()
             tagged.unpersist()
+            # reclaim any probe broadcasts (broadcast-mode accelerators)
+            # now that the tick's actions have consumed them — relying on
+            # GC + ContextCleaner lets broadcast files pile up over a
+            # long crawl (ADVICE r04)
+            from .shardprobe import release_probe_broadcasts
+
+            release_probe_broadcasts()
 
     def _retry_pending(self, tick: int) -> bool:
         """True iff any backoff retry is still scheduled entering ``tick``."""

@@ -182,6 +182,9 @@ def build_cuckoo_shards(
     """url_seen(url_hash, ...) → one (shard, table) row per shard."""
     if buckets_per_shard & (buckets_per_shard - 1):
         raise ValueError("buckets_per_shard must be a power of two (XOR bucket math)")
+    from .shardprobe import check_shard_geometry
+
+    check_shard_geometry(_HDR + buckets_per_shard * slots * 2, num_shards, "cuckoo config")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -199,40 +202,68 @@ def build_cuckoo_shards(
     )
 
 
+def _probe_blob(blob: bytes, arr: np.ndarray) -> np.ndarray:
+    """Vectorized membership test of int64 hashes against one shard table.
+    Geometry (buckets, slots) travels in the blob's header, so the probe
+    needs no parameters."""
+    table, overflow = _unpack(blob)
+    fp, b1 = _fp_b1(arr, table.shape[0])
+    return _contains(table, overflow, fp, b1)
+
+
 def split_by_cuckoo(
-    candidates: DataFrame, cuckoo: DataFrame, num_shards: int = 64, **_ignored
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    num_shards: int = 64,
+    mode: str = "sharded",
+    **_ignored,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) by probing shard
-    tables, vectorized per Arrow batch. Geometry (buckets, slots) travels
-    in each blob's header, so the probe needs no parameters beyond the
-    shard count.
+    tables, vectorized per Arrow batch.
 
-    The shard tables ride a task-level broadcast variable, not a row
-    column — same fix as ``bloom.split_by_bloom``: a broadcast JOIN put
-    the full shard blob on every candidate row, multiplying the Arrow
-    transfer by the table size (tens of GB of DiskRowQueue spill at
-    stress scale); the broadcast variable ships the filter once per
-    executor and the rows carry only the 8-byte hash."""
+    ``mode="sharded"`` (the default, and the 10^10-URL shape): candidates
+    cogroup with the ``(shard, table)`` rows on ``pmod(url_hash,
+    num_shards)`` — each task ships exactly one shard's table, no process
+    ever holds the whole filter (see ``shardprobe`` for the cost model and
+    size guard). ``mode="broadcast"`` keeps the round-4 whole-filter
+    broadcast variable for small filters, tracked for reclamation via
+    ``shardprobe.release_probe_broadcasts()``. Never a broadcast JOIN
+    (blob-per-row: the stress-scale spill shape, plan-tripwired)."""
+    from . import shardprobe
+
+    if mode == "sharded":
+        return shardprobe.split_sharded(
+            candidates,
+            cuckoo.withColumnRenamed("table", "__blob"),
+            "__blob",
+            num_shards,
+            _probe_blob,
+        )
+    if mode != "broadcast":
+        raise ValueError(f"unknown cuckoo probe mode: {mode!r}")
+
     shard_tables = {int(r["shard"]): bytes(r["table"]) for r in cuckoo.collect()}
     bc = candidates.sparkSession.sparkContext.broadcast(shard_tables)
+    shardprobe.track_broadcast(bc)
 
     @F.pandas_udf("boolean")
     def probe(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return pd.Series(out)
-        arr = hashes.to_numpy(np.int64)
+        valid = hashes.notna().to_numpy()  # null url_hash → definitely_new
+        arr = hashes.to_numpy()[valid].astype(np.int64)
         # numpy % matches F.pmod for a positive divisor (sign of divisor)
         shards = arr % np.int64(num_shards)
+        sub = np.zeros(len(arr), dtype=bool)
         blobs = bc.value
         for s in np.unique(shards):
             blob = blobs.get(int(s))
             if blob is None:
                 continue
             mask = shards == s
-            table, overflow = _unpack(blob)
-            fp, b1 = _fp_b1(arr[mask], table.shape[0])
-            out[mask] = _contains(table, overflow, fp, b1)
+            sub[mask] = _probe_blob(blob, arr[mask])
+        out[valid] = sub
         return pd.Series(out)
 
     probed = candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
