@@ -582,6 +582,7 @@ def bff_paragraph_dedup(
     bits_per_shard: int = 1 << 18,
     num_hashes: int = 5,
     use_bloom: bool = True,
+    bloom_min_dups: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-wide keep-first paragraph dedup, bloom-accelerated — the
     distributed restatement of Dolma's Bloom-Filter Deduper (BFF): only
@@ -599,6 +600,18 @@ def bff_paragraph_dedup(
     wrong drop — so ``use_bloom=True`` and ``False`` are bit-identical
     (asserted in tests), the same FP-only-costs-work contract as the
     URL-seen accelerator (`bloom.py`).
+
+    The bloom path is GATED on the measured dup-census size
+    (``bloom_min_dups``): the owner count is computed anyway, and when
+    fewer than that many paragraphs are duplicated the owner map is small
+    enough that AQE broadcast-joins it for free — the bloom's fixed
+    build + collect jobs then cost more than the join they skip (measured
+    +0.6 s at sf0.1 for a corpus with ~0 dups). Above the gate the filter
+    is still bounded by the DUP count, not the corpus, so it stays a
+    whole-filter broadcast variable (``mode="broadcast"`` — the caller
+    sizes ``bits_per_shard`` to the expected dup cardinality; the
+    shard-local cogroup mode would reshuffle every paragraph ROW, which
+    costs more than the blob it avoids shipping here).
 
     Output: (id, n_paras, n_removed, clean_text) — surviving paragraphs in
     original order, joined with ``delim``; blank paragraphs dropped.
@@ -632,6 +645,12 @@ def bff_paragraph_dedup(
         .select("norm", "owner")
     )
     if use_bloom:
+        # census gate: the owner count decides whether the bloom pays for
+        # itself. Persist first so the census shuffle computes once and the
+        # winning branch reuses it.
+        owners = owners.persist(StorageLevel.MEMORY_AND_DISK)
+        use_bloom = owners.count() >= bloom_min_dups
+    if use_bloom:
         dup_hashes = owners.select(F.xxhash64("norm").alias("url_hash"))
         bloom = build_bloom_shards(
             dup_hashes, num_shards=num_shards, bits_per_shard=bits_per_shard, num_hashes=num_hashes
@@ -643,6 +662,7 @@ def bff_paragraph_dedup(
             num_shards=num_shards,
             bits_per_shard=bits_per_shard,
             num_hashes=num_hashes,
+            mode="broadcast",
         )
         resolved = maybe_dup.join(owners, "norm", "left")
         kept_from_maybe = resolved.filter(

@@ -72,7 +72,9 @@ def test_bff_bloom_never_rides_the_rows(spark):
     from spider_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-    plan = _plan(dedup.bff_paragraph_dedup(docs, use_bloom=True))
+    # bloom_min_dups=0 forces the bloom path: the default gate would route
+    # this low-dup corpus to the plain exact join (no probe to inspect)
+    plan = _plan(dedup.bff_paragraph_dedup(docs, use_bloom=True, bloom_min_dups=0))
     # the bloom probe stage exists (pandas UDF named in the plan)...
     assert "probe" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan
     # ...and the shard bitsets do NOT appear as a row column: a broadcast

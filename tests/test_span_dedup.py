@@ -90,9 +90,14 @@ def test_bff_keep_first_semantics(spark, para_docs):
 
 
 def test_bff_bloom_on_off_identical(spark, para_docs):
-    a = sorted(map(tuple, dedup.bff_paragraph_dedup(para_docs, use_bloom=True).collect()))
+    # bloom_min_dups=0 forces the bloom machinery even on a tiny census;
+    # the default gate (census too small → exact join) must also match
+    a = sorted(
+        map(tuple, dedup.bff_paragraph_dedup(para_docs, use_bloom=True, bloom_min_dups=0).collect())
+    )
     b = sorted(map(tuple, dedup.bff_paragraph_dedup(para_docs, use_bloom=False).collect()))
-    assert a == b
+    g = sorted(map(tuple, dedup.bff_paragraph_dedup(para_docs, use_bloom=True).collect()))
+    assert a == b == g
 
 
 def test_bff_bloom_false_positives_cost_work_not_correctness(spark):
@@ -103,7 +108,7 @@ def test_bff_bloom_false_positives_cost_work_not_correctness(spark):
         ["doc_id", "text"],
     )
     tiny = dedup.bff_paragraph_dedup(
-        docs, use_bloom=True, num_shards=2, bits_per_shard=64, num_hashes=2
+        docs, use_bloom=True, num_shards=2, bits_per_shard=64, num_hashes=2, bloom_min_dups=0
     )
     exact = dedup.bff_paragraph_dedup(docs, use_bloom=False)
     assert sorted(map(tuple, tiny.collect())) == sorted(map(tuple, exact.collect()))
