@@ -12,6 +12,7 @@ distributed form of the reference's read-through cache (src/shared/cache.ts).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,6 +220,7 @@ class Crawler:
         blocked = tagged.filter("is_blocked").select(*fcols) if robots_on else None
 
         new = None
+        pool = None
         try:
             # action 1 — fetch + parse once, write the results snapshot.
             # The heavy columns (text, html-derived structs) flow straight
@@ -265,25 +267,44 @@ class Crawler:
                 self.catalog.append_results(tick, misses)
                 mm_missing = None  # resolved after the write below
 
-            # latest_capture delta: one LATEST_SCHEMA row per URL captured
-            # this tick (column-pruned re-read of the written snapshot,
-            # politeness-bounded) — the incrementally-maintained state that
-            # revalidate_urls/last_crawl_times read INSTEAD of shuffling the
-            # full results ledger (VERDICT r02 wrong #1)
+            # bookkeeping writes — latest_capture delta, lineage, and the
+            # next tick's host/retry state — all derive from the WRITTEN
+            # results snapshot (misses included: the append above completed)
+            # and are independent of each other and of the frontier DAG, so
+            # they are submitted CONCURRENTLY and overlap the frontier/seen
+            # actions below instead of serializing ~4 driver-side jobs of
+            # mostly fixed overhead per tick (measured 8.6 s over a 3-tick
+            # 60k-page run — the small-tick bottleneck; at big ticks the
+            # overlap hides them behind the frontier shuffle). All futures
+            # are joined BEFORE the commit point, so the checkpoint
+            # invariant is unchanged: a committed tick has every snapshot,
+            # and a kill mid-tick replays the whole tick on resume.
             committed_at = time.time()
-            self.catalog.write_latest_delta(
-                tick,
-                self.catalog.load_results(spark, [tick]).select(
-                    "url_canon",
-                    "url_hash",
-                    "tick",
-                    "seq",
-                    "status",
-                    F.lit(committed_at).alias("committed_at"),
-                    F.when(F.col("status") == 200, F.col("tick")).alias("ok_tick"),
-                    F.when(F.col("status") == 200, F.col("seq")).alias("ok_seq"),
-                    F.when(F.col("status") == 200, F.col("content_fp")).alias("ok_fp"),
-                ),
+            res_tick = self.catalog.load_results(spark, [tick])
+            book: list = []
+            pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix=f"book-t{tick}")
+
+            # latest_capture delta: one LATEST_SCHEMA row per URL captured
+            # this tick (column-pruned, politeness-bounded) — the
+            # incrementally-maintained state that revalidate_urls /
+            # last_crawl_times read INSTEAD of shuffling the full results
+            # ledger (VERDICT r02 wrong #1)
+            book.append(
+                pool.submit(
+                    self.catalog.write_latest_delta,
+                    tick,
+                    res_tick.select(
+                        "url_canon",
+                        "url_hash",
+                        "tick",
+                        "seq",
+                        "status",
+                        F.lit(committed_at).alias("committed_at"),
+                        F.when(F.col("status") == 200, F.col("tick")).alias("ok_tick"),
+                        F.when(F.col("status") == 200, F.col("seq")).alias("ok_seq"),
+                        F.when(F.col("status") == 200, F.col("content_fp")).alias("ok_fp"),
+                    ),
+                )
             )
 
             # adaptive politeness: one AIMD step from this tick's written
@@ -294,17 +315,20 @@ class Crawler:
             if cfg.adaptive_politeness:
                 from .operators.adaptive import step_host_budgets
 
-                self.catalog.write_host_state(
-                    tick + 1,
-                    step_host_budgets(
-                        host_state,
-                        self.catalog.load_results(spark, [tick]),
-                        base_budget=cfg.per_host_budget,
-                        min_budget=cfg.adaptive_min_budget,
-                        error_pct=cfg.adaptive_error_pct,
-                        increase_step=cfg.adaptive_increase,
-                        error_min_status=cfg.adaptive_error_min_status,
-                    ),
+                book.append(
+                    pool.submit(
+                        self.catalog.write_host_state,
+                        tick + 1,
+                        step_host_budgets(
+                            host_state,
+                            res_tick,
+                            base_budget=cfg.per_host_budget,
+                            min_budget=cfg.adaptive_min_budget,
+                            error_pct=cfg.adaptive_error_pct,
+                            increase_step=cfg.adaptive_increase,
+                            error_min_status=cfg.adaptive_error_min_status,
+                        ),
+                    )
                 )
 
             # transient-retry state for the NEXT tick (cfg.retry_transient):
@@ -318,23 +342,29 @@ class Crawler:
             # construction. Written before the commit like host_state, so
             # a replayed tick recomputes the identical state.
             if cfg.retry_transient:
-                self.catalog.write_retry_state(
-                    tick + 1, self._step_retry_state(retry_state, tick)
+                book.append(
+                    pool.submit(
+                        self.catalog.write_retry_state,
+                        tick + 1,
+                        self._step_retry_state(retry_state, tick),
+                    )
                 )
 
             # per-partition lineage snapshot: a politeness-bounded agg over
             # the written results (column-pruned read), the audit trail the
             # north rule checkpoints alongside frontier/seen
-            self.catalog.write_lineage(
-                tick,
-                self.catalog.load_results(spark, [tick])
-                .groupBy("partition_id", "status")
-                .agg(
-                    F.count("*").alias("n_rows"),
-                    F.min("seq").alias("min_seq"),
-                    F.max("seq").alias("max_seq"),
+            book.append(
+                pool.submit(
+                    self.catalog.write_lineage,
+                    tick,
+                    res_tick.groupBy("partition_id", "status")
+                    .agg(
+                        F.count("*").alias("n_rows"),
+                        F.min("seq").alias("min_seq"),
+                        F.max("seq").alias("max_seq"),
+                    )
+                    .withColumn("tick", F.lit(tick)),
                 )
-                .withColumn("tick", F.lit(tick)),
             )
 
             # action 3 — next frontier from the written snapshot: parquet
@@ -367,8 +397,17 @@ class Crawler:
             )
             self.catalog.write_frontier(tick + 1, next_frontier)
 
-            # action 4 — seen delta from the (small, persisted) new set
-            self.catalog.write_seen_delta(tick + 1, new.select("url_hash", "url_canon", "seq"))
+            # action 4 — seen delta from the (small, persisted) new set.
+            # Overlaps the incremental accelerator merge below (both scan
+            # the cached `new`, write disjoint dirs, and are joined before
+            # commit); runs serially only when the accelerator must be
+            # rebuilt from the FULL seen set, which reads this very dir.
+            seen_delta_fut = pool.submit(
+                self.catalog.write_seen_delta,
+                tick + 1,
+                new.select("url_hash", "url_canon", "seq"),
+            )
+            book.append(seen_delta_fut)
 
             # accelerator maintenance: next tick's shards = this tick's ∪
             # delta. If this tick had NO accelerator snapshot (e.g. resuming
@@ -377,14 +416,20 @@ class Crawler:
             # delta-only filter is not a superset of seen, and filter misses
             # skip the exact anti-join, so seen URLs would be re-enqueued.
             if kind:
-                src = (
-                    new.select("url_hash")
-                    if accel is not None
-                    else self.catalog.load_seen(spark, tick + 1).select("url_hash")
-                )
+                if accel is not None:
+                    src = new.select("url_hash")
+                else:
+                    seen_delta_fut.result()  # full rebuild reads the delta dir
+                    src = self.catalog.load_seen(spark, tick + 1).select("url_hash")
                 shards = self._build_accel(src)
                 merged = shards if accel is None else self._merge_accel(accel, shards)
                 self.catalog.write_accel(kind, tick + 1, merged)
+
+            # barrier: every bookkeeping snapshot must be on disk before
+            # this tick commits (a committed tick with a missing snapshot
+            # would resume wrong); a failed write fails the tick here
+            for fut in book:
+                fut.result()
 
             rm, fm = res_obs.get, fr_obs.get
             if mm_missing is None:
@@ -422,6 +467,11 @@ class Crawler:
                 self.catalog.rewrite_latest(spark, tick)
             return st
         finally:
+            # wait out any in-flight bookkeeping write before unwinding (an
+            # exception path must not leave a thread writing into a
+            # checkpoint the caller may be about to retry/inspect)
+            if pool is not None:
+                pool.shutdown(wait=True)
             if new is not None:
                 new.unpersist()
             tagged.unpersist()
