@@ -826,6 +826,27 @@ BPE_FIXED_MERGES = [
     ("i", "n"),
 ]
 
+#: literal BYTE-LEVEL merge table (GPT-2-style: 'Ġ' is the remapped space
+#: byte) for the oracle-backed gpt2_bpe_encode_fixed query. Well-formed —
+#: every non-base part is created by an earlier rank — so rank-greedy
+#: encoding equals sequential-by-rank replay (the equivalence the oracle
+#: rests on; pinned in tests/test_bpe_gpt2.py). MUST stay byte-identical
+#: to the VALUES list in the oracle.
+GPT2_FIXED_MERGES = [
+    ("Ġ", "t"),
+    ("h", "e"),
+    ("Ġt", "he"),
+    ("a", "b"),
+    ("l", "e"),
+    ("Ġt", "ab"),
+    ("Ġtab", "le"),
+    ("v", "a"),
+    ("Ġ", "va"),
+    ("Ġva", "l"),
+    ("u", "e"),
+    ("Ġval", "ue"),
+]
+
 
 def q_bpe_encode_fixed_merges(spark, sf_dir):
     """The deterministic oracle-backed sibling of bpe_tokenize (family
@@ -842,6 +863,30 @@ def q_bpe_encode_fixed_merges(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe.encode_with_merges(docs, BPE_FIXED_MERGES).orderBy("id")
+
+
+def q_gpt2_bpe_encode_fixed(spark, sf_dir):
+    """Byte-level (GPT-2-style) BPE encode with a LITERAL merge table —
+    the tokenizer family web-text training pipelines actually run
+    (published: regex pre-tokenizer + bytes→unicode remap + rank-greedy
+    merges; bpe.encode_gpt2). Oracle equivalence is exact BY CONSTRUCTION,
+    not by data luck: both sides apply the same deterministic guard
+    (printable-ASCII text with no double spaces), under which (a) the
+    published pattern's backtracking ``\\s+(?!\\S)`` branch never fires,
+    so the oracle's RE2-compatible pattern (DuckDB) splits identically —
+    the full lookahead semantics are separately pinned against published
+    examples in tests/test_bpe_gpt2.py — and (b) UTF-8 bytes are the
+    chars, so the byte remap reduces to ``replace(' ', 'Ġ')``. The oracle
+    replays the merges sequentially by rank (recursive CTE), equal to
+    rank-greedy for this well-formed table."""
+    from spider_spark.operators import bpe
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike("^[ -~]*$") & ~F.col("text").rlike("  "))
+    )
+    return bpe.encode_gpt2(docs, GPT2_FIXED_MERGES).orderBy("id")
 
 
 def q_main_content(spark, sf_dir):
@@ -5127,6 +5172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_encode_fixed_merges": q_bpe_encode_fixed_merges,
+        "gpt2_bpe_encode_fixed": q_gpt2_bpe_encode_fixed,
         "simhash_deterministic": q_simhash_md5,
         "minhash_deterministic": q_minhash_md5,
         "minhash_incremental_probe": q_minhash_incremental_probe,
@@ -9018,6 +9064,61 @@ def oracle_sql() -> dict[str, str]:
               JOIN bits x ON x.img_id = c.id_a
               JOIN bits y ON y.img_id = c.id_b)
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+        """,
+        "gpt2_bpe_encode_fixed": """
+            WITH RECURSIVE merges(rank, ml, mr) AS (
+              VALUES (0,'Ġ','t'),(1,'h','e'),(2,'Ġt','he'),(3,'a','b'),
+                     (4,'l','e'),(5,'Ġt','ab'),(6,'Ġtab','le'),(7,'v','a'),
+                     (8,'Ġ','va'),(9,'Ġva','l'),(10,'u','e'),(11,'Ġval','ue')
+            ),
+            docs AS (
+              SELECT doc_id AS id, coalesce(text, '') AS t
+              FROM documents
+              WHERE regexp_matches(coalesce(text, ''), '^[ -~]*$')
+                AND NOT regexp_matches(coalesce(text, ''), '  ')),
+            -- RE2-compatible GPT-2 pattern: under the printable-ASCII /
+            -- no-double-space guard the published \\s+(?!\\S) branch never
+            -- fires, so dropping it splits identically
+            docpre AS (
+              SELECT id, u.p
+              FROM docs, unnest(regexp_extract_all(t,
+                '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +'
+              )) AS u(p)),
+            -- byte->unicode remap degenerates to space->Ġ on ASCII text
+            vocab AS (SELECT DISTINCT replace(p, ' ', 'Ġ') AS w FROM docpre),
+            init AS (SELECT w, string_split(w, '') AS syms FROM vocab),
+            enc AS (
+              SELECT w, syms, 0 AS m FROM init
+              UNION ALL
+              SELECT w,
+                     CASE WHEN pos IS NULL THEN syms
+                          ELSE list_concat(list_concat(syms[1:pos-1],
+                                 [syms[CAST(pos AS INT)]
+                                  || syms[CAST(pos AS INT)+1]]),
+                               syms[pos+2:]) END AS syms,
+                     CASE WHEN pos IS NULL THEN m + 1 ELSE m END AS m
+              FROM (
+                SELECT e.w, e.syms, e.m,
+                       list_filter(range(1, len(e.syms)),
+                                   i -> e.syms[CAST(i AS INT)] = mg.ml
+                                    AND e.syms[CAST(i AS INT) + 1] = mg.mr
+                                   )[1] AS pos
+                FROM enc e JOIN merges mg ON mg.rank = e.m
+                WHERE e.m < 12)
+            ),
+            done AS (SELECT w, len(syms) AS n_tok FROM enc WHERE m = 12),
+            perdoc AS (
+              SELECT d.id, count(*) AS n_pretoks, sum(n_tok) AS n_tokens
+              FROM docpre d JOIN done ON replace(d.p, ' ', 'Ġ') = done.w
+              GROUP BY d.id)
+            SELECT dd.id,
+                   CAST(coalesce(p.n_pretoks, 0) AS INT) AS n_pretoks,
+                   CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
+                   CASE WHEN coalesce(p.n_pretoks, 0) > 0
+                        THEN round(p.n_tokens / p.n_pretoks, 4)
+                        ELSE 0.0 END AS tokens_per_pretok
+            FROM docs dd LEFT JOIN perdoc p ON dd.id = p.id
+            ORDER BY dd.id
         """,
         "bpe_encode_fixed_merges": """
             WITH RECURSIVE merges(rank, ml, mr) AS (
