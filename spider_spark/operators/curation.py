@@ -164,10 +164,13 @@ def fuzzy_decontaminate(
     projection of the (optionally standing, tick-appended) signature
     table; the benchmark side is tiny; the band join shuffles ∝
     benchmark + matched buckets, NEVER corpus²; the hot-bucket census is
-    combined across sides. Corpus ids ride 2i and benchmark ids 2i+1 so
-    the two keyspaces cannot collide inside the probe and benchmark-
-    internal pairs are identifiable (dropped — benchmark×benchmark
-    similarity is not contamination).
+    combined across sides. Ids ride through the probe as a
+    ``struct(keyspace, id-as-string)`` tag — keyspace 0 for corpus, 1 for
+    benchmark — so the two keyspaces cannot collide whatever the id TYPE
+    (long, string, url, mixed across sides) and benchmark-internal pairs
+    are identifiable (dropped — benchmark×benchmark similarity is not
+    contamination). Each output column casts back to its own side's
+    original id type, so string/url-keyed corpora round-trip unchanged.
 
     ``docs_sigs``/``benchmark_sigs`` inject precomputed (id, sig) tables
     (the standing-table deployment, and the engine-portable md5
@@ -183,21 +186,30 @@ def fuzzy_decontaminate(
         benchmark_sigs = minhash_signatures(
             benchmark, text_col, id_col, num_perm, shingle_n, seed
         )
-    c = docs_sigs.select((F.col("id") * 2).alias("id"), "sig")
-    b = benchmark_sigs.select((F.col("id") * 2 + 1).alias("id"), "sig")
+    def tag(sigs: DataFrame, keyspace: int) -> DataFrame:
+        # struct ordering (ks first) keeps least/greatest + id_a < id_b
+        # well-defined inside the probe for ANY castable id type
+        return sigs.select(
+            F.struct(
+                F.lit(keyspace).alias("ks"), F.col("id").cast("string").alias("k")
+            ).alias("id"),
+            "sig",
+        )
+
     pairs = minhash_probe_pairs(
-        c, b, num_perm, bands, jaccard_threshold, max_bucket_size
+        tag(docs_sigs, 0), tag(benchmark_sigs, 1),
+        num_perm, bands, jaccard_threshold, max_bucket_size,
     )
-    cross = pairs.filter(F.pmod(F.col("id_a"), 2) != F.pmod(F.col("id_b"), 2))
-    corpus_side = F.when(
-        F.pmod(F.col("id_a"), 2) == 0, F.col("id_a")
-    ).otherwise(F.col("id_b"))
-    bench_side = F.when(
-        F.pmod(F.col("id_a"), 2) == 1, F.col("id_a")
-    ).otherwise(F.col("id_b"))
+    cross = pairs.filter(F.col("id_a.ks") != F.col("id_b.ks"))
+    corpus_side = F.when(F.col("id_a.ks") == 0, F.col("id_a.k")).otherwise(
+        F.col("id_b.k")
+    )
+    bench_side = F.when(F.col("id_a.ks") == 1, F.col("id_a.k")).otherwise(
+        F.col("id_b.k")
+    )
     return cross.select(
-        F.shiftright(corpus_side, 1).alias(id_col),
-        F.shiftright(bench_side, 1).alias("benchmark_id"),
+        corpus_side.cast(docs_sigs.schema["id"].dataType).alias(id_col),
+        bench_side.cast(benchmark_sigs.schema["id"].dataType).alias("benchmark_id"),
         "est_jaccard",
     )
 

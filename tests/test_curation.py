@@ -355,7 +355,7 @@ def test_fuzzy_decontaminate_finds_near_and_exact(spark):
 
 
 def test_fuzzy_decontaminate_keyspaces_cannot_collide(spark):
-    # corpus and benchmark SHARE raw ids — the 2i/2i+1 tagging must keep
+    # corpus and benchmark SHARE raw ids — the keyspace tagging must keep
     # them apart and decode back to the original ids on both columns
     body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = spark.createDataFrame([(5, body)], "doc_id long, text string")
@@ -364,6 +364,29 @@ def test_fuzzy_decontaminate_keyspaces_cannot_collide(spark):
     assert len(out) == 1
     assert (out[0]["doc_id"], out[0]["benchmark_id"]) == (5, 5)
     assert out[0]["est_jaccard"] == pytest.approx(1.0)
+
+
+def test_fuzzy_decontaminate_string_and_mixed_id_types(spark):
+    """ADVICE r04: url/string-keyed corpora must work — the keyspace tag
+    is type-agnostic and each output column keeps its own side's type."""
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/page", body),
+            ("https://b.example/other", "completely unrelated text about joins"),
+        ],
+        "doc_id string, text string",
+    )
+    # benchmark keeps LONG ids — mixed types across the two sides
+    bench = spark.createDataFrame([(7, body)], "doc_id long, text string")
+    out = curation.fuzzy_decontaminate(docs, bench, jaccard_threshold=0.5)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert dict(out.dtypes)["benchmark_id"] == "bigint"
+    rows = out.collect()
+    assert {(r["doc_id"], r["benchmark_id"]) for r in rows} == {
+        ("https://a.example/page", 7)
+    }
+    assert rows[0]["est_jaccard"] == pytest.approx(1.0)
 
 
 def test_fuzzy_decontaminate_threshold_screens(spark):
