@@ -33,7 +33,10 @@ echo "phase1 pid=$PID pgid=$PGID"
 while kill -0 "$PID" 2>/dev/null; do
   CT=$(python -c "import json,sys;print(json.load(open('$CK/manifest.json')).get('committed_tick',-1))" 2>/dev/null || echo -1)
   if [ "$CT" -ge "$KILL_AFTER" ]; then
-    sleep 30   # let the next tick get properly in flight before the kill
+    # let the next tick get properly in flight before the kill; override
+    # KILL_SLEEP downward for small/fast configs whose remaining ticks
+    # would otherwise complete inside the default window
+    sleep "${KILL_SLEEP:-30}"
     echo "killing phase1 mid-tick (committed_tick=$CT)"
     kill -9 -"$PGID" 2>/dev/null
     break
