@@ -2462,7 +2462,17 @@ def q_pagerank(spark, sf_dir):
         F.col("doc_id").alias("src"), ((F.col("doc_id") * 29 + 1) % 200).alias("dst")
     )
     ranks = graph_ops.pagerank(e1.unionByName(e2), iters=2)
-    return ranks.select("node", F.round("rank", 6).alias("rank_r")).orderBy("node")
+    # +1e-12 pre-round bias (mirrored in the oracle): damped-rank values
+    # are terminating decimals (0.15/N + 0.85^k/(N·2^m) families) that
+    # land EXACTLY on x.5e-6 rounding boundaries, where summation-order
+    # ulp noise flips the 6-decimal rounding between engines/partitionings
+    # (observed on trustrank at sf0.1). The bias (≫ ulp, ≪ the 5e-7
+    # boundary step) pushes exact halves deterministically up on both
+    # sides — the same stabilize-before-round discipline as the r4 OLS
+    # degeneracy guard.
+    return ranks.select(
+        "node", F.round(F.col("rank") + F.lit(1e-12), 6).alias("rank_r")
+    ).orderBy("node")
 
 
 def _md5_random_edges(docs, n_nodes: int = 60):
@@ -4043,7 +4053,9 @@ def q_trustrank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     seeds = docs.where(F.col("doc_id") % 50 == 0).select(F.col("doc_id").alias("node"))
     return graph.trustrank(_link_edges(docs), seeds, iters=2).select(
-        "node", F.round("trust", 6).alias("trust_r")
+        # +1e-12 pre-round bias: see q_pagerank — trust terms
+        # (0.01·0.85^k/2^m) sit exactly on x.5e-6 boundaries
+        "node", F.round(F.col("trust") + F.lit(1e-12), 6).alias("trust_r")
     )
 
 
@@ -4108,7 +4120,8 @@ def q_host_pagerank(spark, sf_dir):
     )
     hg = graph.host_graph(e)
     return graph.weighted_pagerank(hg, iters=2, src="src_host", dst="dst_host").select(
-        "node", F.round("rank", 6).alias("rank_r")
+        # +1e-12 pre-round bias: see q_pagerank (same boundary hazard)
+        "node", F.round(F.col("rank") + F.lit(1e-12), 6).alias("rank_r")
     )
 
 
@@ -8471,7 +8484,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT r1.node,
                      CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(c2.in_sum, 0) AS rank
               FROM r1 LEFT JOIN c2 USING (node))
-            SELECT node, ROUND(rank, 6) AS rank_r FROM r2
+            -- +1e-12 pre-round bias, mirroring the Spark side (exact
+            -- x.5e-6 boundary values in the damped-rank arithmetic)
+            SELECT node, ROUND(rank + 1e-12, 6) AS rank_r FROM r2
         """,
         # NFC: DuckDB's utf8proc vs Python's unicodedata must agree
         # byte-for-byte on the recomposition of the salted fragments.
@@ -8934,7 +8949,9 @@ def oracle_sql() -> dict[str, str]:
             t2 AS (SELECT t1.node,
                           0.15 * t1.dd0 + 0.85 * COALESCE(c2.in_sum, 0) AS trust
                    FROM t1 LEFT JOIN c2 USING (node))
-            SELECT node, ROUND(trust, 6) AS trust_r FROM t2
+            -- +1e-12 pre-round bias, mirroring the Spark side (exact
+            -- x.5e-6 boundary values: trust terms are 0.01*0.85^k/2^m)
+            SELECT node, ROUND(trust + 1e-12, 6) AS trust_r FROM t2
         """,
         # BFS min-hop from the doc_id%100==0 seeds, depth-capped: the
         # recursive closure is bounded by depth < 3, MIN() collapses the
@@ -10530,7 +10547,9 @@ def oracle_sql() -> dict[str, str]:
             r2 AS (SELECT r1.node,
                           0.15 + 0.85 * COALESCE(c2.in_sum, 0) AS rank
                    FROM r1 LEFT JOIN c2 USING (node))
-            SELECT node, ROUND(rank, 6) AS rank_r FROM r2
+            -- +1e-12 pre-round bias, mirroring the Spark side (exact
+            -- x.5e-6 boundary values in the damped-rank arithmetic)
+            SELECT node, ROUND(rank + 1e-12, 6) AS rank_r FROM r2
         """,
         # DUST: same parse (authority regex, '?'-base, k=v pair extraction)
         # restated in DuckDB list lambdas; remainder groups -> evidence /
