@@ -342,6 +342,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-4 additions
         "dhash_hot_band_census",
         "bpe_encode_fixed_merges",
+        "gpt2_bpe_encode_fixed",
         "kneser_ney_ppl",
         "vocab_richness",
         "host_url_space_estimate",
