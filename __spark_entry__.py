@@ -883,7 +883,10 @@ def q_gpt2_bpe_encode_fixed(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        # NULL text coalesces to '' BEFORE the guard, mirroring the
+        # oracle's coalesce — rlike(NULL) is NULL and would silently DROP
+        # the row here while the oracle keeps it with zero counts
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
         .filter(F.col("text").rlike("^[ -~]*$") & ~F.col("text").rlike("  "))
     )
     return bpe.encode_gpt2(docs, GPT2_FIXED_MERGES).orderBy("id")

@@ -66,30 +66,39 @@ def _probe_blob(blob: bytes, arr: np.ndarray, num_hashes: int) -> np.ndarray:
     return hit
 
 
-def split_by_bloom(
+def probe_maybe_seen(
     candidates: DataFrame,
     bloom: DataFrame,
     num_shards: int = 64,
     bits_per_shard: int = 1 << 20,
     num_hashes: int = 5,
     mode: str = "sharded",
-) -> tuple[DataFrame, DataFrame]:
-    """Split candidates into (definitely_new, maybe_seen) by probing shard
-    bitsets, vectorized per Arrow batch.
+    salts: int = 4,
+    track: bool = False,
+) -> DataFrame:
+    """Candidates with a boolean ``__maybe_seen`` column from probing the
+    shard bitsets, vectorized per Arrow batch — the single-pass primitive
+    (consumers read the flag once; splitting into two frames re-executes
+    the probe per branch, see ``shardprobe.split_sharded``).
 
     ``mode="sharded"`` (the default, and the 10^10-URL shape): candidates
-    cogroup with the ``(shard, bits)`` table on ``pmod(url_hash,
-    num_shards)``, so each task ships exactly ONE shard's bitset
+    cogroup with the ``(shard, bits)`` table on ``(pmod(url_hash,
+    num_shards), salt)``, so each task ships exactly ONE shard's bitset
     (``bits_per_shard/8`` bytes) and no process — driver included — ever
     materializes the whole filter. See ``shardprobe`` for the full cost
-    model and the size guard.
+    model and the blob/row-side guards.
 
     ``mode="broadcast"`` (round-4 shape, for small filters): the whole
-    filter is collected and rides a task-level broadcast variable; per-row
-    payload is the 8-byte hash but every executor holds the FULL filter —
-    fine at MiBs, absurd at the ~10 GiB a 10^10-URL filter needs. The
-    broadcast is tracked for reclamation via
-    ``shardprobe.release_probe_broadcasts()``.
+    filter is collected and rides a task-level broadcast variable;
+    per-row payload is the 8-byte hash but every executor holds the FULL
+    filter — fine at MiBs, absurd at the ~10 GiB a 10^10-URL filter
+    needs. Null-hash rows are split off at the PLAN level (flag False),
+    never inside the UDF: a null inside an Arrow batch converts the whole
+    int64 column to float64, silently corrupting hashes beyond 2^53 —
+    the UDF asserts a true int64 arrival. Pass ``track=True`` only from a
+    scope that calls ``shardprobe.release_probe_broadcasts()`` after its
+    actions (the crawler tick); untracked broadcasts reclaim via GC +
+    ContextCleaner as before round 5.
 
     Never a broadcast JOIN: that attached the blob to every candidate row
     (1 MiB/row at 2^23-bit shards — tens of GB of DiskRowQueue spill in
@@ -99,44 +108,73 @@ def split_by_bloom(
 
     shardprobe.check_shard_geometry(bits_per_shard // 8, num_shards, "bloom config")
     if mode == "sharded":
-        return shardprobe.split_sharded(
+        return shardprobe.probe_sharded(
             candidates,
             bloom.withColumnRenamed("bits", "__blob"),
             "__blob",
             num_shards,
             lambda blob, arr: _probe_blob(blob, arr, num_hashes),
+            salts=salts,
         )
     if mode != "broadcast":
         raise ValueError(f"unknown bloom probe mode: {mode!r}")
 
     shard_bits = {int(r["shard"]): bytes(r["bits"]) for r in bloom.collect()}
     bc = candidates.sparkSession.sparkContext.broadcast(shard_bits)
-    shardprobe.track_broadcast(bc)
+    if track:
+        shardprobe.track_broadcast(bc)
 
     @F.pandas_udf("boolean")
     def probe(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
-            return pd.Series(out)
-        valid = hashes.notna().to_numpy()  # null url_hash → definitely_new
-        arr = hashes.to_numpy()[valid].astype(np.int64)
+            return pd.Series(np.zeros(0, dtype=bool))
+        if hashes.dtype.kind not in "iu":  # see probe_maybe_seen docstring
+            raise AssertionError(
+                f"bloom probe received url_hash as {hashes.dtype} (expected "
+                "int64) — null rows must be split off before the UDF"
+            )
+        arr = hashes.to_numpy(np.int64)
         # numpy % matches F.pmod for a positive divisor (sign of divisor)
         shards = arr % np.int64(num_shards)
-        sub = np.zeros(len(arr), dtype=bool)
+        out = np.zeros(len(arr), dtype=bool)
         blobs = bc.value
         for s in np.unique(shards):
             blob = blobs.get(int(s))
             if blob is None:
                 continue
             mask = shards == s
-            sub[mask] = _probe_blob(blob, arr[mask], num_hashes)
-        out[valid] = sub
+            out[mask] = _probe_blob(blob, arr[mask], num_hashes)
         return pd.Series(out)
 
-    probed = candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    return definitely_new, maybe_seen
+    flag = shardprobe.FLAG
+    nulls = candidates.filter(F.col("url_hash").isNull()).withColumn(
+        flag, F.lit(False)
+    )
+    probed = candidates.filter(F.col("url_hash").isNotNull()).withColumn(
+        flag, probe(F.col("url_hash"))
+    )
+    return probed.unionByName(nulls)
+
+
+def split_by_bloom(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    num_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    num_hashes: int = 5,
+    mode: str = "sharded",
+    salts: int = 4,
+    track: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) view over ``probe_maybe_seen`` — two
+    consumers of one lazy plan (evaluating both re-runs the probe unless
+    persisted; the unseen-filter consumes the flag once instead)."""
+    from .shardprobe import FLAG
+
+    probed = probe_maybe_seen(
+        candidates, bloom, num_shards, bits_per_shard, num_hashes, mode, salts, track
+    )
+    return probed.filter(~F.col(FLAG)).drop(FLAG), probed.filter(F.col(FLAG)).drop(FLAG)
 
 
 def merge_bloom_shards(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -180,8 +218,28 @@ def filter_unseen_with_bloom(
 ) -> DataFrame:
     """Exact unseen-filter accelerated by the bloom prefilter when given.
     Result is identical to the plain left_anti (tested in test_bloom.py);
-    see ``exact_unseen`` for the identity rationale."""
+    see ``exact_unseen`` for the identity rationale.
+
+    Single-probe shape: the flagged frame is persisted (and registered
+    for the same scope-owned release as the probe broadcasts), so the two
+    split branches evaluate the probe and its candidate exchange ONCE —
+    the earlier unpersisted split re-executed them per branch. The
+    maybe-seen residue alone feeds the exact anti-join: keeping the
+    definitely-new majority OUT of the join is what lets AQE broadcast a
+    small residue and skip the seen-side exchange entirely — the bloom's
+    actual 10^10-scale payoff."""
+    from pyspark import StorageLevel
+
+    from . import shardprobe
+    from .shardprobe import FLAG
+
     if bloom is None:
         return exact_unseen(candidates, seen)
-    new, maybe = split_by_bloom(candidates, bloom, **bloom_kw)
+    probed = probe_maybe_seen(candidates, bloom, **bloom_kw).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if bloom_kw.get("track"):  # scope-owned release (crawler tick); else LRU
+        shardprobe.track_cache(probed)
+    new = probed.filter(~F.col(FLAG)).drop(FLAG)
+    maybe = probed.filter(F.col(FLAG)).drop(FLAG)
     return new.unionByName(exact_unseen(maybe, seen))

@@ -211,65 +211,97 @@ def _probe_blob(blob: bytes, arr: np.ndarray) -> np.ndarray:
     return _contains(table, overflow, fp, b1)
 
 
-def split_by_cuckoo(
+def probe_maybe_seen(
     candidates: DataFrame,
     cuckoo: DataFrame,
     num_shards: int = 64,
     mode: str = "sharded",
+    salts: int = 4,
+    track: bool = False,
     **_ignored,
-) -> tuple[DataFrame, DataFrame]:
-    """Split candidates into (definitely_new, maybe_seen) by probing shard
-    tables, vectorized per Arrow batch.
+) -> DataFrame:
+    """Candidates with a boolean ``__maybe_seen`` column from probing the
+    shard tables, vectorized per Arrow batch — the single-pass primitive.
 
     ``mode="sharded"`` (the default, and the 10^10-URL shape): candidates
-    cogroup with the ``(shard, table)`` rows on ``pmod(url_hash,
-    num_shards)`` — each task ships exactly one shard's table, no process
-    ever holds the whole filter (see ``shardprobe`` for the cost model and
-    size guard). ``mode="broadcast"`` keeps the round-4 whole-filter
-    broadcast variable for small filters, tracked for reclamation via
-    ``shardprobe.release_probe_broadcasts()``. Never a broadcast JOIN
-    (blob-per-row: the stress-scale spill shape, plan-tripwired)."""
+    cogroup with the ``(shard, table)`` rows on ``(pmod(url_hash,
+    num_shards), salt)`` — each task ships exactly one shard's table, no
+    process ever holds the whole filter (see ``shardprobe`` for the cost
+    model and the blob/row-side guards). ``mode="broadcast"`` keeps the
+    round-4 whole-filter broadcast variable for small filters; null-hash
+    rows are split off at the PLAN level (a null inside an Arrow batch
+    converts the int64 column to float64, silently corrupting hashes
+    beyond 2^53 — asserted against in the UDF), and the broadcast is
+    registered for scope-owned release only when ``track=True`` (see
+    ``bloom.probe_maybe_seen``). Never a broadcast JOIN (blob-per-row:
+    the stress-scale spill shape, plan-tripwired)."""
     from . import shardprobe
 
     if mode == "sharded":
-        return shardprobe.split_sharded(
+        return shardprobe.probe_sharded(
             candidates,
             cuckoo.withColumnRenamed("table", "__blob"),
             "__blob",
             num_shards,
             _probe_blob,
+            salts=salts,
         )
     if mode != "broadcast":
         raise ValueError(f"unknown cuckoo probe mode: {mode!r}")
 
     shard_tables = {int(r["shard"]): bytes(r["table"]) for r in cuckoo.collect()}
     bc = candidates.sparkSession.sparkContext.broadcast(shard_tables)
-    shardprobe.track_broadcast(bc)
+    if track:
+        shardprobe.track_broadcast(bc)
 
     @F.pandas_udf("boolean")
     def probe(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
-            return pd.Series(out)
-        valid = hashes.notna().to_numpy()  # null url_hash → definitely_new
-        arr = hashes.to_numpy()[valid].astype(np.int64)
+            return pd.Series(np.zeros(0, dtype=bool))
+        if hashes.dtype.kind not in "iu":  # see docstring
+            raise AssertionError(
+                f"cuckoo probe received url_hash as {hashes.dtype} (expected "
+                "int64) — null rows must be split off before the UDF"
+            )
+        arr = hashes.to_numpy(np.int64)
         # numpy % matches F.pmod for a positive divisor (sign of divisor)
         shards = arr % np.int64(num_shards)
-        sub = np.zeros(len(arr), dtype=bool)
+        out = np.zeros(len(arr), dtype=bool)
         blobs = bc.value
         for s in np.unique(shards):
             blob = blobs.get(int(s))
             if blob is None:
                 continue
             mask = shards == s
-            sub[mask] = _probe_blob(blob, arr[mask])
-        out[valid] = sub
+            out[mask] = _probe_blob(blob, arr[mask])
         return pd.Series(out)
 
-    probed = candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    return definitely_new, maybe_seen
+    flag = shardprobe.FLAG
+    nulls = candidates.filter(F.col("url_hash").isNull()).withColumn(
+        flag, F.lit(False)
+    )
+    probed = candidates.filter(F.col("url_hash").isNotNull()).withColumn(
+        flag, probe(F.col("url_hash"))
+    )
+    return probed.unionByName(nulls)
+
+
+def split_by_cuckoo(
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    num_shards: int = 64,
+    mode: str = "sharded",
+    salts: int = 4,
+    track: bool = False,
+    **_ignored,
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) view over ``probe_maybe_seen`` — two
+    consumers of one lazy plan (evaluating both re-runs the probe unless
+    persisted; the unseen-filter consumes the flag once instead)."""
+    from .shardprobe import FLAG
+
+    probed = probe_maybe_seen(candidates, cuckoo, num_shards, mode, salts, track)
+    return probed.filter(~F.col(FLAG)).drop(FLAG), probed.filter(F.col(FLAG)).drop(FLAG)
 
 
 def merge_cuckoo_shards(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -359,15 +391,32 @@ def delete_from_cuckoo(
 
 
 def filter_unseen_with_cuckoo(
-    candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame | None, num_shards: int = 64, **_ignored
+    candidates: DataFrame,
+    seen: DataFrame,
+    cuckoo: DataFrame | None,
+    num_shards: int = 64,
+    **probe_kw,
 ) -> DataFrame:
     """Exact unseen-filter accelerated by the cuckoo prefilter when given.
     Result is identical to the plain left_anti (tested in test_cuckoo.py);
     the exact backstop is the same (url_hash, fp128) anti-join the bloom
-    path uses (see bloom.exact_unseen for the identity rationale)."""
+    path uses (see bloom.exact_unseen for the identity rationale).
+    Single-probe shape as in ``bloom.filter_unseen_with_bloom``: the
+    flagged frame persists (scope-released), the maybe residue alone
+    feeds the anti-join."""
+    from pyspark import StorageLevel
+
+    from . import shardprobe
     from .bloom import exact_unseen
+    from .shardprobe import FLAG
 
     if cuckoo is None:
         return exact_unseen(candidates, seen)
-    new, maybe = split_by_cuckoo(candidates, cuckoo, num_shards=num_shards)
+    probed = probe_maybe_seen(candidates, cuckoo, num_shards=num_shards, **probe_kw).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if probe_kw.get("track"):  # scope-owned release (crawler tick); else LRU
+        shardprobe.track_cache(probed)
+    new = probed.filter(~F.col(FLAG)).drop(FLAG)
+    maybe = probed.filter(F.col(FLAG)).drop(FLAG)
     return new.unionByName(exact_unseen(maybe, seen))

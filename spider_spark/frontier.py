@@ -618,12 +618,15 @@ def extract_new_links(
             bloom,
             num_shards=cfg.bloom_shards,
             bits_per_shard=cfg.bloom_bits_per_shard,
+            # tick-scoped: the crawler releases probe caches/broadcasts
+            # after its actions (shardprobe.release_probe_broadcasts)
+            track=True,
         )
     if cuckoo is not None:
         from .cuckoo import filter_unseen_with_cuckoo
 
         return filter_unseen_with_cuckoo(
-            firsts, seen, cuckoo, num_shards=cfg.cuckoo_shards
+            firsts, seen, cuckoo, num_shards=cfg.cuckoo_shards, track=True
         )
     # anti-join on (url_hash, fp128): the hash gives shuffle locality, the
     # 128-bit fingerprint gives equality — a 64-bit hash alone silently

@@ -13,14 +13,15 @@ equivalent cuckoo tables). Two shapes were tried and rejected:
   north-star scale, and the broadcast files accumulate on disk until GC.
 
 This module is the round-5 shape: **shard-local shipping**. Candidates are
-repartitioned by ``pmod(url_hash, num_shards)`` and cogrouped with the
-``(shard, blob)`` table, so each task receives the candidate rows of ONE
-shard plus that one shard's blob — per-task filter payload is exactly
-``len(blob)`` bytes (``bits_per_shard/8`` for the bloom), no process ever
-holds more than the shards of the tasks it is currently running, and the
-driver never materializes any blob at all. The shard blob moves through the
-same shuffle machinery as the rows (spillable, locality-scheduled), not
-through the driver.
+repartitioned by ``(pmod(url_hash, num_shards), salt)`` and cogrouped with
+the ``(shard, blob)`` table (blob replicated per salt), so each task
+receives the candidate rows of ONE (shard, salt) cell plus that one
+shard's blob — per-task filter payload is exactly ``len(blob)`` bytes
+(``bits_per_shard/8`` for the bloom), no process ever holds more than the
+shards of the tasks it is currently running, and the driver never
+materializes any blob at all. The shard blob moves through the same
+shuffle machinery as the rows (spillable, locality-scheduled), not through
+the driver.
 
 Cost model vs the broadcast variable: one extra exchange of the candidate
 rows (~50 B/row — they were about to shuffle into the exact anti-join
@@ -29,10 +30,18 @@ O(filter_size) per-executor. At 1000 executors × 10 GiB filter that is the
 difference between 10 TB of aggregate broadcast traffic and one 10 GiB
 shuffle read spread across the cluster.
 
-Scale guard: a config whose per-shard blob exceeds ``MAX_SHARD_BLOB_BYTES``
-fails fast with instructions to raise ``num_shards`` — a single Arrow batch
-must hold the blob, so unbounded shard sizes would reintroduce the memory
-cliff this module exists to remove.
+Two scale guards, one per payload side:
+
+- **blob side**: a config whose per-shard blob exceeds
+  ``MAX_SHARD_BLOB_BYTES`` fails fast with instructions to raise
+  ``num_shards`` — a single Arrow batch must hold the blob.
+- **row side**: ``applyInPandas`` materializes each cogroup as ONE pandas
+  frame, so a (shard, salt) cell holds ``candidates/(num_shards·salts)``
+  rows in memory and probe parallelism is ``num_shards·salts`` tasks. The
+  ``salts`` knob multiplies row-side parallelism/memory-splitting at the
+  cost of shipping each blob ``salts`` times (blob shuffle volume =
+  salts × filter size — keep salts small and raise ``num_shards`` first,
+  which shrinks BOTH payloads without duplication).
 """
 
 from __future__ import annotations
@@ -63,37 +72,49 @@ def check_shard_geometry(blob_bytes: int, num_shards: int, what: str) -> None:
         )
 
 
-def split_sharded(
+FLAG = "__maybe_seen"
+
+
+def probe_sharded(
     candidates: DataFrame,
     shards_df: DataFrame,
     blob_col: str,
     num_shards: int,
     probe_blob: Callable[[bytes, np.ndarray], np.ndarray],
-) -> tuple[DataFrame, DataFrame]:
-    """Cogroup candidates with their shard blob and split into
-    (definitely_new, maybe_seen).
+    salts: int = 4,
+) -> DataFrame:
+    """Cogroup candidates with their shard blob and return candidates with
+    a boolean ``__maybe_seen`` column — the single-pass primitive behind
+    both ``split_sharded`` and the accelerated unseen-filters (which
+    consume the flag ONCE instead of re-executing the probe per branch).
 
-    ``probe_blob(blob, hashes) -> bool ndarray`` runs once per (task, shard)
-    on the int64 url_hashes of that shard's candidates. Invariants enforced
-    in-task:
+    ``probe_blob(blob, hashes) -> bool ndarray`` runs once per
+    (task, shard) on the int64 url_hashes of that cell's candidates.
+    Invariants enforced in-task:
 
-    - **one shard per task**: the cogroup key is the shard id, so the blob
-      side of each group must contain at most one row — asserted, so a
-      refactor that double-keys the shard table fails loudly instead of
-      probing the wrong blob;
-    - **null url_hash → definitely_new**: malformed candidate rows must not
-      crash the tick (they route to the exact anti-join's input untouched
-      by the accelerator, matching the pre-accelerator semantics).
+    - **one blob per cell**: the cogroup key is (shard, salt) and the blob
+      side replicates each shard row once per salt, so each group's blob
+      side must contain at most one row — asserted, so a refactor that
+      double-keys the shard table fails loudly instead of probing the
+      wrong blob;
+    - **null url_hash → definitely_new**: a null hash yields a null
+      grouping key, so null rows form their OWN cogroup (never sharing a
+      pandas frame with valid hashes) with no blob side → flag False,
+      matching the pre-accelerator dropna semantics. Because groups are
+      null-pure, the url_hash column always arrives as a true int64 —
+      asserted, since a float64 arrival would silently corrupt xxhash64
+      values above 2^53 (ints round-tripped through float64 lose
+      precision).
     """
     out_schema = T.StructType(
-        list(candidates.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType(), False)]
+        list(candidates.schema.fields) + [T.StructField(FLAG, T.BooleanType(), False)]
     )
     cols = [f.name for f in candidates.schema.fields]
 
     def fn(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blob_pdf) > 1:
             raise AssertionError(
-                f"shard-local probe invariant violated: task for shard {key} "
+                f"shard-local probe invariant violated: task for cell {key} "
                 f"received {len(blob_pdf)} shard blobs (expected <= 1)"
             )
         cand_pdf = cand_pdf[cols].copy()
@@ -103,44 +124,82 @@ def split_sharded(
             blob = bytes(blob_pdf[blob_col].iloc[0])
             check_shard_geometry(len(blob), num_shards, "shard-local probe")
             hashes = cand_pdf["url_hash"]
-            valid = hashes.notna().to_numpy()
-            if valid.any():
-                arr = hashes.to_numpy()[valid].astype(np.int64)
-                maybe[valid] = probe_blob(blob, arr)
-        cand_pdf["__maybe_seen"] = maybe
+            if hashes.dtype.kind not in "iu":
+                raise AssertionError(
+                    "shard-local probe invariant violated: url_hash arrived "
+                    f"as {hashes.dtype} (expected int64) — a float64 batch "
+                    "silently corrupts 64-bit hashes beyond 2^53"
+                )
+            maybe[:] = probe_blob(blob, hashes.to_numpy(np.int64))
+        cand_pdf[FLAG] = maybe
         return cand_pdf
 
     # numpy % matches F.pmod for a positive divisor (sign of divisor); a
-    # null url_hash yields a null key group with no blob side → all-new.
+    # null url_hash yields a null key cell with no blob side → all-new.
     shard_key = F.pmod(F.col("url_hash"), F.lit(num_shards)).cast("int")
-    probed = (
-        candidates.groupBy(shard_key.alias("__shard"))
-        .cogroup(shards_df.groupBy(F.col("shard").alias("__shard")))
+    # salt from independent bits of the hash (xxhash64 of the hash value),
+    # so a hot shard's rows spread across `salts` cells
+    salt_key = F.pmod(F.xxhash64(F.col("url_hash")), F.lit(salts)).cast("int")
+    blob_side = shards_df.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return (
+        candidates.groupBy(shard_key.alias("__shard"), salt_key.alias("__salt"))
+        .cogroup(blob_side.groupBy(F.col("shard").alias("__shard"), F.col("__salt")))
         .applyInPandas(fn, out_schema)
     )
-    definitely_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe_seen = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    return definitely_new, maybe_seen
+
+
+def split_sharded(
+    candidates: DataFrame,
+    shards_df: DataFrame,
+    blob_col: str,
+    num_shards: int,
+    probe_blob: Callable[[bytes, np.ndarray], np.ndarray],
+    salts: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) view over ``probe_sharded``. NOTE: the
+    two returned frames are two consumers of one lazy plan — downstream
+    code that evaluates both re-runs the probe unless it persists. The
+    accelerated unseen-filters avoid the split entirely (single anti-join
+    over the flagged frame); prefer ``probe_sharded`` for new call sites."""
+    probed = probe_sharded(candidates, shards_df, blob_col, num_shards, probe_blob, salts)
+    return probed.filter(~F.col(FLAG)).drop(FLAG), probed.filter(F.col(FLAG)).drop(FLAG)
 
 
 # ---------------------------------------------------------------------------
 # Broadcast-variable mode (round-4 shape), retained for small filters where
-# avoiding the probe exchange wins. Broadcasts are tracked so the crawler can
-# reclaim their disk/memory after the tick's actions complete (ADVICE r04:
-# relying on Python GC + ContextCleaner lets broadcast files accumulate over
-# a long crawl).
+# avoiding the probe exchange wins. Broadcast registration is OPT-IN
+# (track=True): a caller that manages a bounded scope — the crawler tick,
+# which calls release after its actions complete — tracks its broadcasts
+# for deterministic reclamation; library call sites (e.g. BFF's gated
+# bloom) leave track=False and rely on GC + ContextCleaner exactly as
+# before round 5, so a long-lived session never pins them in a module
+# registry, and a concurrent crawler tick can never destroy a broadcast it
+# does not own.
 
 _LIVE_BROADCASTS: list = []
+_LIVE_CACHES: list = []
 
 
 def track_broadcast(bc) -> None:
     _LIVE_BROADCASTS.append(bc)
 
 
+def track_cache(df: DataFrame) -> None:
+    """Register a persisted probe frame for the same scope-owned
+    reclamation as broadcasts (the unseen-filter persists its flagged
+    frame so the two split branches evaluate the probe once)."""
+    _LIVE_CACHES.append(df)
+
+
 def release_probe_broadcasts() -> None:
-    """Unpersist + destroy every probe broadcast created since the last
-    release. Call AFTER the tick's actions (frontier/results writes) have
-    completed — the broadcast value is consumed at action time."""
+    """Unpersist + destroy every TRACKED probe broadcast and unpersist
+    every tracked probe cache created since the last release. Call AFTER
+    the owning scope's actions have completed — the values are consumed
+    at action time. Untracked resources reclaim via GC + ContextCleaner /
+    the session cache LRU, as with every other persisted intermediate in
+    the engine."""
     while _LIVE_BROADCASTS:
         bc = _LIVE_BROADCASTS.pop()
         try:
@@ -148,3 +207,9 @@ def release_probe_broadcasts() -> None:
             bc.destroy(blocking=False)
         except Exception:
             pass  # already destroyed / context gone — nothing to reclaim
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass

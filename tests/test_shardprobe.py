@@ -116,7 +116,11 @@ def test_no_whole_filter_on_driver_in_sharded_mode(spark, monkeypatch):
     assert collected == []  # .count() actions only; no blob ever driver-side
 
 
-def test_broadcast_mode_tracked_and_released(spark):
+def test_broadcast_mode_tracking_is_opt_in(spark):
+    """track=False (the default, for library call sites like BFF) must
+    NOT pin the broadcast in the module registry — reclamation stays with
+    GC + ContextCleaner as before; track=True (the crawler tick, which
+    calls release after its actions) registers for scope-owned release."""
     shardprobe.release_probe_broadcasts()  # clean slate
     seen = _hash_df(spark, "x", 0, 200)
     bloom = build_bloom_shards(seen, num_shards=4, bits_per_shard=1 << 14)
@@ -124,6 +128,88 @@ def test_broadcast_mode_tracked_and_released(spark):
         seen, bloom, num_shards=4, bits_per_shard=1 << 14, mode="broadcast"
     )
     assert new.count() + maybe.count() == 200
+    assert shardprobe._LIVE_BROADCASTS == []  # untracked by default
+    new, maybe = split_by_bloom(
+        seen, bloom, num_shards=4, bits_per_shard=1 << 14, mode="broadcast", track=True
+    )
+    assert new.count() + maybe.count() == 200
     assert len(shardprobe._LIVE_BROADCASTS) == 1
     shardprobe.release_probe_broadcasts()
     assert shardprobe._LIVE_BROADCASTS == []
+
+
+def test_broadcast_mode_null_sharing_a_batch_does_not_corrupt(spark):
+    """Regression (r5 review, reproduced): a null url_hash coalesced into
+    the SAME Arrow batch as valid hashes used to convert the int64 column
+    to float64, silently corrupting xxhash64 values above 2^53 — seen
+    URLs were misclassified definitely_new, breaking the no-refetch
+    invariant. Nulls are now split off at the plan level; the UDF asserts
+    a true int64 arrival."""
+    seen = _hash_df(spark, "x", 0, 10)
+    bloom = build_bloom_shards(seen, num_shards=4, bits_per_shard=1 << 14)
+    cand = (
+        seen.unionByName(
+            spark.sql("SELECT CAST(NULL AS BIGINT) url_hash, 'nullrow' url_canon")
+        )
+        .coalesce(1)  # force one partition → one batch mixing null + valid
+    )
+    for mode in ("broadcast", "sharded"):
+        new, maybe = split_by_bloom(
+            cand, bloom, num_shards=4, bits_per_shard=1 << 14, mode=mode
+        )
+        assert maybe.count() == 10, mode  # ALL truly-seen rows probe maybe
+        assert {r.url_canon for r in new.collect()} == {"nullrow"}, mode
+    cuckoo = build_cuckoo_shards(seen, num_shards=4, buckets_per_shard=1 << 9)
+    for mode in ("broadcast", "sharded"):
+        new, maybe = split_by_cuckoo(cand, cuckoo, num_shards=4, mode=mode)
+        assert maybe.count() == 10, mode
+        assert {r.url_canon for r in new.collect()} == {"nullrow"}, mode
+
+
+def test_sharded_salts_parity(spark):
+    """The salt sub-sharding (row-side memory/parallelism knob) must not
+    change the split for any salt count."""
+    seen = _hash_df(spark, "x", 0, 1000)
+    cand = _hash_df(spark, "x", 500, 2000)
+    bloom = build_bloom_shards(seen, num_shards=8, bits_per_shard=1 << 16)
+    base = _split_sets(
+        split_by_bloom(cand, bloom, num_shards=8, bits_per_shard=1 << 16, salts=1)
+    )
+    for s in (2, 4, 7):
+        assert (
+            _split_sets(
+                split_by_bloom(
+                    cand, bloom, num_shards=8, bits_per_shard=1 << 16, salts=s
+                )
+            )
+            == base
+        ), s
+
+
+def test_filter_unseen_probe_runs_once(spark):
+    """filter_unseen_with_bloom persists the flagged frame, so consuming
+    its result must evaluate the probe's cogroup once, not once per split
+    branch — pinned by counting probe invocations via an accumulator."""
+    from spider_spark.bloom import filter_unseen_with_bloom
+
+    seen = _hash_df(spark, "x", 0, 1000)
+    cand = _hash_df(spark, "x", 500, 2000)
+    bloom = build_bloom_shards(seen, num_shards=4, bits_per_shard=1 << 16)
+    acc = spark.sparkContext.accumulator(0)
+    import spider_spark.bloom as bloom_mod
+
+    orig = bloom_mod._probe_blob
+
+    def counting(blob, arr, num_hashes):
+        acc.add(len(arr))
+        return orig(blob, arr, num_hashes)
+
+    try:
+        bloom_mod._probe_blob = counting
+        out = filter_unseen_with_bloom(
+            cand, seen, bloom, num_shards=4, bits_per_shard=1 << 16
+        )
+        assert out.count() == 1000
+    finally:
+        bloom_mod._probe_blob = orig
+    assert acc.value == 1500  # every candidate probed exactly once
